@@ -1,0 +1,77 @@
+"""Benchmark runner (driver contract: prints ONE JSON line).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed with a count()-style materialization (no driver
+collect of the full result) and timed wall-clock. A warmup pass of the
+flagship query amortizes JVM/codegen startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    "q_agg_groupby",       # TPC-H Q1 shape — scan+agg throughput
+    "q_join_star",         # 5-way join chain — join planning + shuffle
+    "q_join_broadcast",    # broadcast dim join
+    "q_window_topk_per_group",  # window + rank
+    "q_agg_count_distinct",
+    "q_topk",
+    "q_dedup_exact",
+    "q_text_wordcount",
+    "q_vector_norm",
+    "q_similarity_topk",
+    "q_stream_tumbling",
+    "q_salary_parse",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+    from e2e_etl_pipeline_spark.session import get_session
+
+    load_all()
+    spark = get_session("bench")
+
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Warmup: run the flagship once to pay JVM + codegen startup.
+    QUERIES["q_agg_groupby"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = QUERIES.get(key)
+        if fn is None:
+            continue
+        t0 = time.time()
+        # noop sink: full execution, zero serialization back to the driver.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""Table catalog over the driver-generated parquet testdata.
+
+The reference resolves inputs by walking a partitioned directory tree and
+picking the lexicographically-last file (config.py:81-99 — including the
+ddmmyyyy sort bug documented in SURVEY.md §1.3). The engine instead treats
+each logical table as a parquet dataset addressed by (sf_dir, name); partition
+resolution is a *query* concern (see queries.relational.q_latest_partition),
+never a filename-sort concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The full star schema + auxiliary tables produced by the driver
+# (/root/repo/TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Tiny dimensions that should always be broadcast when joined against facts.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one logical table. Columns/filters prune at the parquet scan.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw
+    nanos (``nanosAsLong``) and rebuild a proper timestamp; the testdata's
+    timestamps are microsecond-granular, so ``div 1000`` is lossless and
+    matches DuckDB's nanos→micros truncation. The cast is a cheap projection
+    fused into the scan stage — no extra pass.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for SQL-mode queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,94 @@
+"""The reference's signature computation — salary-string parsing — as a
+closed-form column expression tree (SURVEY.md §2 A15-A21, §7 Phase 1).
+
+Reference semantics (DataTransform/transform_data.py:144-173):
+  * numbers: every match of `\\d[\\d\\s]*(?:,\\d+)?` (after NBSP→space),
+    then strip inner spaces and turn comma-decimals into dots (:146-151).
+  * currency: first case-insensitive match of zł|PLN|EUR|USD|CHF|GBP,
+    normalized zł→PLN, uppercased (:153-158).
+  * pay period: token after a slash — mies.|godz.|rok|dzień|tydzień|h —
+    mapped {mies.→month, godz.→h}, identity fallback (:160-165).
+  * min/max: ≥2 numbers → (first, second); 1 → (n, n); 0 → missing
+    (:167-173).
+
+The engine returns typed NULL for missing (not the reference's "" — see
+SURVEY.md §1.2); the CSV sink re-materializes "" at the edge.
+
+Everything is built-in expressions (regexp_extract_all / transform /
+element_at / when), so Catalyst fuses the whole parse into one codegen stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NBSP = " "
+
+NUMBER_PATTERN = r"\d[\d\s]*(?:,\d+)?"
+CURRENCY_PATTERN = r"(?i)(zł|PLN|EUR|USD|CHF|GBP)"
+# Polish tokens from the reference (transform_data.py:160-165) plus the
+# already-normalized "month" that JJIT "cur/period" spans carry verbatim
+# (transform_data.py:62-64 splits on '/' without regexing the token).
+PERIOD_PATTERN = r"/\s*(mies\.|godz\.|rok|dzień|tydzień|month|h)"
+
+# {mies. → month, godz. → h}; other tokens map to themselves
+# (transform_data.py:161-165).
+PERIOD_MAP = {"mies.": "month", "godz.": "h"}
+
+
+def _norm(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(c, NBSP, " ")
+
+
+def extract_numbers(col: Column | str) -> Column:
+    """array<double> of every salary number, normalized (A18)."""
+    matches = F.regexp_extract_all(_norm(col), F.lit(NUMBER_PATTERN), 0)
+    cleaned = F.transform(
+        matches,
+        lambda m: F.regexp_replace(F.regexp_replace(m, r"\s+", ""), ",", "."),
+    )
+    return F.transform(cleaned, lambda m: m.cast("double"))
+
+
+def extract_currency(col: Column | str) -> Column:
+    """First currency token, zł→PLN, uppercased; NULL when absent (A19)."""
+    raw = F.regexp_extract(_norm(col), CURRENCY_PATTERN, 1)
+    up = F.upper(raw)
+    return F.when(raw == "", F.lit(None).cast("string")).otherwise(
+        F.when(F.lower(raw) == "zł", F.lit("PLN")).otherwise(up)
+    )
+
+
+def extract_pay_period(col: Column | str) -> Column:
+    """Pay-period token after '/', mapped through PERIOD_MAP (A20)."""
+    raw = F.regexp_extract(_norm(col), PERIOD_PATTERN, 1)
+    mapped = raw
+    for k, v in PERIOD_MAP.items():
+        mapped = F.when(raw == k, F.lit(v)).otherwise(mapped)
+    return F.when(raw == "", F.lit(None).cast("string")).otherwise(mapped)
+
+
+def parse_salary(col: Column | str) -> Column:
+    """Full A15-A21 composite → struct(minimum, maximum, currency, pay_period).
+
+    Count-dependent min/max (A21, transform_data.py:167-173):
+      >=2 numbers → (nums[0], nums[1]); 1 → (n, n); 0 → (NULL, NULL).
+    """
+    nums = extract_numbers(col)
+    n = F.size(nums)
+    first = F.try_element_at(nums, F.lit(1))
+    second = F.try_element_at(nums, F.lit(2))
+    minimum = F.when(n >= 1, first).otherwise(F.lit(None).cast("double"))
+    maximum = (
+        F.when(n >= 2, second)
+        .when(n == 1, first)
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return F.struct(
+        minimum.alias("minimum"),
+        maximum.alias("maximum"),
+        extract_currency(col).alias("currency"),
+        extract_pay_period(col).alias("pay_period"),
+    )

@@ -1,0 +1,246 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, token-set Jaccard.
+
+Scale design notes (the part that matters at 100 TB):
+  * Exact dedup is a hash aggregate on a digest of the dedup key — group on
+    xxhash64(text) (8 bytes) instead of shuffling full document bodies.
+  * MinHash is computed as (doc × shingle) rows hashed k ways via xxhash64
+    with per-hash seeds, aggregated with min() — map-side partial
+    aggregation shrinks the shuffle to k values per doc. Banding then turns
+    near-dup detection into an equi-join on (band_id, band_hash): candidate
+    pairs only, never all pairs.
+  * SimHash reduces each doc to a 64-bit fingerprint; the banded join on
+    16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk equal) again avoids
+    the cross product.
+  * Everything is built-in expressions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (A24 generalized; q_dedup_exact)
+# ---------------------------------------------------------------------------
+def dedup_exact_first_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per key: the one with the smallest order_col.
+
+    Deterministic (unlike dropDuplicates, whose survivor depends on
+    partitioning). Implemented as min-order join-back so the aggregate side
+    carries only (key, min) — not full payload rows — through the shuffle.
+    """
+    winners = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
+    return df.join(winners, key_cols + [order_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Shingling + MinHash + LSH banding (q_dedup_near)
+# ---------------------------------------------------------------------------
+def _words(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-grams as array<string> ('a b c' style shingles)."""
+    ws = _words(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+    return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(F.array()))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, hash_id, minhash) — one row per document per hash function.
+
+    Each of the k hash functions is xxhash64 seeded by hash_id (mixing the
+    id into the hashed tuple). The min() aggregate partial-combines map-side,
+    so the shuffle volume is k longs per document regardless of doc size.
+    """
+    spark = df.sparkSession
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, shingle_size)).alias("shingle"),
+    )
+    hash_ids = F.broadcast(spark.range(num_hashes).select(F.col("id").alias("hash_id")))
+    return (
+        shingled.join(hash_ids)
+        .select("id", "hash_id", F.xxhash64("shingle", "hash_id").alias("h"))
+        .groupBy("id", "hash_id")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: docs agreeing on all rows of any band become a candidate
+    pair. Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
+
+    The join key is (band_id, band_hash) — a fine-grained key whose groups
+    are tiny for non-duplicate data, so the pair explosion is bounded by the
+    true near-duplicate clusters, not by corpus size.
+    """
+    rows_per_band = num_hashes // bands
+    banded = (
+        signatures.withColumn("band_id", (F.col("hash_id") / rows_per_band).cast("int"))
+        .groupBy("id", "band_id")
+        .agg(
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("hash_id", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("band_hash")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_similarity(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of agreeing minhashes."""
+    sig_a = signatures.select(
+        F.col("id").alias("id_a"), "hash_id", F.col("minhash").alias("mh_a")
+    )
+    sig_b = signatures.select(
+        F.col("id").alias("id_b"), "hash_id", F.col("minhash").alias("mh_b")
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, ["id_b", "hash_id"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.round(F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 4).alias(
+                "est_jaccard"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) + banded hamming join
+# ---------------------------------------------------------------------------
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over whitespace tokens.
+
+    Per token: xxhash64 → each bit contributes ±1; the per-doc bit sums'
+    signs form the fingerprint. Expressed as a single aggregate over an
+    array of 64 bit-contributions (still pure column expressions).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("token")
+    ).withColumn("th", F.xxhash64("token"))
+    # Python-level loop over the 64 bit positions: shiftright's numBits must
+    # be a literal int in the DataFrame API, so the array is built from 64
+    # closed-form expressions (still one codegen'd projection).
+    contrib = F.array(
+        *[
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            for b in range(64)
+        ]
+    )
+    summed = (
+        tokens.withColumn("bits", contrib)
+        .select("id", F.posexplode("bits").alias("bit", "c"))
+        .groupBy("id", "bit")
+        .agg(F.sum("c").alias("s"))
+    )
+    return summed.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by hamming distance ≤ max_hamming.
+
+    Banding on four 16-bit chunks: any pair within hamming 3 shares at least
+    one exact chunk (pigeonhole), so candidates come from 4 equi-joins, not a
+    cross product. bit_count(a XOR b) verifies exactly.
+    """
+    chunks = fingerprints.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("chunk_id"),
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for i in range(4)
+            ])
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk_id").alias("chunk_id"), F.col("c.chunk").alias("chunk"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact token-set Jaccard via inverted-index join (q_dedup_jaccard)
+# ---------------------------------------------------------------------------
+def token_jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All-pairs exact Jaccard over word sets, via the inverted index:
+    join docs on shared token, count intersections, derive the union from
+    per-doc set sizes. Shuffles on token — proportional to the index size,
+    not |docs|² (pairs sharing no token never meet)."""
+    toks = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(_words(text_col))).alias("token"))
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b").select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("n_inter").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+            4,
+        ).alias("jaccard"),
+    )

@@ -1,0 +1,161 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three tiers (SURVEY.md §2 B.8, §4.2):
+  * brute_force_topk — exact cosine top-k via crossJoin + per-query window.
+    Correctness baseline; viable when |queries| × |corpus| is small or one
+    side broadcasts.
+  * lsh_bucketed_topk — random-hyperplane (sign) LSH: vectors hash to
+    sign-pattern buckets per table; candidates come from equi-joins on
+    (table, bucket), so the scale cost is Σ bucket-collisions, not the cross
+    product. Multiple tables trade recall for cost. Hyperplanes are seeded
+    NumPy — deterministic, broadcast as literal arrays into the plan.
+  * (IVF variant — centroid assignment + probe-N — follows the same
+    bucket-join shape with k-means centroids; LSH is the default because it
+    needs no training pass.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.functions.vectors import cosine_similarity, l2_norm
+
+
+def with_vector_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Attach the L2 norm (norm) — precompute once, reuse across joins."""
+    return df.withColumn("norm", l2_norm(vec_col))
+
+
+def _cosine_from_norms(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Column:
+    prods = F.zip_with(a_vec, b_vec, lambda x, y: x.cast("double") * y.cast("double"))
+    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when((a_norm == 0) | (b_norm == 0), F.lit(None).cast("double")).otherwise(
+        dot / (a_norm * b_norm)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+
+    The (small) query side is broadcast; ranking uses row_number with a
+    neighbor-id tiebreaker so results are deterministic. Self-matches are
+    excluded.
+    """
+    q = with_vector_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = with_vector_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("norm").alias("c_norm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_from_norms(
+                F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_tables, n_planes, dim)
+
+
+def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Sign-pattern bucket id for one LSH table: Σ (dot(v, p_i) > 0) << i."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Each vector lands in one bucket per table; candidate pairs share a
+    (table, bucket) key. 2^n_planes buckets/table keeps expected bucket size
+    |corpus|/256 — the join output is linear in corpus size for spread-out
+    data. Recall grows with n_tables.
+    """
+    planes = _hyperplanes(dim, n_planes, n_tables, seed)
+
+    def bucketize(df: DataFrame, prefix: str) -> DataFrame:
+        tables = F.array(*[
+            F.struct(F.lit(t).alias("table_id"), _bucket_expr(vec_col, planes[t]).alias("bucket"))
+            for t in range(n_tables)
+        ])
+        return (
+            with_vector_norm(df, vec_col)
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                F.col("norm").alias(f"{prefix}_norm"),
+                F.explode(tables).alias("t"),
+            )
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_vec",
+                f"{prefix}_norm",
+                F.col("t.table_id").alias("table_id"),
+                F.col("t.bucket").alias("bucket"),
+            )
+        )
+
+    q = bucketize(queries, "query")
+    c = bucketize(corpus, "neighbor")
+    cand = (
+        q.join(c, ["table_id", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        _cosine_from_norms(
+            F.col("query_vec"), F.col("neighbor_vec"), F.col("query_norm"), F.col("neighbor_norm")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )

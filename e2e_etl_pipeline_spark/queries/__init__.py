@@ -1,0 +1,25 @@
+"""Query modules. Importing this package populates the registry.
+
+Module map (SURVEY.md §2 Part B):
+  relational   — B.1 scans, B.2 projection/filter, B.6 sort/limit/set-ops
+  joins        — B.3 join surface
+  aggregates   — B.4 aggregation surface
+  windows      — B.5 window functions
+  scalars      — B.7 scalar function families incl. the salary-parse composite
+  llm          — B.8 dedup / similarity / text-analysis / multimodal
+  streaming_q  — B.9 structured-streaming semantics (batch-equivalent oracles)
+  pipeline_q   — A1-A8 pipeline parity (sources/sinks/partition pruning)
+  udf_surface  — B.10 UDF / pandas-UDF / applyInPandas surface
+"""
+
+from e2e_etl_pipeline_spark.queries import (  # noqa: F401
+    aggregates,
+    joins,
+    llm,
+    pipeline_q,
+    relational,
+    scalars,
+    streaming_q,
+    udf_surface,
+    windows,
+)

@@ -1,0 +1,191 @@
+"""B.4 — aggregation surface.
+
+Generalizes A26 (max watermark), A27 (count), A28 (ordered string merge),
+A24 (keyed first-wins dedup). All grouped aggregations here are hash
+aggregates with map-side partial aggregation — the shuffle moves one row per
+(partition, group), not per input row, which is what keeps them viable when
+the input is 100 TB and the group count is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import register
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+    SELECT
+      count(*)                        AS n_rows,
+      count(DISTINCT l_orderkey)      AS n_orders,
+      round(max(l_extendedprice), 2)  AS max_price,
+      round(min(l_extendedprice), 2)  AS min_price,
+      round(sum(l_quantity), 2)       AS total_qty,
+      coalesce(max(CASE WHEN l_quantity > 100 THEN l_linenumber END), -1)
+                                      AS watermark_or_default
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26/A27 verbatim semantics: global count/max, with the reference's
+    `max(..., default=-1)` idiom (DataExtract/extract_data.py:223) expressed
+    as coalesce(max(...), -1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.coalesce(
+            F.max(F.when(F.col("l_quantity") > 100, F.col("l_linenumber"))), F.lit(-1)
+        ).alias("watermark_or_default"),
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT
+      l_returnflag,
+      count(DISTINCT l_partkey) AS n_parts,
+      count(DISTINCT l_suppkey) AS n_suppliers
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts. Spark expands multi-distinct via `expand` —
+    fine for low-cardinality groups; the approximate variant below is the
+    100 TB-scale alternative when exactness isn't required."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+@register("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): constant memory per group vs
+    the exact variant's expand+shuffle — the scale path for wide-cardinality
+    distinct counts. Deterministic for a fixed dataset, so the rows-only
+    check is stable; no oracle because DuckDB's approx sketch differs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING count(*) > 550 AND sum(l_quantity) > 13000
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("_raw_qty"),
+        )
+        .where((F.col("n_items") > 550) & (F.col("_raw_qty") > 13000))
+        .select("l_suppkey", "n_items", F.round("_raw_qty", 2).alias("total_qty"))
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      count(*)                  AS n_rows,
+      round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; NULL marks the rolled-up level (both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      count(*)                     AS n_orders,
+      round(sum(o_totalprice), 2)  AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "q_agg_string_concat",
+    oracle="""
+    SELECT
+      n_regionkey,
+      string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28 (ordered HTML-fragment merge, extract_data.py:145,245) as an
+    order-stable string aggregation: sort inside the group, then join —
+    deterministic regardless of partitioning."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register(
+    "q_dedup_first_wins",
+    oracle="""
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT
+        user_id, event_id, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24's insert-if-absent dedup (extract_data.py:194-197): keep the
+    FIRST row per key under an explicit order — row_number over a window,
+    never dropDuplicates (whose survivor is partitioning-dependent)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )

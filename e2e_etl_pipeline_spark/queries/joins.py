@@ -1,0 +1,316 @@
+"""B.3 — the join surface.
+
+The reference's only join-shaped operation is a dict lookup with a default
+(A29, config.py:47-53). The engine generalizes to the full relational join
+matrix. Scale notes per query in docstrings; the recurring principles:
+
+  * Dimension tables (region/nation/supplier/part/customer at TPC-H ratios)
+    are broadcast — no shuffle of the fact table for the probe side.
+  * Fact-fact joins shuffle on the join key; AQE handles skew splitting.
+  * Semi/anti joins never materialize right-side payload columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import register
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT
+      c.c_mktsegment,
+      count(*)                     AS n_orders,
+      round(sum(o.o_totalprice), 2) AS segment_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join; Catalyst picks the physical strategy (AQE may turn
+    the shuffle join into a broadcast at runtime once customer's post-filter
+    size is known)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("segment_revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_customers, round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29's tiny lookup tables as explicit broadcast joins.
+
+    nation⋈region is resolved entirely on the small side first; the fact
+    scan streams past two broadcast hash joins with zero shuffle — the plan
+    that survives a 100× fact-table scale-up unchanged.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    dim = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (
+        c.join(dim, c.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT
+      c.c_custkey,
+      count(o.o_orderkey)                        AS n_orders,
+      round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no matching orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH negbal AS (
+      SELECT c_custkey, round(c_acctbal, 2) AS bal
+      FROM customer WHERE c_acctbal < 0
+    ),
+    big AS (
+      SELECT o_custkey, count(*) AS n_big
+      FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+    )
+    SELECT
+      coalesce(negbal.c_custkey, big.o_custkey) AS custkey,
+      negbal.bal                                AS bal,
+      big.n_big                                 AS n_big
+    FROM negbal FULL OUTER JOIN big ON negbal.c_custkey = big.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two partially-overlapping keyed sets."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    negbal = c.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    big = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    return negbal.join(big, negbal.c_custkey == big.o_custkey, "full").select(
+        F.coalesce(negbal.c_custkey, big.o_custkey).alias("custkey"),
+        F.col("bal"),
+        F.col("n_big"),
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+            AND o.o_totalprice > 300000
+    )
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi: existence probe; right side carries no payload columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 300000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    )
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_cross_count",
+    oracle="""
+    SELECT r.r_name, count(*) AS n_pairs
+    FROM region r CROSS JOIN nation n
+    GROUP BY r.r_name
+    """,
+)
+def q_join_cross_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (needed by the B.8 similarity path); kept dim×dim here —
+    a fact-side cross join is never the scale plan."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).groupBy("r_name").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "q_join_range",
+    oracle="""
+    SELECT
+      o.o_orderpriority,
+      count(*) AS n_shipped_in_90d
+    FROM lineitem l
+    JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + range predicate. The equi component keeps it a
+    hash/SMJ join (the range is a post-join filter), so it scales like a
+    normal key join rather than a banded cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < o.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_shipped_in_90d"))
+    )
+
+
+@register(
+    "q_join_self",
+    oracle="""
+    SELECT o1.o_custkey AS custkey, count(*) AS n_pairs
+    FROM orders o1
+    JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey AND o1.o_orderkey < o2.o_orderkey
+    WHERE o1.o_orderstatus = 'F' AND o2.o_orderstatus = 'F'
+    GROUP BY o1.o_custkey
+    """,
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join via aliases: same-customer order pairs."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    o1 = o.alias("o1")
+    o2 = o.alias("o2")
+    return (
+        o1.join(
+            o2,
+            (F.col("o1.o_custkey") == F.col("o2.o_custkey"))
+            & (F.col("o1.o_orderkey") < F.col("o2.o_orderkey")),
+        )
+        .groupBy(F.col("o1.o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "q_join_star",
+    oracle="""
+    SELECT
+      n.n_name,
+      CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped multi-way star join (SURVEY.md §5.2 item 6).
+
+    All dimensions broadcast; only lineitem⋈orders is a real shuffle, and the
+    region filter prunes the dimension chain before it touches the facts.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dim = F.broadcast(
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dim, F.col("o_custkey") == dim.c_custkey)
+        .join(F.broadcast(s),
+              (F.col("s_suppkey") == li.l_suppkey)
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .groupBy("n_name")
+        .agg(
+            # Exact decimal sum → tie-free rounding (see q_agg_groupby).
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )

@@ -1,0 +1,367 @@
+"""B.8 — LLM-data-pipeline operators as registered queries: dedup (exact /
+MinHash-LSH / SimHash / exact Jaccard / embedding near-dup), similarity
+search (brute-force + LSH), text analysis (wordcount, stats, language-ID,
+quality, token counts, fingerprint), multimodal columns.
+
+Oracles are provided wherever DuckDB can express the semantics; xxhash64-based
+operators (MinHash, SimHash) are rows-only by necessity (engine-specific hash
+function) and carry pytest coverage instead (tests/test_llm_ops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions import textstats as ts
+from e2e_etl_pipeline_spark.functions.vectors import l2_norm
+from e2e_etl_pipeline_spark.operators import dedup as dd
+from e2e_etl_pipeline_spark.operators import multimodal as mm
+from e2e_etl_pipeline_spark.operators import similarity as sim
+from e2e_etl_pipeline_spark.registry import register
+
+_STOPWORD_SQL = "(" + ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(lang) AS lang
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with deterministic survivor (lowest doc_id per text) —
+    A24's first-write-wins, keyed on content instead of scroll index."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("lang").alias("lang"),
+    ).select("keep_id", "n_copies", "lang")
+
+
+@register("q_dedup_near")  # rows-only: xxhash64-based MinHash is engine-specific
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes) + LSH(8 bands) candidate pairs with estimated
+    Jaccard, verified ≥ 0.5 band agreement. See operators/dedup.py for the
+    shuffle-volume analysis."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_size=3)
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+    return dd.minhash_similarity(sigs, pairs).where(F.col("est_jaccard") >= 0.5)
+
+
+@register("q_dedup_simhash")  # rows-only: xxhash64-based
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints per document (near-dup via banded
+    hamming join is exercised in tests where true near-dups exist)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash_fingerprints(d, "doc_id", "text")
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS token
+      FROM documents WHERE lang = 'de'
+    ),
+    sizes AS (SELECT id, count(*) AS set_size FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT
+      id_a, id_b,
+      round(CAST(n_inter AS DOUBLE) /
+            CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_inter AS DOUBLE) /
+          CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.5
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard ≥ 0.5 over the 'de' slice via inverted-index
+    join (no cross product; see operators/dedup.py)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
+    return dd.token_jaccard_pairs(d, "doc_id", "text").where(F.col("jaccard") >= 0.5)
+
+
+@register("q_dedup_embedding")  # rows-only pending cosine threshold stability
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH-bucketed candidate pairs with
+    cosine ≥ 0.9 — the semantic-dedup stage of a training-data pipeline."""
+    em = load_table(spark, sf_dir, "embeddings")
+    topk = sim.lsh_bucketed_topk(em, em, k=5, n_planes=6, n_tables=6)
+    return topk.where(F.col("cosine") >= 0.9).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "q_vector_norm",
+    oracle="""
+    SELECT
+      vec_id,
+      round(sqrt(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+      label
+    FROM embeddings
+    """,
+)
+def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm via higher-order aggregate (B.8 'multimodal column: embedding
+    norm/arith')."""
+    em = load_table(spark, sf_dir, "embeddings")
+    return em.select("vec_id", F.round(l2_norm("embedding"), 4).alias("norm"), "label")
+
+
+@register(
+    "q_similarity_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / (qn * cn) AS cosine
+      FROM q CROSS JOIN c
+      WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    WHERE rank <= 10
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for 20 query vectors — the
+    correctness baseline; the LSH variant (below) is the scale path."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 20)
+    return sim.brute_force_topk(em, queries, k=10)
+
+
+@register("q_similarity_lsh")  # rows-only: approximate by design
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN: equi-join on (table, bucket) replaces the
+    cross join — the plan that survives a 100×-corpus scale-up. Recall vs
+    the exact baseline is asserted in tests/test_llm_ops.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 20)
+    return sim.lsh_bucketed_topk(em, queries, k=10, n_planes=8, n_tables=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "q_text_wordcount",
+    oracle="""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+)
+def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tokenize → explode → count: the canonical text-analysis shape with a
+    deterministic top-50 (count desc, word asc)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT
+      lang,
+      count(*)                                                   AS n_docs,
+      round(avg(n_chars), 4)                                     AS avg_chars,
+      round(avg(len(string_split(text, ' '))), 4)                AS avg_words,
+      CAST(max(n_chars) AS BIGINT)                               AS max_chars,
+      CAST(min(n_chars) AS BIGINT)                               AS min_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(F.avg(F.size(F.split("text", " "))), 4).alias("avg_words"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang,
+      round(CAST(len(list_filter(string_split(text, ' '),
+                 w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
+            / len(string_split(text, ' ')), 4)                    AS stopword_ratio,
+      CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                 w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.05
+           THEN 'en' ELSE 'other' END                             AS lang_guess
+    FROM documents
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/stopword language-ID heuristic: function-word density ≥ 5% →
+    'en'. (On this synthetic corpus the signal is mechanical, not
+    linguistic — the operator shape is what scales.)"""
+    d = load_table(spark, sf_dir, "documents")
+    ratio = ts.stopword_ratio("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_guess"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH feats AS (
+      SELECT
+        doc_id,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(len(list_filter(string_split(text, ' '),
+             w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
+          / len(string_split(text, ' '))                               AS sw,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / length(text)                                               AS pr,
+        CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+          / len(string_split(text, ' '))                               AS mwl
+      FROM documents
+    )
+    SELECT
+      doc_id,
+      round(least(n_chars / 400.0, 1.0) * 0.4
+            + least(sw * 4.0, 1.0) * 0.2
+            + greatest(1.0 - pr * 5.0, 0.0) * 0.2
+            + (CASE WHEN mwl >= 2.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+            4) AS quality
+    FROM feats
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring (length / punctuation / stopword / word-shape
+    components) — functions/textstats.py, reproduced exactly by the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(ts.quality_score("text"), 4).alias("quality"))
+
+
+@register(
+    "q_text_tokens",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER)                          AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+                                                                             AS bpe_ish_tokens
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and BPE-ish regex pre-tokenizer."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.whitespace_tokens("text").cast("int").alias("ws_tokens"),
+        ts.bpe_ish_tokens("text").cast("int").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT
+      doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+                         w -> CAST(length(w) + ascii(w) AS BIGINT))),
+        (acc, v) -> (acc * 31 + v) % 1000000007
+      ) AS fingerprint
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint — pure integer
+    arithmetic so any engine reproduces it (functions/textstats.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", ts.word_fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+@register(
+    "q_multimodal_bytes",
+    oracle="""
+    SELECT
+      CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+           WHEN doc_id % 3 = 1 THEN 'audio/wav'
+           ELSE 'video/mp4' END        AS media_type,
+      count(*)                          AS n_docs,
+      CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata, aggregated by media type —
+    the column-plumbing half of the multimodal surface (pure expressions)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = mm.attach_fake_media(d)
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("byte_len").cast("bigint").alias("total_bytes"),
+    )
+
+
+@register("q_multimodal_features")  # rows-only: mapInPandas stub decoder
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads,
+    with the decode step stubbed deterministically (operators/multimodal.py).
+    Schema, batch shape, and partitioning are the real production plumbing."""
+    d = load_table(spark, sf_dir, "documents")
+    return mm.extract_media_features(mm.attach_fake_media(d))

@@ -1,0 +1,178 @@
+"""A1-A8 pipeline parity queries: CSV round-trip, whole-file text source,
+partitioned write + partition-pruned read, latest-partition pruning, and the
+full offers pipeline (synthetic HTML → parsed staging rows).
+
+The write-path queries materialize into a session-scoped temp dir and read
+back — exercising the real sink/source code, while the oracle states the
+round-trip invariant directly against the original table.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.pipeline.offers import parse_offers
+from e2e_etl_pipeline_spark.registry import register
+from e2e_etl_pipeline_spark.sources.raw_zone import read_latest, write_raw
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"e2e_spark_{tag}_")
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+    FROM orders
+    """,
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: header CSV write + schema'd read-back; the oracle asserts the
+    round-trip is lossless against the source table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _tmpdir("csv")
+    try:
+        o.write.mode("overwrite").option("header", True).csv(path)
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderstatus", T.StringType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+            ]
+        )
+        back = spark.read.option("header", True).schema(schema).csv(path)
+        return back.select(
+            "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
+        ).localCheckpoint()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_text_source",
+    oracle="""
+    SELECT
+      CAST(length(string_agg(text, chr(10) ORDER BY doc_id)) AS BIGINT) AS n_chars,
+      count(*)                                                          AS n_docs
+    FROM documents
+    WHERE doc_id < 10
+    """,
+)
+def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: whole-file text read. Writes the ordered concatenation of 10 docs
+    as one file (the reference's merged-HTML artifact, A28), reads it back
+    with wholetext=True, and reports its length — which the oracle recomputes
+    from the table directly."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 10)
+    merged = d.orderBy("doc_id").agg(
+        F.array_join(F.collect_list("text"), "\n").alias("value"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    row = merged.collect()[0]
+    path = _tmpdir("text")
+    try:
+        with open(f"{path}/doc.txt", "w", encoding="utf-8") as f:
+            f.write(row["value"])
+        back = spark.read.text(path, wholetext=True)
+        return back.select(
+            F.length("value").cast("bigint").alias("n_chars"),
+            F.lit(row["n_docs"]).cast("bigint").alias("n_docs"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_partitioned_write",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: hive-partitioned write + read-back. The group-by on the partition
+    column after read-back must reproduce the source distribution; the scan
+    derives o_orderstatus from directory names, not file contents."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _tmpdir("part")
+    try:
+        o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        back = spark.read.parquet(path)
+        return (
+            back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_latest_partition",
+    oracle="""
+    SELECT
+      CAST(o_orderdate AS DATE)   AS order_day,
+      count(*)                    AS n_orders,
+      round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE date_trunc('month', o_orderdate) =
+          (SELECT max(date_trunc('month', o_orderdate)) FROM orders)
+    GROUP BY 1
+    """,
+)
+def q_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's intent (newest partition only), done right: max(month) computed
+    as an aggregate and joined back as a broadcast filter — at scale this is
+    dynamic partition pruning, never a filename sort (SURVEY.md §1.3)."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    mx = o.agg(F.max(month).alias("_max_month"))
+    return (
+        o.join(F.broadcast(mx), month == F.col("_max_month"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register("q_offers_pipeline")  # rows-only: mapInPandas HTML parse (B.10 shape)
+def q_offers_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full transform stage end-to-end: synthetic HTML docs
+    (both site DOM contracts, built deterministically from the part table) →
+    mapInPandas DOM parse → codegen'd clean + salary parse → typed offers.
+    Golden-file correctness lives in tests/test_pipeline.py."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    jjit_html = F.concat(
+        F.lit("<ul>"),
+        F.concat_ws(
+            "",
+            F.collect_list(
+                F.format_string(
+                    '<li data-index="%d"><h3>%s</h3><h6><span>%d</span><span>%d</span>'
+                    "<span>PLN/month</span></h6></li>",
+                    F.col("p_partkey"),
+                    F.col("p_name"),
+                    F.round("p_retailprice").cast("int"),
+                    (F.round("p_retailprice") + 100).cast("int"),
+                )
+            ),
+        ),
+        F.lit("</ul>"),
+    )
+    docs = p.groupBy((F.col("p_partkey") % 4).alias("doc_id")).agg(
+        jjit_html.alias("html")
+    ).select("doc_id", F.lit("jjit").alias("site"), "html")
+    offers = parse_offers(docs)
+    return offers.orderBy("doc_id", "offer_idx")

@@ -1,0 +1,133 @@
+"""B.9 — streaming semantics, registered as batch-equivalent queries.
+
+``window()``/``session_window()`` compute identically in batch and streaming,
+so the oracle-checked batch results here pin down exactly the semantics the
+streaming tests (tests/test_streaming.py) assert under readStream+watermark.
+
+q_stream_watermark runs a REAL Structured Streaming job (file source over the
+events parquet, Trigger.availableNow, memory sink) — rows-only by contract
+(SURVEY.md §2 B.9).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import register
+from e2e_etl_pipeline_spark.session import pin_utc
+from e2e_etl_pipeline_spark.streaming import windows as sw
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts)  AS window_start,
+      event_type,
+      count(*)                AS n_events,
+      round(sum(value), 2)    AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows per event_type; window() aligns to the epoch
+    so hour buckets equal date_trunc('hour')."""
+    pin_utc(spark)
+    return sw.tumbling_agg(load_table(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+    WITH slid AS (
+      SELECT
+        make_timestamp(((CAST(epoch_us(ts) AS BIGINT) // 900000000) - k) * 900000000)
+          AS window_start,
+        value
+      FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+    )
+    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM slid
+    GROUP BY window_start
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 minutes: each event belongs to 4
+    windows. The oracle enumerates the 4 slide offsets explicitly."""
+    pin_utc(spark)
+    return sw.sliding_agg(load_table(spark, sf_dir, "events"), "1 hour", "15 minutes")
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+    WITH ordered AS (
+      SELECT
+        user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 30 MINUTE
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap session windows per user; the oracle is the classic
+    gaps-and-islands CTE (SURVEY.md §2 B.9 allows it when stable)."""
+    pin_utc(spark)
+    return sw.session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
+
+
+@register("q_stream_watermark")  # rows-only: behavioral streaming check
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming run: file source over the events parquet,
+    10-minute watermark, 1-hour tumbling agg, Trigger.availableNow into a
+    memory sink (complete mode). Deterministic for a static input, so the
+    rows-only hash is stable. Late-data *dropping* (which needs multiple
+    triggers) is asserted in tests/test_streaming.py."""
+    pin_utc(spark)
+    # The events parquet stores ts as TIMESTAMP(NANOS): stream-read it as raw
+    # nanos (same nanosAsLong path as catalog.load_table) and rebuild the
+    # timestamp before the watermark.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a directory path; point it at sf_dir
+    # and glob-filter down to the events file.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    sink = f"wm_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

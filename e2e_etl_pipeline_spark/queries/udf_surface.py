@@ -1,0 +1,142 @@
+"""B.10 — UDF / pandas-UDF / applyInPandas surface.
+
+Kept deliberately oracle-checkable: each UDF computes something DuckDB can
+also express, so the driver verifies the Python boundary end-to-end (stronger
+than the rows-only minimum the survey planned).
+
+Scale reminder (SURVEY.md §4.2): these exist to prove the surface; every
+hot-path computation elsewhere in the engine uses built-in expressions. The
+pandas variants are Arrow-batched; the row-at-a-time scalar UDF is the slow
+path and is confined to the tiny literal salary table.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.queries.scalars import SALARY_SAMPLES
+from e2e_etl_pipeline_spark.registry import ORACLES, register
+
+_NUM_RE = re.compile(r"\d[\d\s]*(?:,\d+)?")
+_CUR_RE = re.compile(r"(zł|PLN|EUR|USD|CHF|GBP)", re.IGNORECASE)
+_PERIOD_RE = re.compile(r"/\s*(mies\.|godz\.|rok|dzień|tydzień|month|h)")
+_PERIOD_MAP = {"mies.": "month", "godz.": "h"}
+
+
+def _parse_salary_py(text: str | None) -> tuple[float | None, float | None, str | None, str | None]:
+    """Reference-faithful Python salary parse (transform_data.py:144-173) —
+    the row-at-a-time twin of functions/salary.parse_salary."""
+    s = (text or "").replace("\xa0", " ")
+    nums = [float(re.sub(r"\s+", "", m).replace(",", ".")) for m in _NUM_RE.findall(s)]
+    cur_m = _CUR_RE.search(s)
+    currency = None
+    if cur_m:
+        raw = cur_m.group(1)
+        currency = "PLN" if raw.lower() == "zł" else raw.upper()
+    period_m = _PERIOD_RE.search(s)
+    period = _PERIOD_MAP.get(period_m.group(1), period_m.group(1)) if period_m else None
+    if len(nums) >= 2:
+        return nums[0], nums[1], currency, period
+    if len(nums) == 1:
+        return nums[0], nums[0], currency, period
+    return None, None, currency, period
+
+
+@register("q_udf_scalar", oracle=None)  # oracle attached below (shared)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF running the reference's exact parse logic —
+    validated against the SAME oracle as the codegen'd q_salary_parse."""
+    result_type = T.StructType(
+        [
+            T.StructField("minimum", T.DoubleType()),
+            T.StructField("maximum", T.DoubleType()),
+            T.StructField("currency", T.StringType()),
+            T.StructField("pay_period", T.StringType()),
+        ]
+    )
+    parse_udf = F.udf(_parse_salary_py, result_type)
+    df = spark.createDataFrame([(s,) for s in SALARY_SAMPLES], "salary_text string")
+    parsed = parse_udf("salary_text")
+    return df.select(
+        "salary_text",
+        parsed["minimum"].alias("minimum"),
+        parsed["maximum"].alias("maximum"),
+        parsed["currency"].alias("currency"),
+        parsed["pay_period"].alias("pay_period"),
+    )
+
+
+# q_udf_scalar must agree with the expression-based parser, so it shares
+# q_salary_parse's oracle verbatim.
+ORACLES["q_udf_scalar"] = ORACLES["q_salary_parse"]
+
+
+@register(
+    "q_pandas_udf",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+      CAST(length(text) AS INTEGER)                 AS n_chars
+    FROM documents
+    """,
+)
+def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized (Arrow-batched) pandas UDF: per-doc token/char counts via
+    pandas string ops — the 10-100× faster Python path (SURVEY.md §0)."""
+
+    @F.pandas_udf(T.IntegerType())
+    def n_words(texts: pd.Series) -> pd.Series:
+        return texts.str.split(" ").str.len().astype("int32")
+
+    @F.pandas_udf(T.IntegerType())
+    def n_chars(texts: pd.Series) -> pd.Series:
+        return texts.str.len().astype("int32")
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", n_words("text").alias("n_words"), n_chars("text").alias("n_chars"))
+
+
+@register(
+    "q_apply_in_pandas",
+    oracle="""
+    SELECT
+      lang,
+      count(*)                 AS n_docs,
+      round(avg(n_chars), 4)   AS avg_chars,
+      CAST(max(n_chars) - min(n_chars) AS BIGINT) AS char_range
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: each language group arrives as one pandas
+    DataFrame; per-group stats computed with pandas, matching the SQL oracle."""
+    schema = T.StructType(
+        [
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("avg_chars", T.DoubleType()),
+            T.StructField("char_range", T.LongType()),
+        ]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(pdf)],
+                "avg_chars": [round(float(pdf["n_chars"].mean()), 4)],
+                "char_range": [int(pdf["n_chars"].max() - pdf["n_chars"].min())],
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").applyInPandas(stats, schema=schema)

@@ -1,0 +1,184 @@
+"""B.5 — window functions.
+
+q_window_topk_per_group is the *correct* re-expression of the reference's
+"latest file" lookup (A8, config.py:81-99), replacing its reverse-lexicographic
+ddmmyyyy sort bug (SURVEY.md §1.3) with an explicit deterministic ordering.
+
+Scale note: every window here partitions by a key with bounded group size
+(custkey, nationkey, user_id) — one shuffle on the partition key, then a
+per-group sort that fits in memory. None of these windows is unpartitioned
+(a global window would serialize onto one task and is banned in this engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import register
+
+
+@register(
+    "q_window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn
+    FROM (
+      SELECT
+        c_custkey, o_orderkey, o_totalprice,
+        row_number() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (A8's top-1-per-partition, done right)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rn")
+    )
+
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT
+      s_nationkey,
+      s_suppkey,
+      rank()       OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank,
+      dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_dense_rank,
+      ntile(4)     OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS bal_quartile
+    FROM supplier
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank share ties deterministically; ntile carries a unique
+    tiebreaker (s_suppkey) because its bucketing is order-sensitive."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    w_unique = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.ntile(4).over(w_unique).alias("bal_quartile"),
+    )
+
+
+@register(
+    "q_window_lag",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      CAST(date_diff('second',
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS BIGINT)                                      AS secs_since_prev
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead — the reference's "did the scroll make progress?" test
+    (A31, extract_data.py:234-237) is exactly a lag comparison."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.col("ts").cast("long") - prev_ts.cast("long")).alias("secs_since_prev"),
+    )
+
+
+@register(
+    "q_window_running_sum",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(sum(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum with an explicit rows frame. The frame order carries a
+    unique key (o_orderkey) so prefix sums are reproducible; rounding happens
+    after the window so each prefix is rounded exactly once."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@register(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      round(avg(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+    FROM events
+    """,
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average over a 3-row sliding frame per user."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    SELECT
+      user_id,
+      event_id,
+      count(*) OVER (
+        PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: how many events this user fired
+    in the trailing hour — the time-based frame variant of B.5.
+
+    Spark's timestamp→long cast floors to whole seconds; DuckDB's
+    CAST(DOUBLE AS BIGINT) rounds, so the oracle floors explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+    )

@@ -1,0 +1,62 @@
+"""Query registry: the engine's public operator surface.
+
+Every operator from SURVEY.md §2 registers here under its planned query key.
+``QUERIES[key]`` is a callable ``(spark, sf_dir) -> DataFrame``;
+``ORACLES[key]`` (when present) is the ANSI-SQL equivalent DuckDB runs on the
+same parquet tables for the driver's hash compare. Keys without an oracle get
+the weaker rows-only check (SURVEY.md §2, driver contract).
+
+Hash-stability rules enforced across the codebase (SURVEY.md §7 watch list):
+  * Alias every computed column identically in Spark and SQL.
+  * Round float aggregates (sums→2dp, avgs/ratios→4dp) in BOTH dialects.
+  * Any LIMIT/top-k carries a unique total ordering (explicit tiebreaker).
+  * No wall-clock, no Date.now-style calls inside queries.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator registering a query callable and (optionally) its oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in QUERIES:
+            raise ValueError(f"duplicate query key: {key}")
+
+        def shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Externally-built sessions (the driver's) carry neither our
+            # package on worker PYTHONPATH nor our UTC timezone pin; both are
+            # engine-semantics requirements, so enforce them at the query
+            # boundary (see shipping.py and session.pin_utc).
+            from e2e_etl_pipeline_spark.session import pin_utc
+            from e2e_etl_pipeline_spark.shipping import ensure_package_shipped
+
+            ensure_package_shipped(spark)
+            pin_utc(spark)
+            return fn(spark, sf_dir)
+
+        shipped.__name__ = fn.__name__
+        shipped.__doc__ = fn.__doc__
+        QUERIES[key] = shipped
+        if oracle is not None:
+            ORACLES[key] = textwrap.dedent(oracle).strip()
+        fn.__query_key__ = key  # type: ignore[attr-defined]
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module so registration side effects run."""
+    # Imported lazily to avoid import cycles (query modules import `register`).
+    from e2e_etl_pipeline_spark import queries  # noqa: F401

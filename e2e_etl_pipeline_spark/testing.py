@@ -1,0 +1,62 @@
+"""Order-insensitive DataFrame comparison used by the local oracle harness
+(tools/check_oracles.py) and the pytest parity suite (tests/test_oracle_parity.py).
+
+Mirrors the driver's check: row count + column names + order-insensitive
+value comparison (exact for non-floats, tight-tolerance for floats — the
+queries themselves are responsible for rounding so that the driver's exact
+hash also matches; see the hash-stability rules in registry.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def canonical(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by value."""
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            s = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            s = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+        out[c] = s
+    df = pd.DataFrame(out)
+    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
+    return df.reset_index(drop=True)
+
+
+def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    if a.shape != b.shape:
+        return False
+    for c in a.columns:
+        x, y = a[c], b[c]
+        if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
+            xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
+            yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)
+            if not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
+                return False
+        else:
+            if not x.astype(str).fillna("<null>").equals(y.astype(str).fillna("<null>")):
+                return False
+    return True
+
+
+def compare_frames(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Return a list of problems ([] = match), mirroring the driver's gate."""
+    problems: list[str] = []
+    if len(sdf) != len(odf):
+        problems.append(f"row count {len(sdf)} != {len(odf)}")
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"columns {sorted(sdf.columns)} != {sorted(odf.columns)}")
+    if not problems:
+        ca, cb = canonical(sdf), canonical(odf)
+        bad = [c for c in ca.columns if not values_match(ca[[c]], cb[[c]])]
+        if bad:
+            problems.append(f"values differ in columns: {bad}")
+    return problems

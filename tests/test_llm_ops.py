@@ -1,0 +1,69 @@
+"""Behavioral coverage for the rows-only LLM-pipeline operators (SURVEY.md §7
+watch-list #3): MinHash/LSH near-dup detection, SimHash hamming pairs, and
+LSH ANN recall against the exact brute-force baseline.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.operators import dedup as dd
+from e2e_etl_pipeline_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again every single day"
+    variant = base.replace("lazy", "sleepy")  # one-token edit → high Jaccard
+    unrelated = "completely different content about distributed query engines and shuffles"
+    rows = [(0, base), (1, variant), (2, unrelated), (3, base)]  # 3 == exact dup of 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_finds_near_dups(near_dup_docs):
+    sigs = dd.minhash_signatures(near_dup_docs, "doc_id", "text", num_hashes=32, shingle_size=3)
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+    simdf = dd.minhash_similarity(sigs, pairs)
+    found = {(r.id_a, r.id_b): r.est_jaccard for r in simdf.collect()}
+    assert found.get((0, 3)) == 1.0  # exact dup → all minhashes agree
+    assert (0, 1) in found and found[(0, 1)] > 0.3  # near dup candidate
+    assert (0, 2) not in found or found[(0, 2)] < 0.3
+
+
+def test_simhash_hamming(near_dup_docs, spark):
+    fps = dd.simhash_fingerprints(near_dup_docs, "doc_id", "text")
+    rows = {r.id: r.simhash for r in fps.collect()}
+    assert rows[0] == rows[3]  # identical text → identical fingerprint
+    ham_near = bin(rows[0] ^ rows[1]).count("1")
+    ham_far = bin(rows[0] ^ rows[2]).count("1")
+    assert ham_near < ham_far  # one-token edit is closer than unrelated text
+
+    pairs = dd.simhash_near_pairs(fps, max_hamming=3)
+    got = {(r.id_a, r.id_b) for r in pairs.select("id_a", "id_b").collect()}
+    assert (0, 3) in got
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    exact = sim.brute_force_topk(em, queries, k=5)
+    approx = sim.lsh_bucketed_topk(em, queries, k=5, n_planes=6, n_tables=8)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_exact_dedup_survivor_deterministic(spark):
+    rows = [(5, "same text"), (2, "same text"), (9, "other")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        df.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+    got = {r.text: (r.keep_id, r.n_copies) for r in out.collect()}
+    assert got["same text"] == (2, 2)
+    assert got["other"] == (9, 1)

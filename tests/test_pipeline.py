@@ -1,0 +1,81 @@
+"""Golden end-to-end pipeline test (SURVEY.md §5.2 item 3): synthetic HTML
+shaped like both sites' DOM contracts (FIXTURES.md §1.3) → parse_offers →
+expected typed rows; plus the reference-compatible CSV sink (""-for-NULL).
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import shutil
+import tempfile
+
+from e2e_etl_pipeline_spark.pipeline.offers import offers_to_staging_csv, parse_offers
+
+JJIT_HTML = (
+    "<ul>"
+    '<li data-index="0"><h3>Junior Python Developer</h3>'
+    "<a><div><div><div><div><div><div><p>Acme Sp. z o.o.</p>"
+    "</div></div></div></div></div></div></a>"
+    "<h6><span>8000</span><span>PLN/month</span></h6></li>"
+    '<li data-index="1"><h3>Señor Data – Engineer</h3>'
+    "<h6><span>11 000</span><span>12 000</span><span>PLN/month</span></h6></li>"
+    '<li data-index="2"><h3>No Salary Role</h3><h6></h6></li>'
+    "</ul>"
+)
+
+PPL_HTML = (
+    "<html><body><div data-test='section-offers'>"
+    "<div data-test='default-offer'>"
+    "<a data-test='link-offer-title'>Staff SRE</a>"
+    "<h3 data-test='text-company-name'>Initech</h3>"
+    "<span data-test='offer-salary'>11\xa0000–12\xa0000 zł brutto / mies.</span>"
+    "</div>"
+    "<div data-test='default-offer'>"
+    "<a data-test='link-offer-title'>Analyst</a>"
+    "<h3 data-test='text-company-name'>Hooli</h3>"
+    "<span data-test='offer-salary'>31,25 zł / godz.</span>"
+    "</div>"
+    "</div></body></html>"
+)
+
+
+def _parse(spark):
+    docs = spark.createDataFrame(
+        [(0, "jjit", JJIT_HTML), (1, "ppl", PPL_HTML)],
+        "doc_id long, site string, html string",
+    )
+    return parse_offers(docs).orderBy("doc_id", "offer_idx")
+
+
+def test_golden_offers(spark):
+    rows = [tuple(r) for r in _parse(spark).collect()]
+    assert rows == [
+        (0, "jjit", 0, "Junior Python Developer", "Acme Sp. z o.o.", 8000.0, 8000.0, "PLN", "month"),
+        # non-ASCII (ñ, en-dash) stripped from position (A13); 2-number branch
+        (0, "jjit", 1, "Seor Data Engineer", "", 11000.0, 12000.0, "PLN", "month"),
+        (0, "jjit", 2, "No Salary Role", "", None, None, None, None),
+        (1, "ppl", 0, "Staff SRE", "Initech", 11000.0, 12000.0, "PLN", "month"),
+        (1, "ppl", 1, "Analyst", "Hooli", 31.25, 31.25, "PLN", "h"),
+    ]
+
+
+def test_csv_sink_reference_compat(spark):
+    """A6: header CSV with "" for missing values (SURVEY.md §1.2)."""
+    offers = _parse(spark)
+    path = tempfile.mkdtemp(prefix="e2e_offers_csv_")
+    try:
+        offers_to_staging_csv(offers, path)
+        rows = []
+        for f in sorted(glob.glob(f"{path}/part-*.csv")):
+            with open(f, newline="", encoding="utf-8") as fh:
+                rows.extend(csv.DictReader(fh))
+        assert len(rows) == 5
+        no_salary = next(r for r in rows if r["position"] == "No Salary Role")
+        assert no_salary["minimum"] == ""
+        assert no_salary["currency"] == ""
+        with_salary = next(r for r in rows if r["position"] == "Analyst")
+        assert with_salary["minimum"] == "31.25"
+        assert with_salary["pay_period"] == "h"
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -1,0 +1,68 @@
+"""Physical-plan assertions (the 100 TB story, SURVEY.md §4): filters and
+column pruning reach the parquet scan, small dims broadcast, top-k avoids a
+global sort, and the hot expression paths stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _formatted(spark, key, sf_dir) -> str:
+    return _plan(QUERIES[key](spark, sf_dir))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted(spark, "q_filter_compound", sf_dir)
+    assert "PushedFilters:" in plan
+    assert "GreaterThanOrEqual(l_quantity,10" in plan.replace(" ", "") or "l_quantity" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_column_pruning(spark, sf_dir):
+    plan = _formatted(spark, "q_project_alias", sf_dir)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    # only the 4 needed columns are read, not all 11 lineitem columns
+    assert "l_returnflag" not in read_schema
+    assert "l_shipdate" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _formatted(spark, "q_join_star", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # the only shuffle join allowed is lineitem⋈orders; dims must not
+    # introduce SortMergeJoin
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    plan = _formatted(spark, "q_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_salary_parse_is_codegen(spark, sf_dir):
+    """The signature computation must stay UDF-free (SURVEY.md §4.2)."""
+    plan = _formatted(spark, "q_salary_parse", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    """Map-side combine: two HashAggregate nodes (partial + final)."""
+    plan = _formatted(spark, "q_agg_groupby", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_latest_partition_broadcasts_max(spark, sf_dir):
+    plan = _formatted(spark, "q_latest_partition", sf_dir)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,183 @@
+"""Streaming behavioral tests (SURVEY.md §5.2 item 5): watermark late-data
+dropping across micro-batches, streaming dedup, and the stateful
+progress-tracker operator that mirrors the reference's stale-scroll loop
+(A31, DataExtract/extract_data.py:221-243).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.streaming.stateful import progress_tracker
+from e2e_etl_pipeline_spark.streaming.windows import session_agg, tumbling_agg
+
+
+def _write_batch(spark, path: str, rows, schema: str) -> None:
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_available(stream_df, sink: str, mode: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def test_watermark_drops_late_rows(spark):
+    """Append-mode tumbling agg with a 10-minute watermark: a row arriving in
+    a later batch, older than (max_ts - watermark), must NOT create output."""
+    src = tempfile.mkdtemp(prefix="e2e_stream_src_")
+    chk = tempfile.mkdtemp(prefix="e2e_stream_chk_")
+    sink = f"wm_test_{uuid.uuid4().hex[:8]}"
+    schema = "ts timestamp, user_id long, value double"
+    try:
+        _write_batch(
+            spark,
+            src,
+            [("2024-01-01 10:05:00", 1, 1.0), ("2024-01-01 12:00:00", 1, 1.0)],
+            schema,
+        )
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # Batch 2: one in-time row (13:00) + one very late row (10:10, far
+        # behind the 12:00 max) — the late row's hour-10 window is already
+        # closed and emitted; it must be dropped, not re-emitted.
+        _write_batch(
+            spark,
+            src,
+            [("2024-01-01 13:00:00", 1, 1.0), ("2024-01-01 10:10:00", 1, 1.0)],
+            schema,
+        )
+        q2 = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        emitted = {
+            (str(r.ws), r.n) for r in spark.table(sink).collect()
+        }
+        # hour-10 window emitted exactly once with ONE row (the late arrival
+        # never incremented it)
+        assert ("2024-01-01 10:00:00", 1) in emitted
+        assert ("2024-01-01 10:00:00", 2) not in emitted
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """withWatermark + dropDuplicates on event_id: the duplicate in a later
+    micro-batch is suppressed."""
+    src = tempfile.mkdtemp(prefix="e2e_dedup_src_")
+    chk = tempfile.mkdtemp(prefix="e2e_dedup_chk_")
+    sink = f"dd_test_{uuid.uuid4().hex[:8]}"
+    schema = "ts timestamp, event_id long"
+    try:
+        _write_batch(spark, src, [("2024-01-01 10:00:00", 100)], schema)
+        _write_batch(spark, src, [("2024-01-01 10:01:00", 100), ("2024-01-01 10:02:00", 101)], schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ids = sorted(r.event_id for r in spark.table(sink).collect())
+        assert ids == [100, 101]
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_progress_tracker_stale_detection(spark):
+    """A31 semantics: max-index watermark advances → stale counter resets;
+    no progress for MAX_STALE_ROUNDS batches → is_stale flips."""
+    src = tempfile.mkdtemp(prefix="e2e_state_src_")
+    chk = tempfile.mkdtemp(prefix="e2e_state_chk_")
+    sink = f"st_test_{uuid.uuid4().hex[:8]}"
+    schema = "key string, idx long"
+    try:
+        batches = [
+            [("jjit", 5)],          # progress → max 5, stale 0
+            [("jjit", 3)],          # no progress → stale 1
+            [("jjit", 9)],          # progress → max 9, stale 0
+        ]
+        stream = spark.readStream.schema(schema).parquet(src)
+        tracked = progress_tracker(stream)
+        for batch in batches:
+            _write_batch(spark, src, batch, schema)
+            q = (
+                tracked.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("update")
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        rows = [
+            (r.max_idx, r.stale_rounds, r.is_stale)
+            for r in spark.table(sink).collect()
+        ]
+        assert (5, 0, False) in rows
+        assert (5, 1, False) in rows
+        assert (9, 0, False) in rows
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+
+
+def test_session_window_batch_semantics(spark):
+    """session_agg: 30-minute gap splits sessions (batch mode, same builder
+    the streaming path uses)."""
+    rows = [
+        ("2024-01-01 10:00:00", 1),
+        ("2024-01-01 10:10:00", 1),  # same session
+        ("2024-01-01 11:30:00", 1),  # > 30 min gap → new session
+        ("2024-01-01 10:00:00", 2),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long").select(
+        F.col("ts"), "user_id"
+    )
+    out = session_agg(df, "30 minutes")
+    got = {(r.user_id, str(r.session_start), r.n_events) for r in out.collect()}
+    assert got == {
+        (1, "2024-01-01 10:00:00", 2),
+        (1, "2024-01-01 11:30:00", 1),
+        (2, "2024-01-01 10:00:00", 1),
+    }
