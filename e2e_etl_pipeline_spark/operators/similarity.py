@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from e2e_etl_pipeline_spark.functions.vectors import cosine_similarity, l2_norm
+from e2e_etl_pipeline_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def with_vector_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -95,6 +95,86 @@ def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
         )
         bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
     return bucket
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantizer + probe-N clusters.
+
+    Deterministic coarse centroids (the first ``n_centroids`` corpus vectors
+    by id — a real deployment would k-means a sample; the plan shape is
+    identical). Every corpus vector is assigned to its best centroid once
+    (broadcast of the tiny centroid set, max_by argmax — no shuffle of the
+    corpus). Queries probe their ``n_probe`` closest centroids and join
+    candidates on centroid_id: the scored set is |corpus| × n_probe /
+    n_centroids in expectation, not the cross product.
+    """
+    cents = F.broadcast(
+        corpus.where(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+
+    def assign(df: DataFrame, prefix: str, probes: int) -> DataFrame:
+        scored = (
+            with_vector_norm(df, vec_col)
+            .select(
+                F.col(id_col).alias(f"{prefix}_id"),
+                F.col(vec_col).alias(f"{prefix}_vec"),
+                F.col("norm").alias(f"{prefix}_norm"),
+            )
+            .join(cents)
+            .select(
+                f"{prefix}_id",
+                f"{prefix}_vec",
+                f"{prefix}_norm",
+                "centroid_id",
+                dot(F.col(f"{prefix}_vec"), F.col("cent_vec")).alias("cscore"),
+            )
+        )
+        if probes == 1:
+            return scored.groupBy(f"{prefix}_id").agg(
+                F.max_by("centroid_id", F.struct("cscore", "centroid_id")).alias("centroid_id"),
+                F.first(f"{prefix}_vec").alias(f"{prefix}_vec"),
+                F.first(f"{prefix}_norm").alias(f"{prefix}_norm"),
+            )
+        w = Window.partitionBy(f"{prefix}_id").orderBy(
+            F.desc("cscore"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= probes)
+            .drop("_r", "cscore")
+        )
+
+    assigned = assign(corpus, "neighbor", 1)
+    probed = assign(queries, "query", n_probe)
+    scored = (
+        probed.join(assigned, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine_from_norms(
+                F.col("query_vec"), F.col("neighbor_vec"),
+                F.col("query_norm"), F.col("neighbor_norm"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
 
 
 def lsh_bucketed_topk(

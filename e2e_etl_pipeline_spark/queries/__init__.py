@@ -14,6 +14,7 @@ Module map (SURVEY.md §2 Part B):
 
 from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
+    extras,
     joins,
     llm,
     pipeline_q,

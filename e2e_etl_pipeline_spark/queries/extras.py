@@ -1,0 +1,279 @@
+"""Extended relational surface beyond the SURVEY.md §2 core: statistical
+aggregates, exact percentiles, grouping sets, pivot, conditional aggregation,
+scalar subqueries, set-style collect, and extra string functions.
+
+These generalize the same reference seeds as B.4/B.7 (global aggregates
+A26/A27; string normalizers A13-A17) — the categories a user of a complete
+analytics engine expects even though the reference never computes them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import register
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(stddev_samp(l_quantity), 4)                 AS qty_stddev,
+      round(var_samp(l_quantity), 4)                    AS qty_var,
+      round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
+      round(covar_samp(l_quantity, l_discount), 6)      AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (sample stddev/variance, correlation,
+    covariance) — irrational-valued, so 4/6-dp rounding is tie-free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    )
+
+
+@register(
+    "q_agg_percentiles",
+    oracle="""
+    SELECT
+      l_linestatus,
+      round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+      round(quantile_cont(l_extendedprice, 0.9), 4)  AS p90_price,
+      round(quantile_cont(l_quantity, 0.25), 4)      AS p25_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). The scale path for 100 TB is approx_percentile with a
+    t-digest accuracy knob; exact is kept here because the oracle needs
+    bit-stable output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (complements rollup/cube): per-flag and
+    per-status marginals in one pass over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"]], "l_returnflag", "l_linestatus"
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      count(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+      count(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+      count(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no discovery pass — at scale the
+    two-pass inferred pivot is a full extra scan)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("status_F"),
+            F.coalesce("O", F.lit(0)).alias("status_O"),
+            F.coalesce("P", F.lit(0)).alias("status_P"),
+        )
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS n_urgent,
+      count(*) FILTER (WHERE o_totalprice > 300000)               AS n_large,
+      CAST(round(sum(o_totalprice) FILTER (WHERE o_orderpriority = '1-URGENT'), 2)
+           AS DOUBLE)                                             AS urgent_revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-style conditional aggregation as count(when(...)) — one scan,
+    many predicated measures (the idiom that replaces N self-joins)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(urgent, 1)).alias("n_urgent"),
+        F.count(F.when(F.col("o_totalprice") > 300000, 1)).alias("n_large"),
+        F.round(F.sum(F.when(urgent, F.col("o_totalprice"))), 2)
+        .cast("double")
+        .alias("urgent_revenue"),
+    )
+
+
+@register(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS total
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery as a broadcast of a 1-row aggregate — the fact scan
+    streams past it with zero shuffle (vs. a driver collect(), which would
+    serialize the plan into two jobs)."""
+    o = load_table(spark, sf_dir, "orders")
+    avg_price = o.agg(F.avg("o_totalprice").alias("_avg"))
+    return (
+        o.join(F.broadcast(avg_price))
+        .where(F.col("o_totalprice") > 2 * F.col("_avg"))
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+@register(
+    "q_agg_collect_set",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      list_sort(list(DISTINCT c_nationkey))  AS nations,
+      count(DISTINCT c_nationkey)            AS n_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set collect, sorted for deterministic value hashing."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@register(
+    "q_str_funcs2",
+    oracle="""
+    SELECT
+      s_suppkey,
+      upper(s_name)                                  AS name_upper,
+      reverse(s_name)                                AS name_rev,
+      CAST(strpos(s_name, '#') AS INTEGER)           AS hash_pos,
+      left(s_name, 8)                                AS name_left,
+      right(s_name, 2)                               AS name_right,
+      repeat('*', CAST(s_nationkey % 4 AS INTEGER))  AS stars,
+      replace(s_name, 'Supplier', 'S')               AS name_short
+    FROM supplier
+    """,
+)
+def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function family: case, reverse, find, slice, repeat,
+    replace (A13/A14's neighbors in any real workload)."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.upper("s_name").alias("name_upper"),
+        F.reverse("s_name").alias("name_rev"),
+        F.instr("s_name", "#").cast("int").alias("hash_pos"),
+        F.substring("s_name", 1, 8).alias("name_left"),
+        F.substring("s_name", -2, 2).alias("name_right"),
+        F.repeat(F.lit("*"), (F.col("s_nationkey") % 4).cast("int")).alias("stars"),
+        F.replace(F.col("s_name"), F.lit("Supplier"), F.lit("S")).alias("name_short"),
+    )
+
+
+@register(
+    "q_dedup_ngram",
+    oracle="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_transform(range(1, length(text) - 1),
+                                   i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
+      FROM documents WHERE lang = 'de'
+    ),
+    sizes AS (SELECT id, count(*) AS set_size FROM grams GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_inter AS DOUBLE) /
+                 (sa.set_size + sb.set_size - n_inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(n_inter AS DOUBLE) /
+          (sa.set_size + sb.set_size - n_inter) >= 0.4
+    """,
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup (the word-level variant is
+    q_dedup_jaccard): inverted-index join on distinct grams — candidate
+    pairs only, never the doc×doc cross product."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
+    grams = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - 2),
+                    lambda i: F.substring(F.col("text"), i, F.lit(3)),
+                )
+            )
+        ).alias("gram"),
+    )
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(jac >= 0.4)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )

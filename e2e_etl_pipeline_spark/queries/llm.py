@@ -165,6 +165,16 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(em, queries, k=10)
 
 
+@register("q_similarity_ivf")  # rows-only: approximate by design
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (coarse quantizer + probe-2): the training-free
+    alternative scale path to LSH. Recall vs the exact baseline is asserted
+    in tests/test_llm_ops.py."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 20)
+    return sim.ivf_topk(em, queries, k=10, n_centroids=16, n_probe=2)
+
+
 @register("q_similarity_lsh")  # rows-only: approximate by design
 def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: equi-join on (table, bucket) replaces the

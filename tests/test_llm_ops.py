@@ -57,6 +57,19 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.4, f"LSH recall too low: {recall}"
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    exact = sim.brute_force_topk(em, queries, k=5)
+    approx = sim.ivf_topk(em, queries, k=5, n_centroids=16, n_probe=2)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, f"IVF recall too low: {recall}"
+
+
 def test_exact_dedup_survivor_deterministic(spark):
     rows = [(5, "same text"), (2, "same text"), (9, "other")]
     df = spark.createDataFrame(rows, "doc_id long, text string")

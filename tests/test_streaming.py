@@ -19,6 +19,15 @@ from e2e_etl_pipeline_spark.streaming.windows import session_agg, tumbling_agg
 
 
 def _write_batch(spark, path: str, rows, schema: str) -> None:
+    from datetime import datetime
+
+    rows = [
+        tuple(
+            datetime.fromisoformat(v) if isinstance(v, str) and v[:2] == "20" else v
+            for v in row
+        )
+        for row in rows
+    ]
     spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(path)
 
 
@@ -39,8 +48,24 @@ def test_watermark_drops_late_rows(spark):
     a later batch, older than (max_ts - watermark), must NOT create output."""
     src = tempfile.mkdtemp(prefix="e2e_stream_src_")
     chk = tempfile.mkdtemp(prefix="e2e_stream_chk_")
-    sink = f"wm_test_{uuid.uuid4().hex[:8]}"
     schema = "ts timestamp, user_id long, value double"
+    collected: list = []
+
+    def sink(batch_df, _batch_id):
+        collected.extend(batch_df.collect())
+
+    def run_once(agg):
+        # foreachBatch is the restartable sink (memory sink cannot recover
+        # from a checkpoint across starts)
+        q = (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", chk)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
     try:
         _write_batch(
             spark,
@@ -48,24 +73,14 @@ def test_watermark_drops_late_rows(spark):
             [("2024-01-01 10:05:00", 1, 1.0), ("2024-01-01 12:00:00", 1, 1.0)],
             schema,
         )
-        stream = spark.readStream.schema(
-            "ts timestamp, user_id long, value double"
-        ).parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
         agg = (
             stream.withWatermark("ts", "10 minutes")
             .groupBy(F.window("ts", "1 hour"))
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("window.start").alias("ws"), "n")
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", chk)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        run_once(agg)
         # Batch 2: one in-time row (13:00) + one very late row (10:10, far
         # behind the 12:00 max) — the late row's hour-10 window is already
         # closed and emitted; it must be dropped, not re-emitted.
@@ -75,18 +90,8 @@ def test_watermark_drops_late_rows(spark):
             [("2024-01-01 13:00:00", 1, 1.0), ("2024-01-01 10:10:00", 1, 1.0)],
             schema,
         )
-        q2 = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option("checkpointLocation", chk)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q2.awaitTermination()
-        emitted = {
-            (str(r.ws), r.n) for r in spark.table(sink).collect()
-        }
+        run_once(agg)
+        emitted = {(str(r.ws), r.n) for r in collected}
         # hour-10 window emitted exactly once with ONE row (the late arrival
         # never incremented it)
         assert ("2024-01-01 10:00:00", 1) in emitted
@@ -129,8 +134,12 @@ def test_progress_tracker_stale_detection(spark):
     no progress for MAX_STALE_ROUNDS batches → is_stale flips."""
     src = tempfile.mkdtemp(prefix="e2e_state_src_")
     chk = tempfile.mkdtemp(prefix="e2e_state_chk_")
-    sink = f"st_test_{uuid.uuid4().hex[:8]}"
     schema = "key string, idx long"
+    collected: list = []
+
+    def sink(batch_df, _batch_id):
+        collected.extend(batch_df.collect())
+
     try:
         batches = [
             [("jjit", 5)],          # progress → max 5, stale 0
@@ -142,18 +151,14 @@ def test_progress_tracker_stale_detection(spark):
         for batch in batches:
             _write_batch(spark, src, batch, schema)
             q = (
-                tracked.writeStream.format("memory")
-                .queryName(sink)
+                tracked.writeStream.foreachBatch(sink)
                 .outputMode("update")
                 .option("checkpointLocation", chk)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-        rows = [
-            (r.max_idx, r.stale_rounds, r.is_stale)
-            for r in spark.table(sink).collect()
-        ]
+        rows = [(r.max_idx, r.stale_rounds, r.is_stale) for r in collected]
         assert (5, 0, False) in rows
         assert (5, 1, False) in rows
         assert (9, 0, False) in rows
@@ -165,15 +170,15 @@ def test_progress_tracker_stale_detection(spark):
 def test_session_window_batch_semantics(spark):
     """session_agg: 30-minute gap splits sessions (batch mode, same builder
     the streaming path uses)."""
+    from datetime import datetime
+
     rows = [
-        ("2024-01-01 10:00:00", 1),
-        ("2024-01-01 10:10:00", 1),  # same session
-        ("2024-01-01 11:30:00", 1),  # > 30 min gap → new session
-        ("2024-01-01 10:00:00", 2),
+        (datetime.fromisoformat("2024-01-01 10:00:00"), 1),
+        (datetime.fromisoformat("2024-01-01 10:10:00"), 1),  # same session
+        (datetime.fromisoformat("2024-01-01 11:30:00"), 1),  # > 30 min gap → new
+        (datetime.fromisoformat("2024-01-01 10:00:00"), 2),
     ]
-    df = spark.createDataFrame(rows, "ts timestamp, user_id long").select(
-        F.col("ts"), "user_id"
-    )
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
     out = session_agg(df, "30 minutes")
     got = {(r.user_id, str(r.session_start), r.n_events) for r in out.collect()}
     assert got == {
