@@ -1,0 +1,40 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join splitting handles most skew automatically
+(session.py enables it), but heavily-skewed AGGREGATION keys still funnel
+into one reducer when a handful of keys dominate. Salting splits each hot
+key across N sub-keys for the first (partial) aggregate, then combines the
+N partials — two small shuffles instead of one skewed one.
+
+Correct only for algebraic aggregates (sum/count/min/max, and avg as
+sum+count); the public helper keeps to those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    sums: dict[str, Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """groupBy(key).agg(sum…) computed skew-safely via an N-way salt.
+
+    ``sums`` maps output alias → column expression to sum. Adds a uniform
+    salt derived from a hash of the full row's natural distribution
+    (spark_partition_id is enough: it's uncorrelated with the grouping key),
+    aggregates on (key, salt), then reduces the ≤N partial rows per key.
+    """
+    salted = df.withColumn("_salt", F.spark_partition_id() % n_salts)
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        *[F.sum(expr).alias(f"_p_{alias}") for alias, expr in sums.items()],
+        F.count(F.lit(1)).alias("_p_cnt"),
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[F.sum(f"_p_{alias}").alias(alias) for alias in sums],
+        F.sum("_p_cnt").alias("n_rows"),
+    )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.operators.skew import salted_agg
 from e2e_etl_pipeline_spark.registry import register
 
 
@@ -214,6 +215,97 @@ def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("s_name", -2, 2).alias("name_right"),
         F.repeat(F.lit("*"), (F.col("s_nationkey") % 4).cast("int")).alias("stars"),
         F.replace(F.col("s_name"), F.lit("Supplier"), F.lit("S")).alias("name_short"),
+    )
+
+
+@register(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_returnflag, round(sum(l_quantity), 2) AS total_qty, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage salted aggregation (operators/skew.py): 3 hot
+    keys over 600k+ rows would funnel into 3 reducers; the salt spreads the
+    partial aggregate over 16× more. Result is identical to the plain
+    groupBy (the oracle), because sum/count are algebraic and l_quantity's
+    double sum is exact (integral values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(li, ["l_returnflag"], {"_qty": F.col("l_quantity")}, n_salts=16)
+    return out.select(
+        "l_returnflag", F.round("_qty", 2).alias("total_qty"), "n_rows"
+    )
+
+
+@register(
+    "q_udtf_posexplode",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def q_udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (B.10, Spark 3.5+ @udtf): one input doc row → N output
+    (pos, word) rows, the table-function shape. Equivalent to posexplode —
+    which is exactly why it's oracle-checkable; real use is for parsers that
+    built-ins can't express. Confined to 50 docs: a row-at-a-time Python
+    UDTF is the slow path by design."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield i, w
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("_udtf_docs")
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.word
+        FROM _udtf_docs d, LATERAL split_words(d.text) s
+        """
+    )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, count(*) AS n_items, round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact-fact join via bucketed tables: both sides bucketed by
+    the join key at write time, so the join (and the downstream groupBy on
+    the same key) runs with ZERO runtime shuffle — the write-once/join-many
+    pattern for recurring 100 TB fact joins. The result must equal the
+    plain shuffle join (the oracle)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "bkt_orders"
+    )
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "bkt_lineitem"
+    )
+    bo = spark.table("bkt_orders").where(F.col("o_orderstatus") == "F")
+    bl = spark.table("bkt_lineitem")
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
     )
 
 

@@ -242,7 +242,7 @@ def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(day(ts) AS INTEGER)                               AS dom,
       CAST(dayofweek(ts) + 1 AS INTEGER)                     AS dow,
       CAST(hour(ts) AS INTEGER)                              AS hr,
-      date_trunc('day', ts)                                  AS day_start,
+      CAST(date_trunc('day', ts) AS TIMESTAMP)               AS day_start,
       CAST(ts AS DATE)                                       AS event_date,
       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since_jan1,
       CAST(ts AS DATE) + 7                                   AS plus_week,

@@ -26,7 +26,7 @@ from e2e_etl_pipeline_spark.streaming import windows as sw
     "q_stream_tumbling",
     oracle="""
     SELECT
-      date_trunc('hour', ts)  AS window_start,
+      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
       event_type,
       count(*)                AS n_events,
       round(sum(value), 2)    AS sum_value
@@ -81,7 +81,8 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM ordered
     )
-    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n_events
     FROM islands
     GROUP BY user_id, session_no
     """,

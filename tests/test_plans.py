@@ -63,6 +63,23 @@ def test_agg_has_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key → the join and the same-key
+    groupBy need no runtime Exchange."""
+    df = QUERIES["q_join_bucketed"](spark, sf_dir)
+    plan = _plan(df)
+    # BroadcastExchange is fine (not a shuffle); hash-partitioning exchanges
+    # are what bucketing must eliminate — for the join AND the same-key agg.
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "Bucketed: true" in plan
+
+
+def test_salted_agg_two_stage(spark, sf_dir):
+    plan = _plan(QUERIES["q_agg_salted"](spark, sf_dir))
+    # partial (key, salt) agg + final (key) agg + their map-side partials
+    assert plan.count("HashAggregate") >= 3
+
+
 def test_latest_partition_broadcasts_max(spark, sf_dir):
     plan = _formatted(spark, "q_latest_partition", sf_dir)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
