@@ -1,0 +1,59 @@
+"""Property tests for the text-stats / shingling expression builders: the
+column expressions must agree with straightforward Python reimplementations
+on arbitrary generated text (SURVEY.md §5.2 item 4 pattern, beyond salary).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.functions import textstats as ts
+from e2e_etl_pipeline_spark.operators.dedup import word_shingles
+
+_word = st.text(
+    alphabet=st.sampled_from("abcdefgzą .,!?0123456789"), min_size=1, max_size=8
+).filter(lambda w: w.strip())
+_text = st.lists(_word, min_size=0, max_size=25).map(lambda ws: " ".join(ws))
+
+
+def _py_words(s: str) -> list[str]:
+    return [w for w in s.split() if w]
+
+
+def _py_fingerprint(s: str) -> int:
+    fp = 0
+    for w in _py_words(s):
+        fp = (fp * ts.FINGERPRINT_BASE + len(w) + ord(w[0])) % ts.FINGERPRINT_MOD
+    return fp
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_text, min_size=1, max_size=25))
+def test_textstats_match_python(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    rows = df.select(
+        ts.whitespace_tokens("s").alias("n"),
+        ts.word_fingerprint("s").alias("fp"),
+        ts.quality_score("s").alias("q"),
+        F.size(word_shingles("s", 3)).alias("n_shingles"),
+    ).collect()
+    for t, r in zip(texts, rows):
+        words = _py_words(t)
+        assert r.n == len(words), (t, r.n)
+        assert r.fp == _py_fingerprint(t), t
+        assert r.q is None or 0.0 <= r.q <= 1.0, (t, r.q)
+        expected_shingles = (
+            len({" ".join(words[i : i + 3]) for i in range(len(words) - 2)})
+            if len(words) >= 3
+            else 0
+        )
+        assert r.n_shingles == expected_shingles, (t, r.n_shingles, expected_shingles)
+
+
+def test_quality_components_bounded(spark):
+    cases = ["", "a", "!!!!!!", "the " * 200, "x" * 1000, "the of and to in is it"]
+    df = spark.createDataFrame([(t,) for t in cases], "s string")
+    for r in df.select(ts.quality_score("s").alias("q")).collect():
+        assert r.q is None or 0.0 <= r.q <= 1.0
