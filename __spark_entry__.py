@@ -11,11 +11,19 @@ operator inventory; §7 build plan). This module is a thin adapter.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from e2e_etl_pipeline_spark.registry import ORACLES, QUERIES, load_all
+# The driver may import this file by path from any cwd; the package lives
+# next to it and must be importable regardless.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from e2e_etl_pipeline_spark.registry import ORACLES, QUERIES, load_all  # noqa: E402
 
 load_all()
 

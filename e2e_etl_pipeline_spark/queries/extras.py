@@ -310,6 +310,29 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id, 'type' AS k, event_type AS v
+    FROM events WHERE event_id < 100
+    UNION ALL
+    SELECT event_id, 'user' AS k, CAST(user_id AS VARCHAR) AS v
+    FROM events WHERE event_id < 100
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map<string,string> per row
+    (create_map) and explode it back to (key, value) rows — maps never
+    reach the output (value-hash comparison over dict cells is
+    engine-dependent), but the map construction/explosion path is real."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") < 100)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return e.select("event_id", F.explode(m).alias("k", "v"))
+
+
+@register(
     "q_dedup_ngram",
     oracle="""
     WITH grams AS (

@@ -154,6 +154,43 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_window_analytics",
+    oracle="""
+    SELECT
+      s_nationkey,
+      s_suppkey,
+      first_value(s_suppkey) OVER w                                  AS richest,
+      last_value(s_suppkey) OVER (PARTITION BY s_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)    AS poorest,
+      nth_value(s_suppkey, 2) OVER (PARTITION BY s_nationkey
+        ORDER BY s_acctbal DESC, s_suppkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)    AS runner_up,
+      round(percent_rank() OVER w, 4)                                AS pct_rank,
+      round(cume_dist() OVER w, 4)                                   AS cum_dist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window family: first/last/nth value + percent_rank/cume_dist.
+    last_value and nth_value get the full-partition frame explicitly (the
+    default frame stops at CURRENT ROW in both engines)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.first("s_suppkey").over(w).alias("richest"),
+        F.last("s_suppkey").over(w_full).alias("poorest"),
+        F.nth_value("s_suppkey", 2).over(w_full).alias("runner_up"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cum_dist"),
+    )
+
+
+@register(
     "q_window_range_frame",
     oracle="""
     SELECT
