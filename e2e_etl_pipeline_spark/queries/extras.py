@@ -289,6 +289,18 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same key) runs with ZERO runtime shuffle — the write-once/join-many
     pattern for recurring 100 TB fact joins. The result must equal the
     plain shuffle join (the oracle)."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    # A previous session may have left the managed-table locations behind
+    # while this session's in-memory catalog has no entry for them — then
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS. Drop both sides.
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    for tbl in ("bkt_orders", "bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(warehouse.path or "spark-warehouse", tbl), ignore_errors=True)
+
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
