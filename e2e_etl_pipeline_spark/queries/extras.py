@@ -322,6 +322,55 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_subquery_in",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN subquery through Spark SQL (Catalyst rewrites to a left-semi
+    join; the DataFrame-API twin is q_join_semi)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM _sq_customer
+        WHERE c_custkey IN (SELECT o_custkey FROM _sq_orders WHERE o_totalprice > 400000)
+        """
+    )
+
+
+@register(
+    "q_subquery_correlated",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+    FROM orders o
+    WHERE o_totalprice > 1.8 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders far above their own customer's
+    average. Catalyst decorrelates this into an aggregate + join — one scan
+    per side, no per-row re-execution (the naive interpretation would be
+    O(rows × subquery) and could never run at 100 TB)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders2")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        FROM _sq_orders2 o
+        WHERE o_totalprice > 1.8 * (
+          SELECT avg(o2.o_totalprice) FROM _sq_orders2 o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register(
     "q_map_funcs",
     oracle="""
     SELECT event_id, 'type' AS k, event_type AS v
