@@ -119,6 +119,78 @@ def lsh_candidate_pairs(
     )
 
 
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """(id, component) for every id appearing in (id_a, id_b) pairs —
+    component = min id reachable through the pair graph.
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converged when no label
+    changes. Each round is two shuffles (join + aggregate) over the EDGE
+    list — the classic Spark connected-components shape (cf. large-star /
+    small-star, Kiveris et al., "Connected Components in MapReduce"), which
+    needs O(log n) rounds for the near-dup cluster graphs this engine
+    builds (tiny, mostly-star components). localCheckpoint truncates the
+    lineage each round so the plan doesn't grow exponentially.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_corpus(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """The end-to-end near-dup dedup: keep ONE row per duplicate cluster
+    (the min-id survivor), pass through all rows not in any pair.
+
+    This is what a training-data pipeline actually ships: candidate pairs →
+    clusters → survivor selection → filtered corpus, all as joins (the
+    survivor set is small relative to the corpus and semi-joins against it).
+    """
+    comps = connected_components(pairs)
+    survivors = comps.groupBy("component").agg(F.min("id").alias(id_col)).select(id_col)
+    in_pairs = comps.select(F.col("id").alias(id_col))
+    keep_clustered = df.join(survivors, id_col, "left_semi")
+    untouched = df.join(in_pairs, id_col, "left_anti")
+    return untouched.unionByName(keep_clustered)
+
+
 def minhash_similarity(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
     """Estimated Jaccard for candidate pairs = fraction of agreeing minhashes."""
     sig_a = signatures.select(

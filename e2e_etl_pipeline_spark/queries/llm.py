@@ -96,6 +96,32 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.token_jaccard_pairs(d, "doc_id", "text").where(F.col("jaccard") >= 0.5)
 
 
+@register(
+    "q_dedup_corpus",
+    oracle="""
+    WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN keep USING (doc_id)
+    """,
+)
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus dedup: exact-dup pairs → connected components →
+    min-id survivor per cluster → filtered corpus (operators/dedup.py).
+    Driven here by exact-duplicate pairs so DuckDB can state the expected
+    survivor set directly; the same operator consumes MinHash/SimHash pair
+    sets unchanged (covered in tests/test_llm_ops.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    dup_pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return dd.dedup_corpus(d, dup_pairs).select("doc_id", "lang")
+
+
 @register("q_dedup_embedding")  # rows-only pending cosine threshold stability
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: LSH-bucketed candidate pairs with

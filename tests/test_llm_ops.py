@@ -70,6 +70,26 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall too low: {recall}"
 
 
+def test_connected_components_chains(spark):
+    """Transitive clusters: 1-2, 2-3 chain plus an isolated 8-9 pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (8, 9)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in dd.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
+
+
+def test_dedup_corpus_with_minhash_pairs(spark, near_dup_docs):
+    """The full pipeline: MinHash pairs -> components -> surviving corpus."""
+    sigs = dd.minhash_signatures(near_dup_docs, "doc_id", "text", num_hashes=32, shingle_size=3)
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+    strong = dd.minhash_similarity(sigs, pairs).where(F.col("est_jaccard") >= 0.9)
+    deduped = dd.dedup_corpus(near_dup_docs, strong)
+    kept = sorted(r.doc_id for r in deduped.select("doc_id").collect())
+    # 0 and 3 are exact dups -> one survivor (0); 1 and 2 survive untouched
+    assert kept == [0, 1, 2]
+
+
 def test_exact_dedup_survivor_deterministic(spark):
     rows = [(5, "same text"), (2, "same text"), (9, "other")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
