@@ -29,7 +29,12 @@ def _py_fingerprint(s: str) -> int:
     return fp
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,  # deterministic examples: the driver's test run must not flake
+    suppress_health_check=[HealthCheck.too_slow],
+)
 @given(st.lists(_text, min_size=1, max_size=25))
 def test_textstats_match_python(spark, texts):
     df = spark.createDataFrame([(t,) for t in texts], "s string")

@@ -76,7 +76,12 @@ _salary_text = st.builds(
 )
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,  # deterministic examples: the driver's test run must not flake
+    suppress_health_check=[HealthCheck.too_slow],
+)
 @given(st.lists(_salary_text, min_size=1, max_size=30))
 def test_expression_matches_python_twin(spark, texts):
     """One Spark job per hypothesis example batch; the expression tree and
