@@ -105,6 +105,51 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pandas_udaf",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(sum(round(l_extendedprice * 100) * l_quantity)
+            / (100 * sum(l_quantity)), 4) AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the Pandas-UDAF surface): a
+    quantity-weighted mean computed vectorized per group via Arrow.
+
+    Summation-order-proof formulation: cents×quantity are integer-valued
+    doubles whose group sums stay far below 2^53, so numpy's pairwise sum
+    and SQL's sequential sum produce the IDENTICAL exact value (a plain
+    price*qty float sum differs in low bits between engines and flips 4-dp
+    rounding ~8% of the time per group)."""
+
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        cents = (price * 100).round()
+        return float((cents * qty).sum() / (100.0 * qty.sum()))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price")
+    )
+
+
+@register("q_agg_approx_percentile")  # rows-only: sketch-based, engine-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the constant-memory scale path for quantiles that
+    q_agg_percentiles computes exactly. Deterministic for fixed input, so
+    the rows-only hash is stable; no oracle because DuckDB's approximation
+    differs by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
     "q_apply_in_pandas",
     oracle="""
     SELECT

@@ -167,6 +167,92 @@ def test_progress_tracker_stale_detection(spark):
         shutil.rmtree(chk, ignore_errors=True)
 
 
+def test_sliding_window_streaming_matches_batch(spark):
+    """sliding_agg under readStream (complete mode) must equal the same
+    builder over the same data in batch mode — the batch-equivalence claim
+    the oracle checks rest on (streaming_q.py docstring)."""
+    from datetime import datetime
+
+    from e2e_etl_pipeline_spark.streaming.windows import sliding_agg
+
+    src = tempfile.mkdtemp(prefix="e2e_slide_src_")
+    sink = f"sl_{uuid.uuid4().hex[:8]}"
+    schema = "ts timestamp, value double"
+    rows = [
+        ("2024-01-01 10:05:00", 1.0),
+        ("2024-01-01 10:20:00", 2.0),
+        ("2024-01-01 11:40:00", 4.0),
+    ]
+    try:
+        _write_batch(spark, src, rows, schema)
+        batch_df = spark.createDataFrame(
+            [(datetime.fromisoformat(t), v) for t, v in rows], schema
+        )
+        expected = {
+            (str(r.window_start), r.n_events, r.sum_value)
+            for r in sliding_agg(batch_df, "1 hour", "15 minutes").collect()
+        }
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sliding_agg(stream.withWatermark("ts", "1 hour"), "1 hour", "15 minutes")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (str(r.window_start), r.n_events, r.sum_value)
+            for r in spark.table(sink).collect()
+        }
+        assert got == expected
+        assert len(got) == 9  # 5 overlapping windows for the 10:05/10:20 pair + 4 for 11:40
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_session_window_streaming_matches_batch(spark):
+    """session_agg under readStream (complete mode) equals batch."""
+    from datetime import datetime
+
+    src = tempfile.mkdtemp(prefix="e2e_sess_src_")
+    sink = f"se_{uuid.uuid4().hex[:8]}"
+    schema = "ts timestamp, user_id long"
+    rows = [
+        ("2024-01-01 10:00:00", 1),
+        ("2024-01-01 10:10:00", 1),
+        ("2024-01-01 11:30:00", 1),
+        ("2024-01-01 10:00:00", 2),
+    ]
+    try:
+        _write_batch(spark, src, rows, schema)
+        batch_df = spark.createDataFrame(
+            [(datetime.fromisoformat(t), u) for t, u in rows], schema
+        )
+        expected = {
+            (r.user_id, str(r.session_start), r.n_events)
+            for r in session_agg(batch_df, "30 minutes").collect()
+        }
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            session_agg(stream.withWatermark("ts", "1 hour"), "30 minutes")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.user_id, str(r.session_start), r.n_events)
+            for r in spark.table(sink).collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
 def test_session_window_batch_semantics(spark):
     """session_agg: 30-minute gap splits sessions (batch mode, same builder
     the streaming path uses)."""
