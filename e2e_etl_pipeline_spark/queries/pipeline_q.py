@@ -147,6 +147,52 @@ def q_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_layout_sorted_write",
+    oracle="""
+    SELECT
+      count(*)                  AS n_rows,
+      round(sum(l_quantity), 2) AS total_qty,
+      CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship,
+      CAST(max(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+      AND l_shipdate <  TIMESTAMP '1997-09-01'
+    """,
+)
+def q_layout_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, sorted-within-partition data layout: rewrite
+    lineitem clustered by l_shipdate (repartitionByRange + sortWithin
+    Partitions), then run a time-range scan over the copy.
+
+    At 100 TB this layout is what makes time-windowed scans cheap: each
+    file covers a narrow shipdate range, so parquet row-group min/max
+    statistics prune almost everything outside the predicate. The oracle
+    asserts the rewrite is content-preserving for the scanned window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _tmpdir("sorted")
+    try:
+        (
+            li.repartitionByRange(8, "l_shipdate")
+            .sortWithinPartitions("l_shipdate")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path).filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+        )
+        return back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.min("l_shipdate").alias("first_ship"),
+            F.max("l_shipdate").alias("last_ship"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 @register("q_offers_pipeline")  # rows-only: mapInPandas HTML parse (B.10 shape)
 def q_offers_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full transform stage end-to-end: synthetic HTML docs
