@@ -12,15 +12,21 @@ Module map (SURVEY.md §2 Part B):
   udf_surface  — B.10 UDF / pandas-UDF / applyInPandas surface
 """
 
+# Import order == registration order == the order the external driver
+# verifies keys under its budget. Round 1's driver run covered exactly the
+# first 50 registered keys (aggregates/extras/joins/llm); modules whose keys
+# have NOT yet received a driver verdict therefore register first here, and
+# previously-verified modules last. Keep this ordering until every key has a
+# driver-green round on record.
 from e2e_etl_pipeline_spark.queries import (  # noqa: F401
-    aggregates,
-    extras,
-    joins,
-    llm,
-    pipeline_q,
     relational,
     scalars,
+    windows,
     streaming_q,
     udf_surface,
-    windows,
+    pipeline_q,
+    extras,
+    aggregates,
+    joins,
+    llm,
 )

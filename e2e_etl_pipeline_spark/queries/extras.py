@@ -18,6 +18,34 @@ from e2e_etl_pipeline_spark.registry import register
 
 
 @register(
+    "q_agg_collect_set",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+      count(DISTINCT c_nationkey)                                 AS n_nations
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set collect, numerically sorted then serialized to a CSV
+    string: the harness canonicalizer sorts/hashes result cells, so
+    oracle-checked queries must emit scalar columns only (registry rule)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_set("c_nationkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("nations"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@register(
     "q_agg_stats",
     oracle="""
     SELECT
@@ -164,26 +192,6 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(avg_price))
         .where(F.col("o_totalprice") > 2 * F.col("_avg"))
         .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
-    )
-
-
-@register(
-    "q_agg_collect_set",
-    oracle="""
-    SELECT
-      c_mktsegment,
-      list_sort(list(DISTINCT c_nationkey))  AS nations,
-      count(DISTINCT c_nationkey)            AS n_nations
-    FROM customer
-    GROUP BY c_mktsegment
-    """,
-)
-def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-set collect, sorted for deterministic value hashing."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_set("c_nationkey")).alias("nations"),
-        F.countDistinct("c_nationkey").alias("n_nations"),
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.catalog import inline_frame, load_table
 from e2e_etl_pipeline_spark.functions import salary as sal
 from e2e_etl_pipeline_spark.functions import text as tx
 from e2e_etl_pipeline_spark.registry import register
@@ -83,7 +83,7 @@ _SALARY_VALUES = ",\n      ".join(f"({_sql_quote(s)})" for s in SALARY_SAMPLES)
 )
 def q_salary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15-A21 end-to-end as one codegen'd expression tree (no UDFs)."""
-    df = spark.createDataFrame([(s,) for s in SALARY_SAMPLES], "salary_text string")
+    df = inline_frame(spark, [{"salary_text": s} for s in SALARY_SAMPLES], ["salary_text"])
     parsed = sal.parse_salary("salary_text")
     return df.select(
         "salary_text",
@@ -124,7 +124,7 @@ _MESSY_VALUES = ",\n      ".join(f"({_sql_quote(s)})" for s in _MESSY_STRINGS)
 def q_str_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13/A14/A17: the reference's text normalizers over adversarial
     literals (NBSP, tabs, non-ASCII, em-dash)."""
-    df = spark.createDataFrame([(s,) for s in _MESSY_STRINGS], "s string")
+    df = inline_frame(spark, [{"s": s} for s in _MESSY_STRINGS], ["s"])
     return df.select(
         "s",
         tx.clean_text("s").alias("cleaned"),

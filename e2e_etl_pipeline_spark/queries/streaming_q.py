@@ -123,12 +123,22 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
     sink = f"wm_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The stateful agg creates one state store per shuffle partition at
+    # checkpoint creation; 32 stores for a handful of hour-buckets is pure
+    # setup cost (~half this query's runtime). Scope the partition count down
+    # for the stream start, then restore — batch queries on the session are
+    # unaffected (AQE coalesces them anyway).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)

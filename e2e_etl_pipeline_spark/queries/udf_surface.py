@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.catalog import inline_frame, load_table
 from e2e_etl_pipeline_spark.queries.scalars import SALARY_SAMPLES
 from e2e_etl_pipeline_spark.registry import ORACLES, register
 
@@ -62,7 +62,11 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     parse_udf = F.udf(_parse_salary_py, result_type)
-    df = spark.createDataFrame([(s,) for s in SALARY_SAMPLES], "salary_text string")
+    # JVM-side literal frame: createDataFrame(list) scans a pickled Python
+    # RDD, which costs a Python-worker round-trip per job (~3-40 s on a
+    # local[32] session). inline_frame keeps the fixture in codegen so the
+    # only Python boundary is the UDF itself (~0.2 s).
+    df = inline_frame(spark, [{"salary_text": s} for s in SALARY_SAMPLES], ["salary_text"])
     parsed = parse_udf("salary_text")
     return df.select(
         "salary_text",

@@ -11,6 +11,13 @@ Hash-stability rules enforced across the codebase (SURVEY.md §7 watch list):
   * Round float aggregates (sums→2dp, avgs/ratios→4dp) in BOTH dialects.
   * Any LIMIT/top-k carries a unique total ordering (explicit tiebreaker).
   * No wall-clock, no Date.now-style calls inside queries.
+  * No array/map/struct OUTPUT columns in oracle-checked queries: the external
+    canonicalizer sorts/hashes raw cells and dies on unhashable lists.
+    Serialize sets/arrays to strings (array_join / array_to_string) instead.
+
+Registration order matters: the external driver verifies keys in registration
+order under a budget, so queries/__init__.py imports modules with the least
+driver-verified keys first (see that module's docstring).
 """
 
 from __future__ import annotations

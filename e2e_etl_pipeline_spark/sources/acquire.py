@@ -58,8 +58,24 @@ def fetched_documents(
     """Run the fetcher per target on the driver and return the raw-document
     DataFrame (FIXTURES.md §1.2 schema). ingest_date is an explicit argument
     — never wall-clock (SURVEY.md §1.3 determinism note)."""
+    from e2e_etl_pipeline_spark.catalog import inline_frame
+
+    cols = ["doc_id", "site", "region", "experience", "ingest_date", "html"]
     rows = []
     for site, region, experience in targets:
         for doc_id, html in fetcher(site, region, experience):
-            rows.append((doc_id, site, region, experience, ingest_date, html))
-    return spark.createDataFrame(rows, ACQUIRE_SCHEMA)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "site": site,
+                    "region": region,
+                    "experience": experience,
+                    "ingest_date": ingest_date,
+                    "html": html,
+                }
+            )
+    # JVM-side literal frame (catalog.inline_frame): a pickled-RDD
+    # createDataFrame costs a Python-worker round-trip on every downstream
+    # job. Cast doc_id up to the schema's long.
+    df = inline_frame(spark, rows, cols)
+    return df.withColumn("doc_id", df["doc_id"].cast("long"))

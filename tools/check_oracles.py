@@ -32,7 +32,15 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
             s = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) is not None else s
             s = s.astype("datetime64[us]")
         elif s.dtype == object:
-            s = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            # Match the driver: its canonicalizer sorts raw cells and dies on
+            # unhashable lists, so an array/map/struct output column in an
+            # oracle-checked query is a FAIL here, not something to paper over.
+            bad = s.map(lambda v: isinstance(v, (list, np.ndarray, dict))).any()
+            if bad:
+                raise TypeError(
+                    f"column {c!r} holds array/map/struct cells; "
+                    "oracle-checked queries must emit scalar columns only"
+                )
         out[c] = s
     df = pd.DataFrame(out)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
@@ -105,7 +113,13 @@ def main() -> int:
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"cols {sorted(sdf.columns)} != {sorted(odf.columns)}")
         if not problems:
-            ca, cb = canonical(sdf), canonical(odf)
+            try:
+                ca, cb = canonical(sdf), canonical(odf)
+            except TypeError as exc:
+                print(f"FAIL {key}: {exc} ({elapsed:.1f}s)")
+                n_fail += 1
+                failures.append(key)
+                continue
             if not values_match(ca, cb):
                 problems.append("values differ")
                 diff_preview = []
