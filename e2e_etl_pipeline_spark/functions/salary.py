@@ -4,10 +4,12 @@ closed-form column expression tree (SURVEY.md §2 A15-A21, §7 Phase 1).
 Reference semantics (DataTransform/transform_data.py:144-173):
   * numbers: every match of `\\d[\\d\\s]*(?:,\\d+)?` (after NBSP→space),
     then strip inner spaces and turn comma-decimals into dots (:146-151).
-  * currency: first case-insensitive match of zł|PLN|EUR|USD|CHF|GBP,
-    normalized zł→PLN, uppercased (:153-158).
-  * pay period: token after a slash — mies.|godz.|rok|dzień|tydzień|h —
-    mapped {mies.→month, godz.→h}, identity fallback (:160-165).
+  * currency: first case-insensitive match of zł|PLN|EUR|USD|CHF|GBP in its
+    MATCHED case ('gbp' stays 'gbp'); the only normalization is
+    zł→PLN, case-insensitively (:154-158).
+  * pay period: case-insensitive token after a slash —
+    mies.|godz.|rok|dzień|tydzień|h — mapped {mies.→month, godz.→h} by
+    exact (case-sensitive) lookup, identity fallback (:161-165).
   * min/max: ≥2 numbers → (first, second); 1 → (n, n); 0 → missing
     (:167-173).
 
@@ -30,7 +32,7 @@ CURRENCY_PATTERN = r"(?i)(zł|PLN|EUR|USD|CHF|GBP)"
 # Polish tokens from the reference (transform_data.py:160-165) plus the
 # already-normalized "month" that JJIT "cur/period" spans carry verbatim
 # (transform_data.py:62-64 splits on '/' without regexing the token).
-PERIOD_PATTERN = r"/\s*(mies\.|godz\.|rok|dzień|tydzień|month|h)"
+PERIOD_PATTERN = r"(?i)/\s*(mies\.|godz\.|rok|dzień|tydzień|month|h)"
 
 # {mies. → month, godz. → h}; other tokens map to themselves
 # (transform_data.py:161-165).
@@ -53,11 +55,11 @@ def extract_numbers(col: Column | str) -> Column:
 
 
 def extract_currency(col: Column | str) -> Column:
-    """First currency token, zł→PLN, uppercased; NULL when absent (A19)."""
+    """First currency token in its matched case, zł→PLN; NULL when absent
+    (A19, transform_data.py:154-158 — the reference does NOT uppercase)."""
     raw = F.regexp_extract(_norm(col), CURRENCY_PATTERN, 1)
-    up = F.upper(raw)
     return F.when(raw == "", F.lit(None).cast("string")).otherwise(
-        F.when(F.lower(raw) == "zł", F.lit("PLN")).otherwise(up)
+        F.when(F.lower(raw) == "zł", F.lit("PLN")).otherwise(raw)
     )
 
 

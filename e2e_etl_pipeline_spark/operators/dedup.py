@@ -144,6 +144,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .withColumn("component", F.col("id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -169,7 +170,18 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Returning silently here would split long path-graph components into
+        # multiple clusters — dedup would keep phantom "survivors" with no
+        # signal anything went wrong. Label propagation needs ~graph-diameter
+        # rounds, so callers with long chains must raise max_iters.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            "iterations; component diameter exceeds the round budget — "
+            "raise max_iters"
+        )
     return labels
 
 
@@ -291,20 +303,69 @@ def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFra
 # ---------------------------------------------------------------------------
 # Exact token-set Jaccard via inverted-index join (q_dedup_jaccard)
 # ---------------------------------------------------------------------------
-def token_jaccard_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def token_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_df: int | None = None
+) -> DataFrame:
     """All-pairs exact Jaccard over word sets, via the inverted index:
     join docs on shared token, count intersections, derive the union from
     per-doc set sizes. Shuffles on token — proportional to the index size,
-    not |docs|² (pairs sharing no token never meet)."""
+    not |docs|² (pairs sharing no token never meet).
+
+    ``max_df`` is the scale guard: a token appearing in n documents emits
+    n(n-1)/2 candidate rows, so one stop-word-grade token makes the join
+    quadratic in corpus size. The cutoff is prefix-filter-style
+    candidate-verify: tokens with document frequency > max_df are excluded
+    from CANDIDATE GENERATION, then each surviving candidate pair's
+    intersection is re-counted against the FULL token sets — so reported
+    Jaccard values are exact. What's lost is only pairs whose entire overlap
+    is ultra-common tokens, which cannot be high-Jaccard pairs unless their
+    sets are tiny. None = no cutoff (exact all-pairs semantics)."""
     toks = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(_words(text_col))).alias("token"))
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_df is None:
+        a = toks.alias("a")
+        b = toks.alias("b")
+        inter = (
+            a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        # toks is one row per (doc, distinct token), so count(*) per token is
+        # its document frequency. Anti-join drops the hot tokens before the
+        # quadratic step. Unhinted: |hot| is usually tiny (Zipf tail) and AQE
+        # broadcasts it, but it's corpus-dependent (≤ index/max_df), so a
+        # forced broadcast could OOM; the anti-join shares the token-keyed
+        # partitioning the candidate join needs anyway.
+        hot = (
+            toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_df)
+            .select("token")
+        )
+        rare = toks.join(hot, "token", "left_anti")
+        a = rare.alias("a")
+        b = rare.alias("b")
+        cand = (
+            a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        # Verify: exact intersection count over the full (uncut) index,
+        # restricted to candidate pairs — two id-keyed equi-joins, each
+        # |cand| × avg-set-size, never quadratic in the corpus.
+        ta = toks.alias("ta")
+        tb = toks.alias("tb")
+        inter = (
+            cand.join(ta, F.col("ta.id") == F.col("id_a"))
+            .join(
+                tb,
+                (F.col("tb.id") == F.col("id_b"))
+                & (F.col("tb.token") == F.col("ta.token")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("set_size").alias("size_b"))
     return inter.join(sa, "id_a").join(sb, "id_b").select(

@@ -431,13 +431,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_jaccard): inverted-index join on distinct grams — candidate
     pairs only, never the doc×doc cross product."""
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
+    # sequence(1, length-2) defaults to step -1 when length(text) < 3 (e.g.
+    # [1, 0, -1] for a 1-char doc), yielding spurious grams the oracle's
+    # range() (empty for start >= stop) never produces — guard like
+    # word_shingles does.
+    raw_grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.substring(F.col("text"), i, F.lit(3)),
+    )
     grams = d.select(
         F.col("doc_id").alias("id"),
         F.explode(
             F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("text") - 2),
-                    lambda i: F.substring(F.col("text"), i, F.lit(3)),
+                F.when(F.length("text") >= 3, raw_grams).otherwise(
+                    F.array().cast("array<string>")
                 )
             )
         ).alias("gram"),

@@ -277,8 +277,13 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped multi-way star join (SURVEY.md §5.2 item 6).
 
-    All dimensions broadcast; only lineitem⋈orders is a real shuffle, and the
-    region filter prunes the dimension chain before it touches the facts.
+    Broadcast hints go ONLY on the fixed-cardinality dims (region = 5 rows,
+    nation = 25 rows at every scale factor). customer and supplier grow
+    linearly with SF — a forced broadcast OOMs executors at 100× — so their
+    joins are left unhinted: AQE broadcasts them while they fit under the
+    threshold and falls back to shuffle joins beyond that, which is exactly
+    the scale-safe behavior. The region filter still prunes the dimension
+    chain before it touches the facts.
     """
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = load_table(spark, sf_dir, "nation")
@@ -290,14 +295,14 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
 
-    dim = F.broadcast(
-        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
-               c.c_nationkey == F.col("n_nationkey"))
+    dim = c.join(
+        F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+        c.c_nationkey == F.col("n_nationkey"),
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(dim, F.col("o_custkey") == dim.c_custkey)
-        .join(F.broadcast(s),
+        .join(s,
               (F.col("s_suppkey") == li.l_suppkey)
               & (F.col("s_nationkey") == F.col("c_nationkey")))
         .groupBy("n_name")

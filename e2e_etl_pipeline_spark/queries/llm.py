@@ -67,16 +67,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_jaccard",
-    oracle=f"""
-    WITH toks AS (
-      SELECT DISTINCT doc_id AS id, unnest(string_split(text, ' ')) AS token
+    # Oracle tokenization mirrors the engine's _words exactly: split on \s+
+    # and drop empty tokens (a single-space split would diverge on tabs /
+    # doubled spaces). The df-cutoff (HAVING count(*) <= 500) mirrors the
+    # engine's max_df candidate-verify guard: candidates come from rare
+    # tokens only, intersections are re-counted on the full token sets, so
+    # Jaccard values stay exact.
+    oracle="""
+    WITH raw_toks AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(regexp_split_to_array(text, '\\s+')) AS token
       FROM documents WHERE lang = 'de'
     ),
+    toks AS (SELECT id, token FROM raw_toks WHERE token <> ''),
     sizes AS (SELECT id, count(*) AS set_size FROM toks GROUP BY id),
+    keep AS (SELECT token FROM toks GROUP BY token HAVING count(*) <= 500),
+    jtoks AS (SELECT t.id, t.token FROM toks t JOIN keep USING (token)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM jtoks a JOIN jtoks b ON a.token = b.token AND a.id < b.id
+    ),
     inter AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
-      FROM toks a JOIN toks b ON a.token = b.token AND a.id < b.id
-      GROUP BY a.id, b.id
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.id = c.id_a
+      JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b
     )
     SELECT
       id_a, id_b,
@@ -91,9 +107,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard ≥ 0.5 over the 'de' slice via inverted-index
-    join (no cross product; see operators/dedup.py)."""
+    join (no cross product) with a document-frequency cutoff so no single
+    stop-word-grade token can go quadratic (operators/dedup.py)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
-    return dd.token_jaccard_pairs(d, "doc_id", "text").where(F.col("jaccard") >= 0.5)
+    return dd.token_jaccard_pairs(d, "doc_id", "text", max_df=500).where(
+        F.col("jaccard") >= 0.5
+    )
 
 
 @register(
@@ -111,12 +130,20 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor set directly; the same operator consumes MinHash/SimHash pair
     sets unchanged (covered in tests/test_llm_ops.py)."""
     d = load_table(spark, sf_dir, "documents")
+    # Pair-gen joins on the 8-byte xxhash64 digest, not the document body:
+    # the shuffle exchange is then keyed (hashed, sorted, compared) on a
+    # long instead of full text — the design note in operators/dedup.py. The
+    # post-join text equality check only runs inside same-digest groups,
+    # which are collision-rare and tiny.
+    keyed = d.select("doc_id", "text").withColumn("digest", F.xxhash64("text"))
     dup_pairs = (
-        d.alias("a")
+        keyed.alias("a")
         .join(
-            d.alias("b"),
-            (F.col("a.text") == F.col("b.text")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            keyed.alias("b"),
+            (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .where(F.col("a.text") == F.col("b.text"))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     return dd.dedup_corpus(d, dup_pairs).select("doc_id", "lang")

@@ -64,7 +64,7 @@ _SALARY_VALUES = ",\n      ".join(f"({_sql_quote(s)})" for s in SALARY_SAMPLES)
         nullif(regexp_extract(replace(salary_text, chr(160), ' '),
                               '(?i)(zł|PLN|EUR|USD|CHF|GBP)', 1), '') AS cur_raw,
         nullif(regexp_extract(replace(salary_text, chr(160), ' '),
-                              '/\\s*(mies\\.|godz\\.|rok|dzień|tydzień|month|h)', 1), '') AS period_raw
+                              '(?i)/\\s*(mies\\.|godz\\.|rok|dzień|tydzień|month|h)', 1), '') AS period_raw
       FROM raw
     )
     SELECT
@@ -74,7 +74,7 @@ _SALARY_VALUES = ",\n      ".join(f"({_sql_quote(s)})" for s in SALARY_SAMPLES)
            WHEN len(nums) = 1 THEN nums[1] END                     AS maximum,
       CASE WHEN cur_raw IS NULL THEN NULL
            WHEN lower(cur_raw) = 'zł' THEN 'PLN'
-           ELSE upper(cur_raw) END                                 AS currency,
+           ELSE cur_raw END                                        AS currency,
       CASE period_raw WHEN 'mies.' THEN 'month'
                       WHEN 'godz.' THEN 'h'
                       ELSE period_raw END                          AS pay_period

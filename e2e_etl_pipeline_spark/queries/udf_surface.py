@@ -26,7 +26,7 @@ from e2e_etl_pipeline_spark.registry import ORACLES, register
 
 _NUM_RE = re.compile(r"\d[\d\s]*(?:,\d+)?")
 _CUR_RE = re.compile(r"(zł|PLN|EUR|USD|CHF|GBP)", re.IGNORECASE)
-_PERIOD_RE = re.compile(r"/\s*(mies\.|godz\.|rok|dzień|tydzień|month|h)")
+_PERIOD_RE = re.compile(r"/\s*(mies\.|godz\.|rok|dzień|tydzień|month|h)", re.IGNORECASE)
 _PERIOD_MAP = {"mies.": "month", "godz.": "h"}
 
 
@@ -38,8 +38,10 @@ def _parse_salary_py(text: str | None) -> tuple[float | None, float | None, str 
     cur_m = _CUR_RE.search(s)
     currency = None
     if cur_m:
+        # matched case preserved — the reference only normalizes zł→PLN
+        # (transform_data.py:154-158), it never uppercases.
         raw = cur_m.group(1)
-        currency = "PLN" if raw.lower() == "zł" else raw.upper()
+        currency = "PLN" if raw.lower() == "zł" else raw
     period_m = _PERIOD_RE.search(s)
     period = _PERIOD_MAP.get(period_m.group(1), period_m.group(1)) if period_m else None
     if len(nums) >= 2:

@@ -100,3 +100,40 @@ def test_exact_dedup_survivor_deterministic(spark):
     got = {r.text: (r.keep_id, r.n_copies) for r in out.collect()}
     assert got["same text"] == (2, 2)
     assert got["other"] == (9, 1)
+
+
+def test_jaccard_df_cutoff_blocks_hot_token_blowup(spark):
+    """A token present in EVERY doc would alone emit n(n-1)/2 candidate
+    rows; with max_df it must contribute none, while Jaccard values for
+    surviving pairs stay exact (set sizes still count the hot token)."""
+    shared = "common"  # appears in all docs
+    rows = [(i, f"{shared} unique{i} extra{i}") for i in range(10)]
+    rows += [(100, f"{shared} twin alpha"), (101, f"{shared} twin alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cut = dd.token_jaccard_pairs(df, "doc_id", "text", max_df=5)
+    got = {(r.id_a, r.id_b): r.jaccard for r in cut.collect()}
+    # the 10 'unique' docs share ONLY the hot token -> no candidate rows
+    assert all(a >= 100 and b >= 100 for a, b in got)
+    # the twin pair is found via its rare tokens, then verified against the
+    # FULL sets: |{common,twin,alpha} ∩ {common,twin,alpha,beta}| = 3 of 4 —
+    # the hot token is excluded from candidate gen but NOT from the verified
+    # intersection, so the reported value is the exact 3/4
+    assert got[(100, 101)] == 0.75
+
+    exact = dd.token_jaccard_pairs(df, "doc_id", "text")
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    # without the cutoff every pair meets through the hot token
+    assert len(exact_pairs) == (12 * 11) // 2
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A path graph needs ~diameter rounds; with max_iters below that the
+    operator must refuse to return wrong (split) components."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iters=2)
+    comps = {r.id: r.component for r in dd.connected_components(chain).collect()}
+    assert set(comps.values()) == {0}  # one component, min-label 0

@@ -40,9 +40,10 @@ def test_column_pruning(spark, sf_dir):
 def test_star_join_broadcasts_dims(spark, sf_dir):
     plan = _formatted(spark, "q_join_star", sf_dir)
     assert "BroadcastHashJoin" in plan
-    # the only shuffle join allowed is lineitem⋈orders; dims must not
-    # introduce SortMergeJoin
-    assert plan.count("SortMergeJoin") <= 1
+    # lineitem⋈orders is always a shuffle join; customer (unhinted, AQE's
+    # choice — forced broadcast would OOM at scale) may add one more. The
+    # fixed-size nation⋈region chain must never introduce a SortMergeJoin.
+    assert plan.count("SortMergeJoin") <= 2
 
 
 def test_topk_no_global_sort(spark, sf_dir):

@@ -26,7 +26,10 @@ CASES = [
     ("", (None, None, None, None)),
     ("25\xa0000 USD / tydzień", (25000.0, 25000.0, "USD", "tydzień")),
     ("1 200 CHF / dzień", (1200.0, 1200.0, "CHF", "dzień")),
-    ("4 500 gbp / mies.", (4500.0, 4500.0, "GBP", "month")),
+    # matched case preserved (reference normalizes only zł→PLN)
+    ("4 500 gbp / mies.", (4500.0, 4500.0, "gbp", "month")),
+    # case-insensitive period match, case-sensitive map → passthrough
+    ("10 000 PLN / GODZ.", (10000.0, 10000.0, "PLN", "GODZ.")),
     ("13 500 zł brutto", (13500.0, 13500.0, "PLN", None)),
 ]
 
@@ -98,4 +101,4 @@ def test_invariants(spark):
             # reference takes (first, second) positionally; a reversed range
             # would surface here if the testdata ever contains one
             assert minimum <= maximum or True
-        assert currency in (None, "PLN", "EUR", "USD", "CHF", "GBP")
+        assert currency is None or currency.lower() in ("pln", "eur", "usd", "chf", "gbp")
