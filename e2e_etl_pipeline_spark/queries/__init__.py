@@ -10,6 +10,8 @@ Module map (SURVEY.md §2 Part B):
   streaming_q  — B.9 structured-streaming semantics (batch-equivalent oracles)
   pipeline_q   — A1-A8 pipeline parity (sources/sinks/partition pruning)
   udf_surface  — B.10 UDF / pandas-UDF / applyInPandas surface
+  temporal     — beyond-plan temporal/incremental ops (as-of join, gap fill,
+                 hypertable rollup, MERGE upsert, top-k join-agg, histogram)
 """
 
 # Import order == registration order == the order the external driver
@@ -26,6 +28,7 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     udf_surface,
     pipeline_q,
     extras,
+    temporal,
     aggregates,
     joins,
     llm,

@@ -1,0 +1,321 @@
+"""Temporal / incremental operators beyond the SURVEY.md §2 core: as-of
+join, gap-filled calendar rollup, hypertable-style two-level rollup, MERGE
+upsert, and the classic top-k-over-join-agg shape.
+
+These are the time-series and warehouse-maintenance operations a user of a
+complete analytics engine reaches for next (TimescaleDB's continuous
+aggregates, kdb's aj, Delta/Iceberg MERGE) — none exist in the reference
+(its only temporal logic is partition-date pathing, config.py:81-99), so
+they generalize the same seeds as B.4/B.9.
+
+Scale notes are per-query; the common theme: every shape here is one
+key-partitioned shuffle plus window/aggregate — never a range cross-product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import register
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+      c.event_id,
+      c.user_id,
+      p.value AS last_purchase_value,
+      CAST(floor(epoch(c.ts)) - floor(epoch(p.ts)) AS BIGINT) AS gap_seconds
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click annotated with the user's most recent
+    purchase at-or-before it (kdb aj / DuckDB ASOF JOIN semantics; the
+    oracle literally uses ASOF LEFT JOIN).
+
+    Spark lacks a native as-of join; the scale-safe formulation is NOT a
+    range join (quadratic per user) but union-then-window: tag purchase
+    rows, sort once per user, and carry the last non-null purchase forward
+    with last(ignorenulls) over an unbounded-preceding frame. One shuffle
+    on user_id, linear scan per partition — the same shape Flink's
+    event-time join and pandas merge_asof use. Timestamps here are unique
+    per user (TESTDATA events are microsecond-random), so at-or-before
+    ties cannot diverge between engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    tagged = ev.withColumn(
+        "p_value", F.when(F.col("event_type") == "purchase", F.col("value"))
+    ).withColumn("p_ts", F.when(F.col("event_type") == "purchase", F.col("ts")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn(
+        "last_purchase_value", F.last("p_value", ignorenulls=True).over(w)
+    ).withColumn("last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+    return enriched.where(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.col("last_purchase_value").alias("last_purchase_value"),
+        (
+            F.floor(F.col("ts").cast("double"))
+            - F.floor(F.col("last_purchase_ts").cast("double"))
+        )
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
+@register(
+    "q_rollup_hypertable",
+    oracle="""
+    SELECT
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      event_type,
+      count(*) AS n_events,
+      CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_rollup_hypertable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the DAILY aggregate is
+    computed FROM the HOURLY aggregate, not from raw events — the pattern
+    that makes 100 TB time-series maintainable (store hour partials, serve
+    any coarser grain by re-aggregating ~24× fewer rows; TimescaleDB
+    continuous aggregates / Druid rollup). Counts and DECIMAL sums are
+    reaggregable partials, so the result is bit-identical to a direct
+    daily aggregate — which is exactly what the oracle computes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sum_value_dec"),
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "hour").alias("day"), "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value_dec"), 2).cast("double").alias("sum_value"),
+        )
+        .select("day", "event_type", "n_events", "sum_value")
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events)
+    SELECT s.day, t.event_type, coalesce(d.n, 0) AS n_events
+    FROM spine s
+    CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily rollup: every (day, event_type) cell in the table's
+    own date range appears, missing days as 0 (time-series dashboards break
+    on absent rows; Timescale's time_bucket_gapfill).
+
+    The date spine derives from a 1-row min/max aggregate exploded via
+    sequence() — days × types is dashboard-grain tiny at ANY corpus scale,
+    so the spine side broadcasts and the only real work is the map-side-
+    combinable daily aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(types)
+        .join(daily, ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n_events")
+        )
+    )
+
+
+@register(
+    "q_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    changes AS (
+      SELECT o_orderkey,
+             CAST(round(CAST(o_totalprice AS DECIMAL(12,2))
+                        * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS new_price
+      FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT
+      coalesce(b.o_orderkey, c.o_orderkey)      AS o_orderkey,
+      coalesce(c.new_price, b.o_totalprice)     AS total_price,
+      CASE WHEN b.o_orderkey IS NULL THEN 'inserted'
+           WHEN c.o_orderkey IS NULL THEN 'unchanged'
+           ELSE 'updated' END                   AS action
+    FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics (Delta/Iceberg MERGE INTO) as a full outer
+    join: rows only in the change set are inserts, overlapping keys take
+    the change's value, the rest pass through unchanged — with an explicit
+    per-row action column (the audit output a CDC pipeline emits).
+
+    Both sides derive deterministically from orders (keys mod 3 / mod 2)
+    so the oracle can state the exact expected merge. One key-partitioned
+    shuffle; at scale the change set is typically < 1% of base, and AQE
+    broadcast-joins it. Price math goes through DECIMAL before rounding
+    (hash-stability rule).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    changes = o.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("c_key"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(12,2)")
+            * F.lit("1.1").cast("decimal(3,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("new_price"),
+    )
+    merged = base.join(changes, base.b_key == changes.c_key, "full_outer")
+    return merged.select(
+        F.coalesce("b_key", "c_key").alias("o_orderkey"),
+        F.coalesce("new_price", "o_totalprice").alias("total_price"),
+        F.when(F.col("b_key").isNull(), F.lit("inserted"))
+        .when(F.col("c_key").isNull(), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+        .alias("action"),
+    )
+
+
+@register(
+    "q_topk_join_agg",
+    oracle="""
+    SELECT
+      l.l_orderkey,
+      CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+           AS DOUBLE)                            AS revenue,
+      CAST(o.o_orderdate AS TIMESTAMP)           AS o_orderdate,
+      o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 highest-revenue unshipped orders for one
+    market segment — filter → 3-way join → aggregate → global top-k.
+
+    Both date filters push to the parquet scans; customer is unhinted
+    (AQE broadcasts while it fits — forced hints OOM at scale, see
+    q_join_star); the LIMIT rides TakeOrderedAndProject so no partition
+    ever materializes a full sort. Ordering carries l_orderkey as the
+    unique tiebreaker (hash-stability rule).
+    """
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    revenue = F.round(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+        ),
+        2,
+    ).cast("double")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+    SELECT
+      CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+      count(*) AS n_orders,
+      CAST(round(min(o_totalprice), 2) AS DOUBLE) AS bucket_min,
+      CAST(round(max(o_totalprice), 2) AS DOUBLE) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (50k buckets): the profiling
+    primitive behind data-quality dashboards. Pure map-side-combinable
+    aggregation on a derived key — identical double division feeds floor()
+    in both engines, so bucket assignment cannot diverge.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("bucket_max"),
+        )
+    )

@@ -84,3 +84,21 @@ def test_salted_agg_two_stage(spark, sf_dir):
 def test_latest_partition_broadcasts_max(spark, sf_dir):
     plan = _formatted(spark, "q_latest_partition", sf_dir)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_join_agg_no_global_sort(spark, sf_dir):
+    """The Q3-shaped top-10 must ride TakeOrderedAndProject over the agg —
+    a full global Sort of the grouped result would not survive 100×."""
+    plan = _formatted(spark, "q_topk_join_agg", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # both date predicates reach the scans
+    assert plan.count("PushedFilters:") >= 2
+
+
+def test_asof_join_is_window_not_range_join(spark, sf_dir):
+    """The as-of join must compile to one user-partitioned window pass,
+    never a (quadratic) range/nested-loop join."""
+    plan = _formatted(spark, "q_join_asof", sf_dir)
+    assert "Window" in plan
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
