@@ -149,13 +149,19 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_corpus(d, dup_pairs).select("doc_id", "lang")
 
 
-@register("q_dedup_embedding")  # rows-only pending cosine threshold stability
+@register("q_dedup_embedding")  # rows-only: LSH bucketing is engine-specific
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: LSH-bucketed candidate pairs with
-    cosine ≥ 0.9 — the semantic-dedup stage of a training-data pipeline."""
+    """Embedding-cosine near-dup: LSH-bucketed candidate pairs above a
+    cosine threshold — the semantic-dedup stage of a training-data
+    pipeline. The synthetic embeddings are near-orthogonal (max non-self
+    cosine ≈ 0.49 at sf0.01), so the threshold sits at 0.4: high for THIS
+    corpus, exercising a non-empty deterministic result (a 0.9 threshold
+    returned zero rows — a vacuous check). A real corpus tightens the
+    threshold, not the plan. Planted-duplicate recall is asserted in
+    tests/test_llm_ops.py."""
     em = load_table(spark, sf_dir, "embeddings")
     topk = sim.lsh_bucketed_topk(em, em, k=5, n_planes=6, n_tables=6)
-    return topk.where(F.col("cosine") >= 0.9).select(
+    return topk.where(F.col("cosine") >= 0.4).select(
         "query_id", "neighbor_id", "cosine"
     )
 
@@ -428,3 +434,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Schema, batch shape, and partitioning are the real production plumbing."""
     d = load_table(spark, sf_dir, "documents")
     return mm.extract_media_features(mm.attach_fake_media(d))
+
+
+@register(
+    "q_train_val_split",
+    oracle="""
+    WITH bucketed AS (
+      SELECT
+        lang, n_chars,
+        (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+          AS bucket
+      FROM documents
+    )
+    SELECT
+      CASE WHEN bucket < 204 THEN 'train'
+           WHEN bucket < 230 THEN 'val'
+           ELSE 'test' END                                  AS split,
+      lang,
+      count(*)                                              AS n_docs,
+      round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4)     AS avg_chars
+    FROM bucketed
+    GROUP BY 1, 2
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (~80/10/10) with
+    per-split per-language stats — the assignment primitive of every
+    training-data pipeline.
+
+    The split key is the first md5 byte of the document id, NOT the id
+    itself: hash splits stay uniform when ids are assigned sequentially
+    per source (id-modulo splits leak acquisition order into the split)
+    and re-derive identically on any engine or rerun. Spark and DuckDB
+    produce the same lowercase md5 hex, so the oracle reconstructs the
+    byte arithmetically. Pure expression + one map-side-combinable
+    aggregate — embarrassingly parallel at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 204, F.lit("train"))
+        .when(bucket < 230, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_chars"),
+        )
+    )

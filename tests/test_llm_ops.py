@@ -137,3 +137,25 @@ def test_connected_components_raises_on_non_convergence(spark):
         dd.connected_components(chain, max_iters=2)
     comps = {r.id: r.component for r in dd.connected_components(chain).collect()}
     assert set(comps.values()) == {0}  # one component, min-label 0
+
+
+def test_embedding_dedup_finds_planted_duplicates(spark, sf_dir):
+    """Plant two exact-duplicate vectors into the corpus: the LSH-bucketed
+    near-dup pass must pair them (cosine 1.0) — the semantic-dedup recall
+    case the synthetic near-orthogonal corpus can't exercise."""
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    v = em.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    planted = spark.createDataFrame(
+        [(9001, v, 0), (9002, v, 0)],
+        em.select("vec_id", "embedding", "label").schema,
+    )
+    corpus = em.unionByName(planted)
+    pairs = sim.lsh_bucketed_topk(corpus, corpus, k=5, n_planes=6, n_tables=6)
+    found = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in pairs.where(F.col("cosine") >= 0.99).collect()
+    }
+    # identical vectors hash into identical buckets in every table
+    assert (9001, 9002) in found or (9002, 9001) in found
