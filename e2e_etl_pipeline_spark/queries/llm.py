@@ -490,3 +490,125 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_chars"),
         )
     )
+
+
+@register(
+    "q_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(w) - 3),
+               i -> array_to_string(w[i:i+4], ' ')))) AS shingle
+      FROM toks
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN eval_sh e USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: drop every training document that shares a
+    word-5-gram shingle with the held-out eval slice (doc_id % 97 == 0) —
+    the benchmark-leakage guard every serious training-data pipeline runs
+    (the GPT-3/PaLM-style n-gram overlap rule).
+
+    Shape: eval shingles are a distinct-set join key — the corpus side
+    streams through one semi-join on the (small) eval shingle set, then an
+    anti-join filters survivors. No pairwise comparison anywhere: cost is
+    |corpus shingles| + |eval shingles|, both linear. The eval shingle set
+    is unhinted (AQE broadcasts it while it fits; a 1000-doc eval set is
+    a few MB of shingle hashes at any corpus scale).
+    """
+    from e2e_etl_pipeline_spark.operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    shingled = d.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
+    )
+    eval_sh = shingled.where(is_eval).select("shingle").distinct()
+    contaminated = (
+        shingled.where(~is_eval)
+        .join(eval_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.where(~is_eval)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+# Shared between the Spark expression and the DuckDB oracle (same RE2/Java-
+# compatible subset: character classes + bounded repetition only).
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+_PII_DOCS = [
+    (1, "contact me at alice.smith@example.com or +48 123 456 789"),
+    (2, "no pii here, just text"),
+    (3, "dual: bob@corp.io and carol@corp.io plus 555-123-4567"),
+    (4, "edge: phone 12 34 is too short, fake@ is not an email"),
+]
+_PII_VALUES = ",\n      ".join(f"({i}, '{t}')" for i, t in _PII_DOCS)
+
+
+@register(
+    "q_pii_scrub",
+    oracle=f"""
+    WITH raw(doc_id, text) AS (VALUES
+      {_PII_VALUES}
+    )
+    SELECT
+      doc_id,
+      regexp_replace(
+        regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_PHONE_RE}', '<PHONE>', 'g')                       AS scrubbed,
+      CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+      CAST(len(regexp_extract_all(
+        regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_PHONE_RE}')) AS INTEGER)                          AS n_phones
+    FROM raw
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over adversarial literals: emails then phone numbers
+    replaced with typed placeholders, with per-row redaction counts — the
+    scrub stage every compliance-bound training pipeline runs before
+    tokenization. Email substitution runs FIRST in both engines so the
+    phone pass can never re-match digits inside an already-redacted span.
+    Pure regexp_replace/regexp_extract_all expressions — codegen'd, no
+    Python in the path, embarrassingly parallel over any corpus.
+    """
+    from e2e_etl_pipeline_spark.catalog import inline_frame
+
+    df = inline_frame(
+        spark,
+        [{"doc_id": i, "text": t} for i, t in _PII_DOCS],
+        ["doc_id", "text"],
+    )
+    no_email = F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>")
+    return df.select(
+        "doc_id",
+        F.regexp_replace(no_email, _PHONE_RE, "<PHONE>").alias("scrubbed"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(no_email, F.lit(_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+    )
