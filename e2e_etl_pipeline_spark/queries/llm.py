@@ -37,13 +37,25 @@ _STOPWORD_SQL = "(" + ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS) + ")"
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup with deterministic survivor (lowest doc_id per text) —
-    A24's first-write-wins, keyed on content instead of scroll index."""
+    A24's first-write-wins, keyed on content instead of scroll index.
+
+    The aggregation groups on xxhash64(text), NOT text: document bodies
+    never leave the scan stage, so the shuffle carries (8-byte digest,
+    doc_id, lang) instead of the corpus — at 100 TB that's the difference
+    between shuffling kilobytes-per-doc and tens of bytes. Trade-off:
+    a 64-bit digest collision would merge two distinct texts; corpora
+    large enough for that to matter (≳10^9 docs) should swap in
+    xxhash64(text, salt) pairs or md5 — the plan shape is unchanged."""
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("n_copies"),
-        F.min("lang").alias("lang"),
-    ).select("keep_id", "n_copies", "lang")
+    return (
+        d.groupBy(F.xxhash64("text").alias("_digest"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("lang").alias("lang"),
+        )
+        .select("keep_id", "n_copies", "lang")
+    )
 
 
 @register("q_dedup_near")  # rows-only: xxhash64-based MinHash is engine-specific
