@@ -38,3 +38,34 @@ def salted_agg(
         *[F.sum(f"_p_{alias}").alias(alias) for alias in sums],
         F.sum("_p_cnt").alias("n_rows"),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-safe equi-join: the big side's hot keys are split across
+    ``n_salts`` sub-partitions and the small side is replicated once per
+    salt, so no single reducer receives a whole hot key's rows.
+
+    For genuinely small dims, broadcast is strictly better (no shuffle at
+    all); salting is for the middle regime — a dim too large to broadcast
+    joined to a fact whose key histogram is dominated by a few values,
+    where a plain shuffle join sends every hot-key row to one task. AQE's
+    skewJoin handles sort-merge skew automatically when statistics see it;
+    explicit salting is deterministic and works for any join the optimizer
+    can't split. Cost: small side × n_salts replication — choose n_salts
+    around the hot-key concentration factor, not larger.
+
+    The salt on the big side comes from spark_partition_id() — uniform,
+    deterministic within a scan, and uncorrelated with the key — so the
+    result set is byte-identical to the unsalted join.
+    """
+    big_s = big.withColumn("_salt", F.spark_partition_id() % n_salts)
+    small_r = small.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt"),
+    )
+    return big_s.join(small_r, [key, "_salt"]).drop("_salt")

@@ -12,6 +12,9 @@ Module map (SURVEY.md §2 Part B):
   udf_surface  — B.10 UDF / pandas-UDF / applyInPandas surface
   temporal     — beyond-plan temporal/incremental ops (as-of join, gap fill,
                  hypertable rollup, MERGE upsert, top-k join-agg, histogram)
+  prep         — dataset prep/profiling (unpivot, SCD2, stratified hash
+                 sample, column profile, int8 embedding quantization,
+                 stream-stream join)
 """
 
 # Import order == registration order == the order the external driver
@@ -29,6 +32,7 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     pipeline_q,
     extras,
     temporal,
+    prep,
     aggregates,
     joins,
     llm,

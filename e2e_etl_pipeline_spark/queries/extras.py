@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
-from e2e_etl_pipeline_spark.operators.skew import salted_agg
+from e2e_etl_pipeline_spark.operators.skew import salted_agg, salted_join
 from e2e_etl_pipeline_spark.registry import register
 
 
@@ -467,4 +467,41 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .where(jac >= 0.4)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+    WITH dim AS (
+      SELECT l_returnflag, CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship
+      FROM lineitem GROUP BY 1
+    )
+    SELECT
+      l.l_returnflag,
+      count(*) AS n_rows,
+      max(date_diff('day', CAST(d.first_ship AS DATE),
+                    CAST(l.l_shipdate AS DATE))) AS max_gap_days
+    FROM lineitem l JOIN dim d USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted JOIN (operators/skew.salted_join): l_returnflag has
+    3 distinct values over 600k+ rows — a worst-case hot-key join where a
+    plain shuffle join funnels each flag into one reducer. The salt spreads
+    every flag over 16 sub-keys; the 3-row dim replicates 16×. Result is
+    byte-identical to the plain join (the oracle). At test scale the tiny
+    dim would broadcast anyway — the operator targets the
+    too-big-to-broadcast middle regime (docstring in skew.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = li.groupBy("l_returnflag").agg(F.min("l_shipdate").alias("first_ship"))
+    joined = salted_join(
+        li.select("l_returnflag", "l_shipdate"), dim, "l_returnflag", n_salts=16
+    )
+    return joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(
+            F.datediff(F.to_date("l_shipdate"), F.to_date("first_ship"))
+        ).alias("max_gap_days"),
     )

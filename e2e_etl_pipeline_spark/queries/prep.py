@@ -1,0 +1,354 @@
+"""Dataset-preparation & profiling operators: reshape (unpivot), SCD-2
+history build, deterministic stratified sampling, column profiling, and
+embedding quantization — plus a real stream-stream join.
+
+These round out the training-data-pipeline surface beyond queries/llm.py:
+a corpus pipeline samples strata for eval sets, profiles columns before
+ingestion, quantizes embeddings for the ANN index, and maintains dimension
+history incrementally. None exist in the reference (its pipeline ends at a
+CSV of offers, transform_data.py), so they generalize the same seeds as
+B.4/B.8.
+
+Scale theme: everything here is a single map-side-combinable aggregate,
+one key-partitioned window, or a pure per-row expression — no cross
+products, no driver-side loops. Sampling and splitting are hash-derived
+(never rand()) so they re-derive identically on any engine, any rerun,
+any partitioning.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import register
+from e2e_etl_pipeline_spark.session import pin_utc
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT
+        o_orderpriority,
+        CAST(count(*) AS DOUBLE)                                AS n_orders,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2)
+             AS DOUBLE)                                          AS sum_price,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+              / count(*), 4)                                     AS avg_price
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (n_orders, sum_price, avg_price))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT / melt): a per-priority metrics table
+    unpivoted to (key, metric, value) rows — the inverse of q_pivot and
+    the shape feature stores and metric sinks ingest.
+
+    Spark's native ``unpivot`` is a zero-shuffle per-row expansion
+    (Expand node): the only shuffle in the plan is the upstream
+    aggregate, and the expansion is k-metrics×rows regardless of scale.
+    Metrics are cast to a common DOUBLE before unpivoting (both engines
+    require one value type across the metric columns).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "sum_price", "avg_price"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "q_scd2",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+      user_id,
+      round(value, 2)                                   AS attr_value,
+      CAST(ts AS TIMESTAMP)                             AS valid_from,
+      CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+           AS TIMESTAMP)                                AS valid_to,
+      CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+           THEN 1 ELSE 0 END                            AS is_current
+    FROM purchases
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each user's
+    purchase stream becomes versioned rows with [valid_from, valid_to)
+    ranges and a current flag — the warehouse-maintenance primitive
+    behind dimension snapshots (Kimball SCD2; Delta/Iceberg MERGE feeds
+    the same shape).
+
+    One shuffle on user_id, one window pass (lead) per partition —
+    linear in events, no self-join. Event timestamps are unique per user
+    (TESTDATA: microsecond-random), so version ordering is total and the
+    oracle cannot diverge on ties.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return p.select(
+        "user_id",
+        F.round("value", 2).alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.when(F.lead("ts").over(w).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+    WITH hashed AS (
+      SELECT
+        c_custkey, c_name, c_mktsegment,
+        (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)) - 1) * 16
+        + (strpos('0123456789abcdef', substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1)) - 1)
+          AS bucket
+      FROM customer
+    )
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM hashed
+    WHERE bucket < CASE WHEN c_mktsegment = 'BUILDING' THEN 128 ELSE 26 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: ~50% of the BUILDING segment,
+    ~10% of every other segment, selected by the first md5 byte of the
+    key — the eval-set / debugging-slice primitive.
+
+    Hash-gated sampling (never rand()/sampleBy) re-derives the identical
+    sample on any engine, rerun, or partitioning, and needs no shuffle at
+    all: it is a pure per-row predicate the scan evaluates, so sampling
+    100 TB costs one filtered pass. Same md5-byte arithmetic as
+    q_train_val_split (llm.py), which the oracle reconstructs.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    rate = F.when(F.col("c_mktsegment") == "BUILDING", F.lit(128)).otherwise(
+        F.lit(26)
+    )
+    return c.where(bucket < rate).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "q_profile",
+    oracle="""
+    SELECT 'o_orderstatus' AS column_name, count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+           count(DISTINCT o_custkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+           count(DISTINCT o_totalprice)
+    FROM orders
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (row/null/exact-distinct counts per column) — the
+    data-quality gate a pipeline runs before ingesting a new drop.
+
+    Computed as ONE pass over the table: per-column null counts are
+    conditional sums and distinct counts use count(DISTINCT col) in a
+    single multi-aggregate, then the 1-row wide result unpivots to the
+    (column, metric) long shape. Spark plans multi-distinct aggregates
+    via Expand — still one scan, no per-column jobs (a naive loop of
+    df.select(col).distinct().count() would scan N times). For 100 TB
+    profiling swap count(DISTINCT) for approx_count_distinct — the plan
+    shape (single scan + expand) is unchanged; exact counts here keep
+    the oracle byte-stable.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
+    wide = o.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for df in per_col[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+@register(
+    "q_embedding_quantize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM d
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM scaled WHERE scale > 0
+    )
+    SELECT
+      vec_id,
+      round(scale, 6) AS scale,
+      CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+      round(list_max(list_transform(list_zip(qv, v),
+                                    p -> abs(p[1] * scale - p[2]))), 6)
+        AS max_err
+    FROM q
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (per-vector
+    absmax scale, the llama.cpp/FAISS SQ8 recipe): emits the scale, the
+    L1 mass of the quantized codes, and the worst-case reconstruction
+    error per vector — the compression step before shipping vectors to
+    an ANN index (4× smaller than float32, dot products in int arith).
+
+    Pure per-row array expressions, JVM-side, zero shuffle — scans the
+    corpus once at any scale. All math is forced to DOUBLE in both
+    engines and quantization uses floor(x/scale + 0.5) (identical IEEE
+    ops) rather than engine round(), so codes — and therefore the
+    integer q_l1 — are bit-identical; float outputs round at 6dp.
+    Output columns are scalars only (registry rule: no array outputs in
+    oracle-checked queries).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    d = e.select("vec_id", v.alias("v"))
+    scaled = d.select(
+        "vec_id",
+        "v",
+        (F.expr("array_max(transform(v, x -> abs(x)))") / F.lit(127.0)).alias(
+            "scale"
+        ),
+    ).where(F.col("scale") > 0)
+    q = scaled.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))").alias(
+            "qv"
+        ),
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.expr(
+            "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))"
+        ).alias("q_l1"),
+        F.round(
+            F.expr(
+                "array_max(zip_with(qv, v, (qi, xi) -> abs(qi * scale - xi)))"
+            ),
+            6,
+        ).alias("max_err"),
+    )
+
+
+@register("q_stream_join")  # rows-only: behavioral streaming check
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real stream-stream inner join (Structured Streaming): the click
+    stream joined to the purchase stream of the same user within the
+    preceding hour — the online feature-join shape (Flink interval join).
+
+    Both sides are file streams over the events parquet with watermarks;
+    the time-range predicate bounds the join state Spark must retain
+    (without it, stream-stream state grows forever). Trigger.availableNow
+    over a static input makes the joined set deterministic, so the
+    rows-only hash is stable. Late-data state eviction needs multiple
+    triggers and is asserted in tests/test_streaming.py instead.
+    """
+    pin_utc(spark)
+    # Same TIMESTAMP(NANOS) handling as q_stream_watermark: stream-read raw
+    # nanos, rebuild micros before event-time ops.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(name: str, event_type: str) -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{name}_event_id"),
+                F.col("user_id").alias(f"{name}_user_id"),
+                F.col("ts").alias(f"{name}_ts"),
+            )
+            .withWatermark(f"{name}_ts", "10 minutes")
+        )
+
+    clicks = side("c", "click")
+    purchases = side("p", "purchase")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            """
+            c_user_id = p_user_id AND
+            p_ts >= c_ts - INTERVAL 1 HOUR AND
+            p_ts <= c_ts
+            """
+        ),
+    ).select("c_event_id", "p_event_id", "c_user_id")
+
+    sink = f"sj_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)

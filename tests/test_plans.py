@@ -95,6 +95,44 @@ def test_topk_join_agg_no_global_sort(spark, sf_dir):
     assert plan.count("PushedFilters:") >= 2
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Spark's runtime bloom-filter join (on by default, SPARK-32268):
+    a selective dim-side predicate is turned into a bloom filter the fact
+    scan applies BEFORE the shuffle — the row-level companion to partition
+    pruning that keeps a 100 TB fact⋈filtered-dim join from shuffling
+    unmatched rows. At cluster scale the default 10 GB application-side
+    threshold triggers this automatically; the test scopes the thresholds
+    down (and disables broadcast, which would otherwise supersede it) to
+    assert the injection machinery works end-to-end."""
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    scoped = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in scoped}
+    try:
+        for k, v in scoped.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+        # correctness unaffected by the injected filter
+        assert j.count() >= 1
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_asof_join_is_window_not_range_join(spark, sf_dir):
     """The as-of join must compile to one user-partitioned window pass,
     never a (quadratic) range/nested-loop join."""

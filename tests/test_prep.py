@@ -1,0 +1,136 @@
+"""Behavioral tests for the prep family (queries/prep.py): properties the
+oracle hash-compare can't express — range invariants, sampling bounds,
+quantization error bounds, and stream/batch equivalence."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_scd2_ranges_are_disjoint_and_single_current(spark, sf_dir):
+    hist = QUERIES["q_scd2"](spark, sf_dir)
+    # Exactly one open (is_current) version per user.
+    bad_current = (
+        hist.groupBy("user_id")
+        .agg(F.sum("is_current").alias("n_open"))
+        .where(F.col("n_open") != 1)
+    )
+    assert bad_current.count() == 0
+    # valid_from < valid_to for every closed version (half-open ranges).
+    assert hist.where(
+        F.col("valid_to").isNotNull() & (F.col("valid_from") >= F.col("valid_to"))
+    ).count() == 0
+    # Consecutive versions chain: next valid_from == this valid_to.
+    nxt = hist.alias("a").join(
+        hist.alias("b"),
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.valid_to") == F.col("b.valid_from")),
+        "left",
+    )
+    closed = nxt.where(F.col("a.valid_to").isNotNull())
+    assert closed.where(F.col("b.user_id").isNull()).count() == 0
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    sample = QUERIES["q_sample_stratified"](spark, sf_dir)
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    rates = (
+        sample.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .join(
+            cust.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_total")),
+            "c_mktsegment",
+        )
+        .select(
+            "c_mktsegment",
+            (F.col("n_sampled") / F.col("n_total")).alias("rate"),
+        )
+        .collect()
+    )
+    for row in rates:
+        want = 0.5 if row.c_mktsegment == "BUILDING" else 26 / 256
+        # md5-byte gating is binomial; allow a generous band at small SF.
+        assert abs(row.rate - want) < 0.25, (row.c_mktsegment, row.rate)
+    # Hash-gated sampling is exactly reproducible run-to-run.
+    a = {r.c_custkey for r in sample.collect()}
+    b = {r.c_custkey for r in QUERIES["q_sample_stratified"](spark, sf_dir).collect()}
+    assert a == b and a
+
+
+def test_quantize_error_bounded_by_half_step(spark, sf_dir):
+    q = QUERIES["q_embedding_quantize"](spark, sf_dir)
+    # absmax int8 quantization: reconstruction error <= scale/2 per element
+    # (1e-6 slack: both outputs are rounded at 6dp, which can nudge the
+    # comparison by up to ~7.5e-7).
+    viol = q.where(F.col("max_err") > F.col("scale") / 2 + 1e-6)
+    assert viol.count() == 0
+    assert q.where(F.col("q_l1") <= 0).count() == 0
+
+
+def test_unpivot_shape(spark, sf_dir):
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    long = QUERIES["q_unpivot"](spark, sf_dir)
+    n_prio = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderpriority")
+        .distinct()
+        .count()
+    )
+    assert long.count() == 3 * n_prio
+    assert {r.metric for r in long.select("metric").distinct().collect()} == {
+        "n_orders",
+        "sum_price",
+        "avg_price",
+    }
+
+
+def test_profile_counts_consistent(spark, sf_dir):
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    prof = {r.column_name: r for r in QUERIES["q_profile"](spark, sf_dir).collect()}
+    n = load_table(spark, sf_dir, "orders").count()
+    assert set(prof) == {
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_custkey",
+        "o_totalprice",
+    }
+    for row in prof.values():
+        assert row.n_rows == n
+        assert 0 <= row.n_nulls <= n
+        assert 1 <= row.n_distinct <= n
+
+
+@pytest.mark.slow
+def test_stream_join_matches_batch_interval_join(spark, sf_dir):
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    streamed = QUERIES["q_stream_join"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    batch = c.join(
+        p,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("p_ts") <= F.col("c_ts")),
+    ).select("c_event_id", "p_event_id")
+    got = {(r.c_event_id, r.p_event_id) for r in streamed.collect()}
+    want = {(r.c_event_id, r.p_event_id) for r in batch.collect()}
+    assert got == want
