@@ -222,3 +222,68 @@ def q_offers_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.lit("jjit").alias("site"), "html")
     offers = parse_offers(docs)
     return offers.orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total
+    FROM orders
+    """,
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write + read-back (the second columnar format a warehouse
+    ingests besides parquet; Spark's ORC source has the same
+    predicate-pushdown/column-pruning surface). The oracle asserts the
+    round-trip is lossless against the source table."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _tmpdir("orc")
+    try:
+        o.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        return back.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+        ).localCheckpoint()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+    SELECT
+      count(*)                                               AS n_rows,
+      sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)    AS n_with_price,
+      sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)    AS n_with_priority
+    FROM orders
+    """,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet batches: an early batch wrote
+    (key, price), a later batch added a column and dropped another
+    (key, priority). mergeSchema=true reconciles the union schema at read
+    time, null-filling the missing columns per file — the append-only
+    data-lake pattern that lets a 100 TB corpus evolve without rewriting
+    history. The oracle restates the expected null pattern from the
+    deterministic key split."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _tmpdir("evolve")
+    try:
+        o.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_totalprice"
+        ).write.mode("overwrite").parquet(f"{path}/batch=1")
+        o.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderpriority"
+        ).write.mode("overwrite").parquet(f"{path}/batch=2")
+        back = spark.read.option("mergeSchema", True).parquet(path)
+        return back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("o_totalprice").alias("n_with_price"),
+            F.count("o_orderpriority").alias("n_with_priority"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

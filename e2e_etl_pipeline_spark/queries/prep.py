@@ -198,19 +198,21 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}"))
         aggs.append(F.count_distinct(F.col(c)).alias(f"dist_{c}"))
     wide = o.agg(*aggs)
-    per_col = [
-        wide.select(
-            F.lit(c).alias("column_name"),
-            F.col("n_rows"),
-            F.col(f"nulls_{c}").alias("n_nulls"),
-            F.col(f"dist_{c}").alias("n_distinct"),
-        )
-        for c in cols
-    ]
-    out = per_col[0]
-    for df in per_col[1:]:
-        out = out.unionAll(df)
-    return out
+    # Reshape the 1-row wide result by exploding a literal struct array —
+    # NOT a unionAll of per-column selects, which would re-plan (and
+    # re-scan) the aggregate once per column.
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return wide.select(F.explode(entries).alias("e")).select("e.*")
 
 
 @register(
@@ -352,3 +354,127 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@register(
+    "q_text_chunk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, w, len(w) AS n_words,
+             unnest(generate_series(1, greatest(len(w), 1), 40)) AS start
+      FROM toks
+    )
+    SELECT
+      doc_id,
+      CAST((start - 1) / 40 AS INTEGER)            AS chunk_id,
+      CAST(least(start + 49, n_words) - start + 1 AS INTEGER) AS n_tokens,
+      w[start]                                     AS first_token
+    FROM starts
+    """,
+)
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, stride 40 → 10
+    tokens of overlap): the pre-tokenization step that turns a corpus into
+    training-context-sized pieces while preserving cross-boundary context.
+
+    Pure per-row expressions — tokenize once, explode the chunk-start
+    sequence, slice per chunk. No shuffle, no Python; a 100 TB corpus
+    chunks in a single scan-stage pass. Emits per-chunk scalars (id,
+    length, first token) rather than chunk text so the oracle hash stays
+    cell-scalar (registry rule); downstream consumers take the slice
+    itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(r"filter(split(text, '\\s+'), t -> t != '')").alias("w"),
+    ).withColumn("n_words", F.size("w"))
+    starts = toks.select(
+        "doc_id",
+        "w",
+        "n_words",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.col("n_words"), F.lit(1)), F.lit(40))
+        ).alias("start"),
+    )
+    return starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / 40).cast("int").alias("chunk_id"),
+        (
+            F.least(F.col("start") + 49, F.col("n_words")) - F.col("start") + 1
+        )
+        .cast("int")
+        .alias("n_tokens"),
+        F.element_at("w", F.col("start")).alias("first_token"),
+    )
+
+
+@register(
+    "q_pack_contexts",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS cum_before
+      FROM toks
+    )
+    SELECT
+      lang,
+      CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
+      count(*)                                 AS n_docs,
+      sum(n_tokens)                            AS total_tokens
+    FROM packed
+    GROUP BY 1, 2
+    """,
+)
+def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential context packing: documents fill 2048-token training bins
+    in deterministic (lang, doc_id) order — the batch-assembly step between
+    chunking and the trainer's data loader.
+
+    Bin assignment is a running token sum per language shard: one window
+    pass, one shuffle on the shard key. Packing is sharded (PARTITION BY
+    lang) exactly so the window never degenerates into a single global
+    partition at corpus scale — shards pack independently, which is also
+    what a multi-host loader wants. A greedy best-fit packer would be
+    stateful and order-dependent; sequential fill is the reproducible
+    variant (same corpus → same bins, any engine, any partitioning).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr(r"filter(split(text, '\\s+'), t -> t != '')")).alias(
+            "n_tokens"
+        ),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        packed.groupBy(
+            "lang",
+            F.floor(F.col("cum_before") / 2048).cast("long").alias("bin_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

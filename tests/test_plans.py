@@ -95,6 +95,31 @@ def test_topk_join_agg_no_global_sort(spark, sf_dir):
     assert plan.count("PushedFilters:") >= 2
 
 
+def test_profile_is_single_scan(spark, sf_dir):
+    """Multi-column profiling must be ONE scan + one multi-distinct Expand,
+    not a per-column re-aggregation (which would scan N times)."""
+    plan = _formatted(spark, "q_profile", sf_dir)
+    # "Scan parquet" appears twice per physical scan in formatted output
+    # (node line + details block).
+    assert plan.count("Scan parquet") == 2, plan[:1500]
+
+
+def test_scd2_is_one_window_pass(spark, sf_dir):
+    """SCD2 history build: one user-partitioned window pass, no self-join."""
+    plan = _formatted(spark, "q_scd2", sf_dir)
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_quantize_and_sample_are_scan_local(spark, sf_dir):
+    """Embedding quantization and hash-gated sampling are pure per-row
+    expressions: zero Exchange, zero Python, at any scale."""
+    for key in ("q_embedding_quantize", "q_sample_stratified"):
+        plan = _formatted(spark, key, sf_dir)
+        assert "Exchange" not in plan, key
+        assert "Python" not in plan, key
+
+
 def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     """Spark's runtime bloom-filter join (on by default, SPARK-32268):
     a selective dim-side predicate is turned into a bloom filter the fact

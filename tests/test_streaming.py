@@ -6,6 +6,7 @@ progress-tracker operator that mirrors the reference's stale-scroll loop
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import time
@@ -272,3 +273,53 @@ def test_session_window_batch_semantics(spark):
         (1, "2024-01-01 11:30:00", 1),
         (2, "2024-01-01 10:00:00", 1),
     }
+
+
+def test_foreach_batch_incremental_merge(spark):
+    """Streaming upsert: CDC batches applied via foreachBatch keep the
+    target table at latest-value-per-key across micro-batches (the
+    MERGE INTO pattern; streaming/merge.py)."""
+    from e2e_etl_pipeline_spark.streaming.merge import merge_into_parquet_target
+
+    src = tempfile.mkdtemp(prefix="e2e_merge_src_")
+    chk = tempfile.mkdtemp(prefix="e2e_merge_chk_")
+    tgt = tempfile.mkdtemp(prefix="e2e_merge_tgt_") + "/table"
+    schema = "ts timestamp, k long, v string"
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        def run_once():
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda df, _id: merge_into_parquet_target(df, tgt, "k", "ts")
+                )
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        _write_batch(
+            spark,
+            src,
+            [("2024-01-01 10:00:00", 1, "a"), ("2024-01-01 10:01:00", 2, "b")],
+            schema,
+        )
+        run_once()
+        # Batch 2 updates key 2 (twice — latest must win) and inserts key 3.
+        _write_batch(
+            spark,
+            src,
+            [
+                ("2024-01-01 11:00:00", 2, "stale"),
+                ("2024-01-01 11:05:00", 2, "B"),
+                ("2024-01-01 11:02:00", 3, "c"),
+            ],
+            schema,
+        )
+        run_once()
+        got = {(r.k, r.v) for r in spark.read.parquet(tgt).collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c")}
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(tgt), ignore_errors=True)
