@@ -134,3 +134,63 @@ def test_stream_join_matches_batch_interval_join(spark, sf_dir):
     got = {(r.c_event_id, r.p_event_id) for r in streamed.collect()}
     want = {(r.c_event_id, r.p_event_id) for r in batch.collect()}
     assert got == want
+
+
+def test_salted_join_equals_plain_join_property(spark):
+    """salted_join must be byte-identical to the plain join on arbitrary
+    (skewed) key distributions, including keys missing from either side."""
+    from e2e_etl_pipeline_spark.operators.skew import salted_join
+
+    # Heavily skewed fact: one hot key (90%), plus keys with no dim match.
+    fact_rows = [(1, i) for i in range(90)] + [(2, i) for i in range(9)] + [(99, 0)]
+    dim_rows = [(1, "hot"), (2, "warm"), (3, "unmatched-dim")]
+    fact = spark.createDataFrame(fact_rows, "k long, payload long").repartition(7)
+    dim = spark.createDataFrame(dim_rows, "k long, label string")
+    got = {
+        (r.k, r.payload, r.label)
+        for r in salted_join(fact, dim, "k", n_salts=4).collect()
+    }
+    want = {
+        (r.k, r.payload, r.label) for r in fact.join(dim, "k").collect()
+    }
+    assert got == want and len(want) == 99
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunk lengths with stride 40 must tile each document exactly:
+    sum(n_tokens) - overlaps == word count, and chunk_ids are dense."""
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    chunks = QUERIES["q_text_chunk"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.expr(r"filter(split(text, '\\s+'), t -> t != '')")).alias("n_words"),
+    )
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max("chunk_id").alias("max_chunk"),
+        F.max(F.lit(40) * F.col("chunk_id") + F.col("n_tokens")).alias("covered"),
+    )
+    j = per_doc.join(docs, "doc_id")
+    # dense chunk ids 0..n-1
+    assert j.where(F.col("max_chunk") != F.col("n_chunks") - 1).count() == 0
+    # last chunk reaches exactly the last token (empty docs emit 1 zero-token chunk)
+    assert j.where(
+        (F.col("n_words") > 0) & (F.col("covered") != F.col("n_words"))
+    ).count() == 0
+
+
+def test_packing_bins_sequential_and_bounded(spark, sf_dir):
+    """Within each lang shard: bin ids are dense from 0, and every bin
+    except possibly the last holds >= capacity tokens only via its final
+    straddling doc (i.e. bins are filled sequentially, never skipped)."""
+    packed = QUERIES["q_pack_contexts"](spark, sf_dir)
+    per_lang = packed.groupBy("lang").agg(
+        F.min("bin_id").alias("lo"),
+        F.max("bin_id").alias("hi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    bad = per_lang.where(
+        (F.col("lo") != 0) | (F.col("n_bins") != F.col("hi") + 1)
+    )
+    assert bad.count() == 0
