@@ -20,9 +20,10 @@ Module map (SURVEY.md §2 Part B):
 # Import order == registration order == the order the external driver
 # verifies keys under its budget. Round 1's driver run covered exactly the
 # first 50 registered keys (aggregates/extras/joins/llm); modules whose keys
-# have NOT yet received a driver verdict therefore register first here, and
-# previously-verified modules last. Keep this ordering until every key has a
-# driver-green round on record.
+# have NOT yet received a driver verdict therefore register first here
+# (incl. the round-2 temporal/prep modules, ahead of round-1-green extras),
+# and previously-verified modules last. Keep this ordering until every key
+# has a driver-green round on record.
 from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     relational,
     scalars,
@@ -30,9 +31,9 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     streaming_q,
     udf_surface,
     pipeline_q,
-    extras,
     temporal,
     prep,
+    extras,
     aggregates,
     joins,
     llm,

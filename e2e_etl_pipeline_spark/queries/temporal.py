@@ -319,3 +319,109 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).cast("double").alias("bucket_max"),
         )
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT
+        user_id,
+        min(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+        min(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+        min(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+        min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      count(*) FILTER (t_signup IS NOT NULL)               AS n_signup,
+      count(*) FILTER (t_signup IS NOT NULL
+                       AND t_view > t_signup)              AS n_view,
+      count(*) FILTER (t_signup IS NOT NULL
+                       AND t_view > t_signup
+                       AND t_click > t_view)               AS n_click,
+      count(*) FILTER (t_signup IS NOT NULL
+                       AND t_view > t_signup
+                       AND t_click > t_view
+                       AND t_purchase > t_click)           AS n_purchase
+    FROM per_user
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup→view→click→purchase, counted on
+    the strict ordering of each user's FIRST occurrence of every stage
+    (the standard first-touch funnel definition — deterministic, and
+    computable in ONE aggregation).
+
+    One shuffle on user_id: the per-type min timestamps are conditional
+    aggregates in a single groupBy, and stage membership is a pure row
+    expression over those mins. The alternative "min event after the
+    previous stage's min" definition needs one pass per stage (4 chained
+    self-joins) — at 100 TB that's 4 shuffles for marginally different
+    semantics.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"t_{t}")
+
+    per_user = ev.groupBy("user_id").agg(
+        first("signup"), first("view"), first("click"), first("purchase")
+    )
+    s1 = F.col("t_signup").isNotNull()
+    s2 = s1 & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.sum(s1.cast("long")).alias("n_signup"),
+        F.sum(s2.cast("long")).alias("n_view"),
+        F.sum(s3.cast("long")).alias("n_click"),
+        F.sum(s4.cast("long")).alias("n_purchase"),
+    )
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    )
+    SELECT
+      c.cohort_day,
+      date_diff('day', c.cohort_day, a.day) AS offset_days,
+      count(*)                              AS n_active
+    FROM activity a JOIN cohorts c USING (user_id)
+    WHERE date_diff('day', c.cohort_day, a.day) BETWEEN 0 AND 7
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    active again at day offsets 0–7 — the engagement table behind every
+    retention curve.
+
+    Two map-side-combinable aggregates (cohort per user, distinct active
+    days per user) joined on user_id: the join is between two
+    already-reduced per-user tables, orders of magnitude smaller than the
+    raw events, and AQE broadcasts the cohort side while it fits. The
+    day-offset window (0–7) bounds output to cohorts×8 rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    j = activity.join(cohorts, "user_id").withColumn(
+        "offset_days", F.datediff("day", "cohort_day")
+    )
+    return (
+        j.where(F.col("offset_days").between(0, 7))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
