@@ -15,6 +15,8 @@ Module map (SURVEY.md §2 Part B):
   prep         — dataset prep/profiling (unpivot, SCD2, stratified hash
                  sample, column profile, int8 embedding quantization,
                  stream-stream join)
+  corpus       — corpus statistics (vocabulary build, unigram-LM document
+                 scoring, language-balanced sampling)
 """
 
 # Import order == registration order == the order the external driver
@@ -33,6 +35,7 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     pipeline_q,
     temporal,
     prep,
+    corpus,
     extras,
     aggregates,
     joins,

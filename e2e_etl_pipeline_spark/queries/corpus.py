@@ -1,0 +1,166 @@
+"""Corpus-statistics operators for training-data pipelines: vocabulary
+build, unigram-LM document scoring, and language-balanced sampling.
+
+These are the corpus-level counterparts of queries/llm.py's per-document
+ops: a data pipeline builds a token vocabulary (BPE seeding / coverage
+stats), scores every document against the corpus unigram distribution
+(the CCNet-style "perplexity-ish" quality filter, here with an exact
+unigram LM instead of an external model), and rebalances the language mix
+before training. None exist in the reference (its pipeline ends at a CSV
+of offers); they generalize the same text seeds as B.8.
+
+Scale theme: token-level work shuffles (token, count) pairs after
+map-side partial aggregation — never document bodies; the vocabulary is
+orders of magnitude smaller than the corpus and broadcast back for
+scoring. Sampling is md5-hash-derived (never rand()) so it re-derives
+identically on any engine, rerun, or partitioning.
+
+Tokenization matches queries/llm.py's oracle dialect exactly: split on
+``\\s+`` and drop empty tokens on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.operators.dedup import _words
+from e2e_etl_pipeline_spark.registry import register
+
+VOCAB_SIZE = 200
+LANG_CAP = 60
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, token) with llm.py's whitespace tokenization."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(_words("text")).alias("token"))
+
+
+@register(
+    "q_vocab_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+      FROM tok GROUP BY token
+    )
+    SELECT
+      CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS BIGINT)
+        AS token_id,
+      token, n_occ, n_docs
+    FROM counts
+    ORDER BY n_occ DESC, token
+    LIMIT {VOCAB_SIZE}
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-VOCAB_SIZE corpus vocabulary with dense token ids ranked by
+    frequency (ties broken by token text, so the id assignment is a
+    unique total order) — the seed table for BPE training and coverage
+    dashboards.
+
+    Scale: explode shuffles (token, doc_id) once into a partial-agg'd
+    groupBy; the global top-k then runs on the already-reduced vocabulary
+    (|distinct tokens| ≪ corpus) via TakeOrderedAndProject, and the
+    row_number window sees only VOCAB_SIZE rows on one post-limit
+    partition — never the corpus.
+    """
+    counts = _tokens(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(VOCAB_SIZE)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    return top.withColumn(
+        "token_id", F.row_number().over(w).cast("bigint")
+    ).select("token_id", "token", "n_occ", "n_docs")
+
+
+@register(
+    "q_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts)
+    SELECT
+      doc_id,
+      CAST(count(*) AS BIGINT)                                AS n_tokens,
+      round(avg(log10(CAST(cnt AS DOUBLE) / total)), 4)       AS logprob
+    FROM tok JOIN counts USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability against the corpus's own
+    unigram LM — the CCNet-style quality filter: documents of improbable
+    tokens (boilerplate, codes, noise) score low and get culled.
+
+    Scale: the unigram table is one partial-agg'd token shuffle and is
+    vocabulary-sized, so the score join broadcasts it (AQE picks the
+    broadcast; the corpus side streams). The per-doc mean is a second
+    partial-agg'd shuffle on doc_id carrying one double per token. No
+    document bodies move after the initial explode projection.
+    """
+    tok = _tokens(spark, sf_dir)
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        tok.join(counts, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log10(F.col("cnt") / F.col("total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("logprob"),
+    )
+
+
+@register(
+    "q_sample_balanced",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT
+        doc_id, lang,
+        row_number() OVER (
+          PARTITION BY lang
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS lang_rank
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(lang_rank AS BIGINT) AS lang_rank
+    FROM ranked WHERE lang_rank <= {LANG_CAP}
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced downsample: cap every language at LANG_CAP
+    documents, chosen by md5-of-key order — the domain-mix rebalancer run
+    before training so one over-represented language can't dominate.
+
+    Hash-ranked (never rand()) so the sample re-derives identically on
+    any engine, rerun, or partitioning. Scale: one window shuffle
+    partitioned by lang over (doc_id, lang, 32-hex-char) rows — document
+    bodies are pruned at the scan. A language so large its key list skews
+    one partition would switch to the q_agg_salted two-stage pattern with
+    an approximate per-salt quota.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("lang_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("lang_rank") <= LANG_CAP)
+    )

@@ -94,6 +94,52 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sw.session_agg(load_table(spark, sf_dir, "events"), "30 minutes")
 
 
+@register(
+    "q_stream_dedup",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Structured Streaming dedup run: file source over the events
+    parquet, project to the dedup key, ``dropDuplicates`` into an
+    append-mode memory sink under Trigger.availableNow. The emitted set
+    (each user's first appearance, projected to the key alone) is exactly
+    the distinct key set — deterministic, so it gets a full oracle, unlike
+    most streaming keys.
+
+    Scale: streaming dedup state holds one entry per distinct key per
+    shuffle partition. An unbounded stream needs
+    ``dropDuplicatesWithinWatermark`` to evict state (asserted in
+    tests/test_streaming.py); availableNow over a static snapshot is the
+    bounded case where unbounded state is safe.
+    """
+    pin_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .select("user_id")
+        .dropDuplicates(["user_id"])
+    )
+    sink = f"dd_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
+
+
 @register("q_stream_watermark")  # rows-only: behavioral streaming check
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real Structured Streaming run: file source over the events parquet,

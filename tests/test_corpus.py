@@ -1,0 +1,73 @@
+"""Behavioral tests for the corpus family (queries/corpus.py): properties
+the oracle hash-compare can't express — rank totality, sampling caps and
+determinism, and unigram-LM score monotonicity."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.queries.corpus import LANG_CAP
+from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_vocab_ids_are_dense_and_frequency_ordered(spark, sf_dir):
+    vocab = QUERIES["q_vocab_topk"](spark, sf_dir).collect()
+    ids = sorted(r.token_id for r in vocab)
+    assert ids == list(range(1, len(vocab) + 1))
+    by_id = sorted(vocab, key=lambda r: r.token_id)
+    # Non-increasing frequency along the id order; ties broken by token.
+    for a, b in zip(by_id, by_id[1:]):
+        assert a.n_occ > b.n_occ or (a.n_occ == b.n_occ and a.token < b.token)
+        assert a.n_docs <= a.n_occ
+
+
+def test_unigram_logprob_prefers_frequent_tokens(spark, sf_dir):
+    scored = QUERIES["q_unigram_logprob"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    assert scored.count() == docs.count()
+    rows = scored.collect()
+    # Probabilities are < 1 so every mean log10 is strictly negative, and
+    # every doc's mean is bounded by the best/worst single-token logprob.
+    import math
+
+    from e2e_etl_pipeline_spark.queries.corpus import VOCAB_SIZE
+
+    vocab = QUERIES["q_vocab_topk"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.logprob < 0
+    if len(vocab) < VOCAB_SIZE:  # vocab is complete → bounds are exact
+        total = sum(r.n_occ for r in vocab)
+        lo = math.log10(min(r.n_occ for r in vocab) / total)
+        hi = math.log10(max(r.n_occ for r in vocab) / total)
+        for r in rows:
+            assert lo - 1e-4 <= r.logprob <= hi + 1e-4
+
+
+def test_balanced_sample_caps_every_language(spark, sf_dir):
+    sample = QUERIES["q_sample_balanced"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = {
+        r.lang: r.n
+        for r in sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(per_lang) == set(totals)
+    for lang, n in per_lang.items():
+        assert n == min(LANG_CAP, totals[lang])
+    # Hash-derived sampling is deterministic across reruns.
+    first = {(r.doc_id, r.lang_rank) for r in sample.collect()}
+    again = {(r.doc_id, r.lang_rank) for r in QUERIES["q_sample_balanced"](spark, sf_dir).collect()}
+    assert first == again
+
+
+def test_vocab_topk_plan_take_ordered(spark, sf_dir):
+    plan = QUERIES["q_vocab_topk"](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    # The global top-k must be TakeOrderedAndProject over the reduced
+    # vocabulary, not a full sort of the token table.
+    assert "TakeOrderedAndProject" in plan
