@@ -164,3 +164,68 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("lang_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("lang_rank") <= LANG_CAP)
     )
+
+
+@register(
+    "q_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             round(tf * ln(n_docs / df), 4) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, token, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, tfidf, CAST(rn AS INTEGER) AS term_rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (classic tf·ln(N/df) weighting,
+    ranked on the rounded score with token-text tiebreak so the selection
+    is a unique total order) — the keyword/topic extraction primitive.
+
+    Scale: term frequencies are one partial-agg'd shuffle on
+    (doc_id, token); document frequencies reduce to a vocabulary-sized
+    table that AQE broadcasts back over the tf stream; the final top-3 is
+    a rank-pushdown window partitioned by doc_id. Document bodies never
+    move past the explode projection, and nothing driver-side scales with
+    the corpus.
+    """
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("term_rank") <= 3)
+        .select("doc_id", "token", "tfidf", "term_rank")
+    )

@@ -478,3 +478,53 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "q_ntile_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT
+        ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+        o_totalprice
+      FROM orders
+    )
+    SELECT
+      CAST(decile AS INTEGER)                          AS decile,
+      CAST(count(*) AS BIGINT)                         AS n_orders,
+      round(CAST(min(o_totalprice) AS DECIMAL(14,2)), 2)
+        ::DOUBLE                                       AS lo,
+      round(CAST(max(o_totalprice) AS DECIMAL(14,2)), 2)
+        ::DOUBLE                                       AS hi
+    FROM binned
+    GROUP BY decile
+    """,
+)
+def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency decile binning of order totals (NTILE over a
+    unique total order, so bin membership is deterministic) reduced to a
+    10-row bin-boundary table — the feature-binning / quantile-cut
+    primitive behind histogram-equalized features.
+
+    Scale caveat, stated honestly: NTILE over a global ORDER BY is a
+    single-partition sort — correct but serial at the tail. The 100-TB
+    variant swaps it for approx_percentile boundaries (one pass,
+    mergeable sketches) or repartitionByRange + per-partition ranks; the
+    exact global NTILE is registered because it is the semantics the
+    sketch variants approximate, and the reduced output here is
+    bin-boundary metadata, not per-row labels.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    binned = o.select(
+        F.ntile(10).over(w).cast("int").alias("decile"), "o_totalprice"
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice").cast("decimal(14,2)"), 2)
+        .cast("double")
+        .alias("lo"),
+        F.round(F.max("o_totalprice").cast("decimal(14,2)"), 2)
+        .cast("double")
+        .alias("hi"),
+    )

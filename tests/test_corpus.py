@@ -71,3 +71,35 @@ def test_vocab_topk_plan_take_ordered(spark, sf_dir):
     # The global top-k must be TakeOrderedAndProject over the reduced
     # vocabulary, not a full sort of the token table.
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_ranks_and_bounds(spark, sf_dir):
+    t = QUERIES["q_tfidf"](spark, sf_dir)
+    rows = t.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    for doc, terms in per_doc.items():
+        ranks = sorted(r.term_rank for r in terms)
+        assert ranks == list(range(1, len(terms) + 1))  # dense, ≤3
+        assert len(terms) <= 3
+        by_rank = sorted(terms, key=lambda r: r.term_rank)
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert a.tfidf > b.tfidf or (a.tfidf == b.tfidf and a.token < b.token)
+    # idf ≥ 0 and tf ≥ 1 → every score is non-negative.
+    assert all(r.tfidf >= 0 for r in rows)
+
+
+def test_ntile_bins_partition_the_orders(spark, sf_dir):
+    bins = QUERIES["q_ntile_bins"](spark, sf_dir).collect()
+    assert sorted(r.decile for r in bins) == list(range(1, 11))
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in bins) == n_orders
+    # Bucket sizes differ by at most one; boundaries are non-decreasing.
+    sizes = [r.n_orders for r in bins]
+    assert max(sizes) - min(sizes) <= 1
+    by_decile = sorted(bins, key=lambda r: r.decile)
+    for r in by_decile:
+        assert r.lo <= r.hi
+    for a, b in zip(by_decile, by_decile[1:]):
+        assert a.hi <= b.lo
