@@ -4,9 +4,11 @@
 so the oracle-checked batch results here pin down exactly the semantics the
 streaming tests (tests/test_streaming.py) assert under readStream+watermark.
 
-q_stream_watermark runs a REAL Structured Streaming job (file source over the
-events parquet, Trigger.availableNow, memory sink) — rows-only by contract
-(SURVEY.md §2 B.9).
+q_stream_watermark / q_stream_dedup / q_stream_enrich run REAL Structured
+Streaming jobs (file source over the events parquet, Trigger.availableNow,
+memory sink); over a static snapshot their results are deterministic, so all
+three are fully oracle-checked (stronger than SURVEY.md §2 B.9's rows-only
+contract).
 """
 
 from __future__ import annotations
@@ -140,13 +142,24 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink)
 
 
-@register("q_stream_watermark")  # rows-only: behavioral streaming check
+@register(
+    "q_stream_watermark",
+    oracle="""
+    SELECT
+      CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+      count(*)                                  AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
 def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real Structured Streaming run: file source over the events parquet,
     10-minute watermark, 1-hour tumbling agg, Trigger.availableNow into a
-    memory sink (complete mode). Deterministic for a static input, so the
-    rows-only hash is stable. Late-data *dropping* (which needs multiple
-    triggers) is asserted in tests/test_streaming.py."""
+    memory sink (complete mode). A static snapshot arrives as one batch, so
+    the watermark evicts nothing and the result equals the batch hourly
+    count — fully oracle-checkable, not just rows-only. Late-data
+    *dropping* (which needs multiple triggers) is asserted in
+    tests/test_streaming.py."""
     pin_utc(spark)
     # The events parquet stores ts as TIMESTAMP(NANOS): stream-read it as raw
     # nanos (same nanosAsLong path as catalog.load_table) and rebuild the
@@ -174,6 +187,67 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     # setup cost (~half this query's runtime). Scope the partition count down
     # for the stream start, then restore — batch queries on the session are
     # unaffected (AQE coalesces them anyway).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
+
+
+@register(
+    "q_stream_enrich",
+    oracle="""
+    SELECT
+      c.c_mktsegment                 AS segment,
+      count(*)                       AS n_events,
+      round(sum(e.value), 2)         AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: a real readStream over the events parquet
+    joined to the static customer dimension, aggregated per market segment
+    under Trigger.availableNow (complete mode) — the canonical streaming
+    enrich topology. Deterministic over a static snapshot, so fully
+    oracle-checked.
+
+    Scale: the static side is a broadcast hash join against each
+    micro-batch — no stream-side shuffle before the join; only the
+    segment-count agg keeps (tiny) state. A dimension too big to
+    broadcast becomes a stream-static shuffle join, still stateless."""
+    pin_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .select("user_id", "value")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        stream.join(cust, stream.user_id == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    sink = f"en_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
