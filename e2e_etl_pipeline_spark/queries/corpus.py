@@ -113,17 +113,27 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd shuffle on doc_id carrying one double per token. No
     document bodies move after the initial explode projection.
     """
+    # Everything derives from ONE (doc_id, token) → tf aggregate: corpus
+    # counts are sum(tf), and the per-doc mean over occurrences is the
+    # tf-weighted mean — so the expensive scan+explode+shuffle subtree
+    # appears once and Spark's ReuseExchange serves both branches from the
+    # same shuffle output (plan-asserted in tests/test_corpus.py).
     tok = _tokens(spark, sf_dir)
-    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     total = counts.agg(F.sum("cnt").cast("double").alias("total"))
     scored = (
-        tok.join(counts, "token")
+        tf.join(counts, "token")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", F.log10(F.col("cnt") / F.col("total")).alias("lp"))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * F.log10(F.col("cnt") / F.col("total"))).alias("wlp"),
+        )
     )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("lp"), 4).alias("logprob"),
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("wlp") / F.sum("tf"), 4).alias("logprob"),
     )
 
 
@@ -205,9 +215,12 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     move past the explode projection, and nothing driver-side scales with
     the corpus.
     """
+    # df derives from tf (one row per (doc, token) → count(*) per token is
+    # exactly the distinct-doc count), so the scan+explode+shuffle subtree
+    # appears once and ReuseExchange serves both join inputs.
     tok = _tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = (
         load_table(spark, sf_dir, "documents")
         .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))

@@ -103,3 +103,14 @@ def test_ntile_bins_partition_the_orders(spark, sf_dir):
         assert r.lo <= r.hi
     for a, b in zip(by_decile, by_decile[1:]):
         assert a.hi <= b.lo
+
+
+def test_unigram_logprob_plan_reuses_token_shuffle(spark, sf_dir):
+    df = QUERIES["q_unigram_logprob"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Corpus counts derive from the same (doc_id, token) tf aggregate the
+    # score join consumes: the explode shuffle must be computed once and
+    # served to the second branch via ReuseExchange.
+    assert "ReusedExchange" in plan
+    assert "SortMergeJoin" not in plan
