@@ -528,3 +528,43 @@ def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("hi"),
     )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value)         AS mu,
+             stddev_samp(value) AS sd
+      FROM events GROUP BY 1
+    )
+    SELECT
+      e.event_id,
+      e.event_type,
+      e.value,
+      round((e.value - s.mu) / s.sd, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE abs((e.value - s.mu) / s.sd) >= 2
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (|z| ≥ 2 against each event
+    type's own mean/stddev) — the numeric-outlier culling stage of a data
+    pipeline, and the profiling complement to q_histogram.
+
+    Scale: group statistics reduce to one row per event type
+    (map-side-combinable agg), broadcast back over the fact scan — no
+    window, no per-row shuffle of the fact table; the filter runs inside
+    the scan's codegen stage.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) >= 2)
+        .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
+    )

@@ -4,11 +4,11 @@
 so the oracle-checked batch results here pin down exactly the semantics the
 streaming tests (tests/test_streaming.py) assert under readStream+watermark.
 
-q_stream_watermark / q_stream_dedup / q_stream_enrich run REAL Structured
-Streaming jobs (file source over the events parquet, Trigger.availableNow,
-memory sink); over a static snapshot their results are deterministic, so all
-three are fully oracle-checked (stronger than SURVEY.md §2 B.9's rows-only
-contract).
+q_stream_watermark / q_stream_dedup / q_stream_enrich / q_stream_stateful
+run REAL Structured Streaming jobs (file source over the events parquet,
+Trigger.availableNow, memory sink — the last via applyInPandasWithState);
+over a static snapshot their results are deterministic, so all four are
+fully oracle-checked (stronger than SURVEY.md §2 B.9's rows-only contract).
 """
 
 from __future__ import annotations
@@ -255,6 +255,60 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             agg.writeStream.format("memory")
             .queryName(sink)
             .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
+
+
+@register(
+    "q_stream_stateful",
+    oracle="""
+    SELECT
+      event_type                  AS key,
+      max(event_id)               AS max_idx,
+      CAST(0 AS INTEGER)          AS stale_rounds,
+      CAST(FALSE AS BOOLEAN)      AS is_stale
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom applyInPandasWithState operator (A31 progress tracking,
+    streaming/stateful.py) run as a REAL streaming job over the events
+    parquet: per event type, track the max event_id high-watermark and
+    consecutive stale batches. A static snapshot is one batch in which
+    every key progresses, so the expected state is exactly (max id, 0
+    stale, not stale) — fully oracle-checkable.
+
+    Scale: state is two longs per distinct key, partitioned by key across
+    state stores; each micro-batch shuffles only (key, idx) pairs. The
+    multi-batch stale-escalation path (which no oracle can express) is
+    asserted in tests/test_streaming.py."""
+    pin_utc(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .select(F.col("event_type").alias("key"), F.col("event_id").alias("idx"))
+    )
+    from e2e_etl_pipeline_spark.streaming.stateful import progress_tracker
+
+    tracked = progress_tracker(stream)
+    sink = f"st_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
             .trigger(availableNow=True)
             .start()
         )
