@@ -242,3 +242,97 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("term_rank") <= 3)
         .select("doc_id", "token", "tfidf", "term_rank")
     )
+
+
+@register(
+    "q_bigram_pmi",
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         t -> t <> '') AS w
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS token FROM ws),
+    uni AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+    nu  AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+    big AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM ws, unnest(range(1, len(w))) AS t(i)
+    ),
+    bic AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY a, b),
+    nb  AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_big FROM bic),
+    scored AS (
+      SELECT
+        bic.a, bic.b, bic.c_ab,
+        round(ln((bic.c_ab / n_big)
+                 / ((ua.c / n_uni) * (ub.c / n_uni))), 4) AS pmi
+      FROM bic
+      JOIN uni ua ON bic.a = ua.token
+      JOIN uni ub ON bic.b = ub.token
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE bic.c_ab >= 5
+    )
+    SELECT a, b, c_ab, pmi
+    FROM scored
+    ORDER BY pmi DESC, a, b
+    LIMIT 50
+    """,
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information over adjacent
+    word pairs (min support 5; ranked on the rounded PMI with (a, b)
+    tiebreak — a unique total order) — the phrase-mining / tokenizer-merge
+    primitive of corpus preprocessing.
+
+    Scale: bigrams come from a pure array expression (zip of the token
+    array with its own tail) — no positional self-join; pair counts are
+    one partial-agg'd shuffle on (a, b); both unigram lookups are
+    vocabulary-sized joins AQE broadcasts; the final top-k is
+    TakeOrderedAndProject on the already-aggregated pair table. The
+    min-support filter is the same guard as token-Jaccard's max_df: it
+    bounds the ranked set before the sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    ws = d.select("doc_id", _words("text").alias("w"))
+    pairs = ws.select(
+        F.explode(
+            F.when(
+                F.size("w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 1),
+                    lambda i: F.struct(
+                        F.element_at("w", i).alias("a"),
+                        F.element_at("w", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p")
+    ).select("p.a", "p.b")
+    bic = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    tok = _tokens(spark, sf_dir)
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_big = bic.agg(F.sum("c_ab").cast("double").alias("n_big"))
+    ua = uni.select(F.col("token").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("token").alias("b"), F.col("c").alias("c_b"))
+    scored = (
+        bic.where(F.col("c_ab") >= 5)
+        .join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(
+                    (F.col("c_ab") / F.col("n_big"))
+                    / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(50)

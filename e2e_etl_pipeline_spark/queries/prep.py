@@ -568,3 +568,46 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(z) >= 2)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
     )
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_partkey AS key, count(*) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS total FROM per_key)
+    SELECT
+      key, n_rows,
+      round(n_rows / total, 6) AS share
+    FROM per_key CROSS JOIN tot
+    ORDER BY n_rows DESC, key
+    LIMIT 10
+    """,
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter key diagnostic: the 10 heaviest join/agg keys of the
+    fact table with their share of total rows — the profiling step that
+    decides WHEN to reach for q_join_salted / q_agg_salted / AQE skew
+    handling, run before any big shuffle at 100 TB.
+
+    Scale: one map-side-combinable count per key, a broadcast scalar for
+    the total, TakeOrderedAndProject for the top-10 — the profile costs
+    one shuffle of (key, partial count) pairs regardless of fact size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_partkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = per_key.agg(F.sum("n_rows").cast("double").alias("total"))
+    return (
+        per_key.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("key"))
+        .limit(10)
+    )
