@@ -1,0 +1,80 @@
+"""Regenerate PLANS.md: `explain("formatted")` snapshots for a
+representative query per family, annotated with what each plan proves
+(pushdown, broadcast selection, top-k pushdown, shuffle reuse).
+
+Run: PYTHONPATH=. python tools/gen_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from e2e_etl_pipeline_spark.registry import QUERIES, load_all  # noqa: E402
+from e2e_etl_pipeline_spark.session import get_session  # noqa: E402
+
+# key → what the reader should look for in this plan
+SHOWCASE = [
+    ("q_topk", "TakeOrderedAndProject (no global sort); filter + column "
+               "pruning pushed into the parquet scan (PushedFilters, "
+               "narrow ReadSchema)"),
+    ("q_join_star", "dimension chain resolved as BroadcastHashJoins; "
+                    "customer deliberately unhinted so AQE chooses "
+                    "(broadcast while it fits, shuffle beyond)"),
+    ("q_join_bucketed", "no 'Exchange hashpartitioning' anywhere — the "
+                        "bucketed layout pre-shuffled at write time; at "
+                        "this SF AQE additionally turns the joins into "
+                        "broadcasts (BroadcastExchange is not a shuffle)"),
+    ("q_agg_groupby", "partial (map-side) aggregation before the single "
+                      "exchange; DECIMAL sums for bit-stable money"),
+    ("q_window_topk_per_group", "rank window followed by filter pushdown "
+                                "(running-rank early-out)"),
+    ("q_unigram_logprob", "ReusedExchange: corpus counts derive from the "
+                          "same (doc,token) tf shuffle the score join "
+                          "consumes — explode computed once"),
+    ("q_vocab_topk", "aggregation reduces to vocabulary size before "
+                     "TakeOrderedAndProject; window sees only the top-k"),
+    ("q_dedup_exact", "dedup groups on xxhash64 digest — document bodies "
+                      "never enter the exchange"),
+    ("q_anomaly_zscore", "group stats broadcast back over the fact scan; "
+                         "outlier filter runs inside codegen"),
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    load_all()
+    spark = get_session("plans")
+    out = [
+        "# Physical-plan showcase (generated)",
+        "",
+        f"`explain(\"formatted\")` for one representative query per family at"
+        f" `{sf_dir}`, local[{spark.sparkContext.defaultParallelism}]."
+        " Regenerate: `PYTHONPATH=. python tools/gen_plans.py`."
+        " Machine-checked versions of these properties live in"
+        " `tests/test_plans.py` and `tests/test_corpus.py`; this file is the"
+        " human-readable evidence.",
+        "",
+    ]
+    for key, note in SHOWCASE:
+        df = QUERIES[key](spark, sf_dir)
+        df.collect()  # let AQE finalize so the printed plan is the real one
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue().rstrip()
+        out += [f"## {key}", "", f"*What to look for:* {note}", "",
+                "```", plan, "```", ""]
+    path = os.path.join(REPO, "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}: {len(SHOWCASE)} plans")
+
+
+if __name__ == "__main__":
+    main()
