@@ -1,0 +1,55 @@
+"""Behavioral invariants for the temporal/analytics family
+(queries/temporal.py) — properties that would hold even if the Spark and
+DuckDB implementations shared the same mistake (the oracle gate can't
+catch both-engines-wrong)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_funnel_counts_are_monotone_nonincreasing(spark, sf_dir):
+    row = QUERIES["q_funnel"](spark, sf_dir).collect()[0]
+    assert row.n_signup >= row.n_view >= row.n_click >= row.n_purchase >= 0
+    # Stage 1 is simply "has a signup event" — cross-check directly.
+    ev = load_table(spark, sf_dir, "events")
+    n_signup_users = (
+        ev.where(F.col("event_type") == "signup").select("user_id").distinct().count()
+    )
+    assert row.n_signup == n_signup_users
+
+
+def test_retention_day0_equals_cohort_sizes(spark, sf_dir):
+    ret = QUERIES["q_retention_cohort"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # offset 0 means "active on the cohort day" — true for every user by
+    # construction, so day-0 counts must equal cohort sizes exactly.
+    cohort_sizes = {
+        r.cohort_day: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    day0 = {r.cohort_day: r.n_active for r in ret.where("offset_days = 0").collect()}
+    assert day0 == cohort_sizes
+    # Retention never exceeds the cohort size at any offset.
+    for r in ret.collect():
+        assert 0 < r.n_active <= cohort_sizes[r.cohort_day]
+        assert 0 <= r.offset_days <= 7
+
+
+def test_skew_profile_shares_are_consistent(spark, sf_dir):
+    rows = QUERIES["q_skew_profile"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    li_count = load_table(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert abs(r.share - r.n_rows / li_count) < 1e-6
+    counts = [r.n_rows for r in rows]
+    assert counts == sorted(counts, reverse=True)
