@@ -336,3 +336,148 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("a"), F.asc("b")).limit(50)
+
+
+@register(
+    "q_training_pipeline",
+    oracle=None,  # composed oracle attached below (needs the stopword list)
+)
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: a complete training-data prep pipeline in ONE
+    declarative plan — quality filter (score ≥ 0.5) → exact dedup
+    (first-wins on content digest) → eval-set decontamination (drop the
+    doc_id%97 eval slice and any training doc sharing a word-5-gram with
+    it) → language-balanced sampling (≤ LANG_CAP docs/language by md5
+    order). Output is the final training manifest (doc_id, lang, quality,
+    n_tokens, lang_rank). Every stage is an operator that also ships —
+    and is oracle-checked — standalone (q_text_quality, q_dedup_exact,
+    q_decontaminate, q_sample_balanced); this key proves they compose
+    into one Catalyst plan with no materialization barriers.
+
+    Scale: the stages chain filters and semi/anti joins on 8-byte digests
+    and shingle hashes — document bodies are read once at the scan and
+    never shuffled (dedup partitions on xxhash64(text); the shingle join
+    carries shingle strings only; the final window moves (doc_id, lang)).
+    """
+    from e2e_etl_pipeline_spark.functions import textstats as ts
+    from e2e_etl_pipeline_spark.operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang", "text",
+        F.round(ts.quality_score("text"), 4).alias("quality"),
+    ).where(F.col("quality") >= 0.5)
+
+    # First-wins exact dedup: one window shuffle on the 8-byte digest.
+    w_dig = Window.partitionBy(F.xxhash64("text"))
+    deduped = (
+        scored.withColumn("keep_id", F.min("doc_id").over(w_dig))
+        .where(F.col("doc_id") == F.col("keep_id"))
+        .drop("keep_id")
+    )
+
+    # Decontamination against the RAW eval slice (doc_id % 97 == 0): eval
+    # membership is defined on the corpus, not on what survived earlier
+    # stages, so leakage can't sneak in via a low-quality eval twin.
+    is_eval = F.col("doc_id") % 97 == 0
+    shingled = d.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
+    )
+    eval_sh = shingled.where(is_eval).select("shingle").distinct()
+    contaminated = (
+        shingled.where(~is_eval)
+        .join(eval_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        deduped.where(~is_eval)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+    w_lang = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        clean.select(
+            "doc_id",
+            "lang",
+            "quality",
+            F.size(_words("text")).cast("int").alias("n_tokens"),
+        )
+        .withColumn("lang_rank", F.row_number().over(w_lang).cast("bigint"))
+        .where(F.col("lang_rank") <= LANG_CAP)
+    )
+
+
+# Imported HERE, after this module's @register calls: importing llm earlier
+# would register its (round-1-driver-green) keys ahead of this module's
+# never-driver-checked ones — see the registration-order note in __init__.py.
+from e2e_etl_pipeline_spark.queries.llm import _STOPWORD_SQL  # noqa: E402
+from e2e_etl_pipeline_spark.registry import ORACLES  # noqa: E402
+
+ORACLES["q_training_pipeline"] = f"""
+    WITH feats AS (
+      SELECT
+        doc_id, lang, text,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(len(list_filter(string_split(text, ' '),
+             w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
+          / len(string_split(text, ' '))                               AS sw,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / length(text)                                               AS pr,
+        CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
+          / len(string_split(text, ' '))                               AS mwl
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, text,
+        round(least(n_chars / 400.0, 1.0) * 0.4
+              + least(sw * 4.0, 1.0) * 0.2
+              + greatest(1.0 - pr * 5.0, 0.0) * 0.2
+              + (CASE WHEN mwl >= 2.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+              4) AS quality
+      FROM feats
+    ),
+    qual AS (SELECT * FROM scored WHERE quality >= 0.5),
+    deduped AS (
+      SELECT doc_id, lang, text, quality FROM (
+        SELECT q.*, min(doc_id) OVER (PARTITION BY text) AS keep_id FROM qual q
+      ) WHERE doc_id = keep_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(w) - 3),
+               i -> array_to_string(w[i:i+4], ' ')))) AS shingle
+      FROM toks
+    ),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN eval_sh e USING (shingle)
+      WHERE s.doc_id % 97 <> 0
+    ),
+    clean AS (
+      SELECT d.doc_id, d.lang, d.quality, d.text
+      FROM deduped d
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, quality,
+        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t <> '')) AS INTEGER) AS n_tokens,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          AS lang_rank
+      FROM clean
+    )
+    SELECT doc_id, lang, quality, n_tokens, CAST(lang_rank AS BIGINT) AS lang_rank
+    FROM ranked WHERE lang_rank <= {LANG_CAP}
+"""
