@@ -363,17 +363,24 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e2e_etl_pipeline_spark.operators.dedup import word_shingles
 
     d = load_table(spark, sf_dir, "documents")
+    # Everything downstream needs of the body — quality score, token
+    # count, content digest — is computed IN the scan stage, so the text
+    # column is dropped before the first exchange and only fixed-width
+    # columns ever shuffle.
     scored = d.select(
-        "doc_id", "lang", "text",
+        "doc_id",
+        "lang",
         F.round(ts.quality_score("text"), 4).alias("quality"),
+        F.size(_words("text")).cast("int").alias("n_tokens"),
+        F.xxhash64("text").alias("digest"),
     ).where(F.col("quality") >= 0.5)
 
     # First-wins exact dedup: one window shuffle on the 8-byte digest.
-    w_dig = Window.partitionBy(F.xxhash64("text"))
+    w_dig = Window.partitionBy("digest")
     deduped = (
         scored.withColumn("keep_id", F.min("doc_id").over(w_dig))
         .where(F.col("doc_id") == F.col("keep_id"))
-        .drop("keep_id")
+        .drop("keep_id", "digest")
     )
 
     # Decontamination against the RAW eval slice (doc_id % 97 == 0): eval
@@ -399,12 +406,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
     )
     return (
-        clean.select(
-            "doc_id",
-            "lang",
-            "quality",
-            F.size(_words("text")).cast("int").alias("n_tokens"),
-        )
+        clean.select("doc_id", "lang", "quality", "n_tokens")
         .withColumn("lang_rank", F.row_number().over(w_lang).cast("bigint"))
         .where(F.col("lang_rank") <= LANG_CAP)
     )

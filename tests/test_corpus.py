@@ -114,3 +114,22 @@ def test_unigram_logprob_plan_reuses_token_shuffle(spark, sf_dir):
     # served to the second branch via ReuseExchange.
     assert "ReusedExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_training_pipeline_shuffles_no_document_bodies(spark, sf_dir):
+    df = QUERIES["q_training_pipeline"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Digest/score/token-count are computed in the scan stage; no exchange
+    # may carry the raw text column (5-gram shingle strings are the only
+    # text-derived join payload, by design).
+    assert not [
+        line
+        for line in plan.splitlines()
+        if "Exchange" in line and "text" in line
+    ]
+    # The capstone result is capped per language and non-empty.
+    from e2e_etl_pipeline_spark.queries.corpus import LANG_CAP
+
+    counts = df.groupBy("lang").count().collect()
+    assert counts and all(r["count"] <= LANG_CAP for r in counts)
