@@ -287,3 +287,50 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_json_roundtrip",
+    oracle="""
+    SELECT
+      event_id,
+      event_type,
+      CAST(floor(epoch(ts)) AS BIGINT)  AS ts_epoch,
+      round(value, 4)                   AS value
+    FROM events
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema'd source: write events as JSONL, read back
+    with an explicit schema, prove the round-trip lossless against the
+    parquet original. Completes the source-format matrix (parquet / CSV /
+    ORC / text / JSON).
+
+    Timestamps travel as epoch-second longs (floor(epoch), the engine's
+    ts→long convention, BASELINE.md notes): JSON has no timestamp type,
+    so the column is made explicit rather than trusting ISO-string
+    round-tripping across engines/timezones. Scale: format conversion is
+    embarrassingly parallel — one task per partition, no shuffle; schema'd
+    reads skip inference (an extra full pass at 100 TB).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("ts").cast("double")).cast("bigint").alias("ts_epoch"),
+        F.round("value", 4).alias("value"),
+    )
+    path = _tmpdir("json")
+    try:
+        ev.write.mode("overwrite").json(path)
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("ts_epoch", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        back = spark.read.schema(schema).json(path)
+        return back.localCheckpoint()  # materialize before the tmp dir goes
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
