@@ -92,6 +92,8 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING): per-supplier totals filtered on
+    the aggregate itself."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_suppkey")
@@ -138,6 +140,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping combinations in one
+    pass."""
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),

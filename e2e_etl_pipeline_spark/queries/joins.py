@@ -175,6 +175,7 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with NO pending order (NOT EXISTS)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")

@@ -297,6 +297,8 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: doc counts and char/word-length
+    aggregates."""
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -119,6 +119,7 @@ def q_project_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_filter_compound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound AND/OR/NOT predicate, pushed to the parquet scan."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         F.col("l_quantity").between(10, 20)
@@ -152,6 +153,7 @@ def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list membership predicate (A22 generalized)."""
     o = load_table(spark, sf_dir, "orders")
     return o.filter(
         F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
@@ -314,6 +316,7 @@ def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION with duplicate elimination (set semantics)."""
     o = load_table(spark, sf_dir, "orders")
     cols = ["o_orderkey", "o_orderstatus"]
     left = o.filter(F.col("o_orderstatus") == "P").select(*cols)
@@ -330,6 +333,7 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of two key sets (customers that do have orders)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
@@ -348,6 +352,7 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT of two key sets (customers without orders)."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")

@@ -288,6 +288,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic/rounding/log/sqrt scalar family over lineitem money
+    columns (DECIMAL-stabilized where ties matter)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
