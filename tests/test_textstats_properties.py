@@ -1,0 +1,56 @@
+"""Hypothesis property tests for functions/textstats.py: the text
+expression family must be total (no exceptions, no NaN/inf, bounded
+outputs) on adversarial input — empty strings, pure whitespace, unicode,
+punctuation runs — because at 100 TB every pathological document shape
+WILL occur and a single throwing expression kills the stage."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.functions import textstats as ts
+
+_text = st.one_of(
+    st.text(max_size=80),
+    st.text(alphabet=" \t\n", max_size=10),
+    st.text(alphabet="!?.,;:-—…", max_size=20),
+    st.sampled_from(["", " ", "\t\t", "a", "the the the", "München straße 日本語 текст"]),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_text, min_size=1, max_size=40))
+def test_text_expressions_are_total_and_bounded(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["text"]).coalesce(1)
+    out = df.select(
+        "text",
+        ts.quality_score("text").alias("q"),
+        ts.stopword_ratio("text").alias("sw"),
+        ts.punct_ratio("text").alias("pr"),
+        ts.mean_word_length("text").alias("mwl"),
+        F.size(ts.words("text")).alias("n_words"),
+        ts.word_fingerprint("text").alias("fp"),
+    ).collect()
+    assert len(out) == len(texts)
+    for r in out:
+        assert 0.0 <= r.q <= 1.0, (r.text, r.q)
+        if r.sw is not None:
+            assert 0.0 <= r.sw <= 1.0
+        if r.pr is not None:
+            assert 0.0 <= r.pr <= 1.0
+        if r.mwl is not None:
+            assert r.mwl >= 0.0
+        assert r.n_words >= 0
+        # fingerprint is total: defined (possibly of an empty token set)
+        # for every input, and stable per text value.
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r.text, set()).add(r.fp)
+    for text, fps in by_text.items():
+        assert len(fps) == 1, f"fingerprint not deterministic for {text!r}"
