@@ -54,3 +54,37 @@ def test_text_expressions_are_total_and_bounded(spark, texts):
         by_text.setdefault(r.text, set()).add(r.fp)
     for text, fps in by_text.items():
         assert len(fps) == 1, f"fingerprint not deterministic for {text!r}"
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_text, min_size=1, max_size=25))
+def test_dedup_primitives_are_total_on_short_text(spark, texts):
+    """Shingling / n-gram / SimHash primitives must be defined for texts
+    SHORTER than the shingle/gram width (the round-1 descending-sequence
+    bug class): empty arrays, never exceptions or phantom grams."""
+    from e2e_etl_pipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    ).coalesce(1)
+    sh = df.select(
+        "doc_id", dd.word_shingles("text", 3).alias("sh")
+    ).collect()
+    for r in sh:
+        assert isinstance(r.sh, list)
+        # every shingle has exactly 3 words
+        for s in r.sh:
+            assert len(s.split(" ")) == 3
+    sigs = dd.minhash_signatures(df, "doc_id", "text", num_hashes=8, shingle_size=3)
+    per_doc = {
+        r.id: r.n for r in sigs.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    # docs with ≥1 shingle contribute exactly num_hashes rows; shorter docs none
+    n_shingled = sum(1 for r in sh if r.sh)
+    assert sum(per_doc.values()) == 8 * n_shingled
+    fps = dd.simhash_fingerprints(df, "doc_id", "text").collect()
+    assert len(fps) <= len(texts)
