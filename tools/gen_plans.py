@@ -43,6 +43,11 @@ SHOWCASE = [
                       "never enter the exchange"),
     ("q_anomaly_zscore", "group stats broadcast back over the fact scan; "
                          "outlier filter runs inside codegen"),
+    ("q_training_pipeline", "four pipeline stages (quality filter, digest "
+                            "dedup, shingle decontamination, balanced "
+                            "sample) fused into ONE plan; no exchange "
+                            "carries the text column — digests, scores and "
+                            "token counts are computed in the scan stage"),
 ]
 
 
