@@ -611,3 +611,57 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("key"))
         .limit(10)
     )
+
+
+@register(
+    "q_fuzzy_match",
+    oracle="""
+    SELECT
+      a.c_custkey                       AS key_a,
+      b.c_custkey                       AS key_b,
+      levenshtein(a.c_name, b.c_name)   AS dist
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE a.c_mktsegment = 'BUILDING'
+      AND b.c_mktsegment = 'BUILDING'
+      AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: customer-name pairs within edit distance 2,
+    candidate-blocked by nation — the typo-tolerant record-linkage
+    primitive (exact dedup misses 'Customer#000000019' vs
+    'Customer#000000119').
+
+    Scale: blocking turns the n² name comparison into per-block
+    comparisons (equi-join on the blocking key, then the levenshtein
+    verify runs codegen-side inside the joined stream). Nation is the
+    demo block; a production linkage blocks on q-gram LSH buckets or
+    phonetic keys the same way — the plan shape (equi-join + verify
+    filter) is unchanged. Scoped to one market segment here to keep
+    the demo's per-block pair count honest about blocking: cost is
+    sum over blocks of b², never n². Distance is computed twice (filter + output)
+    so the expression stays in one codegen stage; Catalyst CSEs it.
+    """
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .where(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
+            dist.alias("dist"),
+        )
+    )

@@ -384,3 +384,43 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@register(
+    "q_union_by_name",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           o_orderstatus,
+           src
+    FROM (
+      SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+             o_orderstatus, 'full' AS src
+      FROM orders WHERE o_orderkey % 10 = 0
+      UNION ALL BY NAME
+      SELECT o_orderstatus, o_orderkey, 'slim' AS src
+      FROM orders WHERE o_orderkey % 10 = 1
+    )
+    """,
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union (unionByName, allowMissingColumns): frames with
+    different column ORDER and a missing column combine by name, absent
+    columns null-filled — the schema-drift-tolerant append every
+    multi-source ingestion needs (positional UNION would silently pair
+    mismatched columns).
+
+    Scale: union is a zero-shuffle plan concatenation; each branch keeps
+    its own pushed filter and pruned schema.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    full = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        "o_orderstatus",
+        F.lit("full").alias("src"),
+    )
+    slim = o.where(F.col("o_orderkey") % 10 == 1).select(
+        "o_orderstatus", "o_orderkey", F.lit("slim").alias("src")
+    )
+    return full.unionByName(slim, allowMissingColumns=True)
