@@ -193,3 +193,48 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "event_type")
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, count(*) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT c_mktsegment, c_nationkey, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey) AS rn
+      FROM counts
+    )
+    SELECT c_mktsegment, c_nationkey AS mode_nation, n AS n_customers
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent nation per market
+    segment, smallest-key tiebreak (Spark's and DuckDB's native mode()
+    both break ties arbitrarily, so the engine spells the ranking out —
+    the hash-stability rule for any 'pick one of equals' operator).
+
+    Scale: count-then-rank is two map-side-combinable steps; the window
+    sees one row per (segment, nation) — group cardinality, not row
+    cardinality.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("c_nationkey")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("c_nationkey").alias("mode_nation"),
+            F.col("n").alias("n_customers"),
+        )
+    )

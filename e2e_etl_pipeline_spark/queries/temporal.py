@@ -425,3 +425,72 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "offset_days")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+      SELECT *,
+        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ),
+    firsts AS (
+      SELECT user_id, session_no,
+        first(event_type ORDER BY ts, event_id) AS first_touch
+      FROM islands GROUP BY user_id, session_no
+    )
+    SELECT f.first_touch, count(*) AS n_purchases
+    FROM islands i
+    JOIN firsts f USING (user_id, session_no)
+    WHERE i.event_type = 'purchase'
+    GROUP BY f.first_touch
+    """,
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase is credited to the event
+    type that OPENED its 30-minute-gap session — the marketing-analytics
+    twin of sessionization (q_stream_session), asking not "how many
+    sessions" but "which entry point converts".
+
+    Scale: one shuffle on user_id serves the lag, the island numbering,
+    and the first-touch window (same partitioning, Spark reuses the sort);
+    the final attribution count is group-cardinality-sized. The unique
+    (ts, event_id) order makes session boundaries and first-touch picks
+    identical on any engine or partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+                > 30 * 60
+            ),
+            1,
+        ).otherwise(0),
+    )
+    islands = lagged.withColumn(
+        "session_no",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_sess = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    touched = islands.withColumn(
+        "first_touch", F.first("event_type").over(w_sess)
+    )
+    return (
+        touched.where(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
