@@ -494,3 +494,38 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("first_touch")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@register(
+    "q_running_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, count(*) AS new_users
+      FROM firsts GROUP BY first_day
+    )
+    SELECT
+      day,
+      new_users,
+      sum(new_users) OVER (ORDER BY day
+                           ROWS UNBOUNDED PRECEDING) AS cum_users
+    FROM per_day
+    """,
+)
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the user-growth curve. A naive
+    running COUNT(DISTINCT) over an expanding window rescans all history
+    per day; the engine rewrites it as 'distinct = sum of first
+    occurrences': each user's first-seen day is one map-side-combinable
+    aggregate, daily news another, and the running sum then runs over
+    day-cardinality rows (a ~handful per month — the single-partition
+    window is over the CALENDAR, not the data).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    per_day = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.withColumn("cum_users", F.sum("new_users").over(w))
