@@ -17,6 +17,9 @@ Module map (SURVEY.md §2 Part B):
                  stream-stream join)
   corpus       — corpus statistics (vocabulary build, unigram-LM document
                  scoring, language-balanced sampling)
+  tpch         — TPC-H composite analytics suite adapted to the testdata
+                 schema (Q3-Q22 shapes: selective multi-join reporting,
+                 EXISTS/NOT EXISTS, ratio-of-sums, group-by-having)
 """
 
 # Import order == registration order == the order the external driver
@@ -36,6 +39,7 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     temporal,
     prep,
     corpus,
+    tpch,
     extras,
     aggregates,
     joins,

@@ -1,0 +1,703 @@
+"""TPC-H composite analytics family (adapted to the testdata schema).
+
+The classic decision-support suite is the canonical answer to "what does a
+100 TB warehouse actually run": selective multi-way joins, semi/anti joins,
+OR-of-AND predicate pushdown, group-by-having over a fact table, and
+ratio-of-sums reporting. The testdata star schema is TPC-H-ish but trimmed
+(no partsupp; lineitem lacks shipmode/commitdate/receiptdate; orders lacks
+shippriority), so queries needing those columns are adapted — each docstring
+notes the deviation. Reference parity: these generalize the reference's
+join+aggregate reporting intent (SURVEY.md §2 B.3/B.4) onto the standard
+benchmark shapes; the reference itself (a 2-site scraper,
+DataExtract/extract_data.py) has no multi-table query engine at all.
+
+Scale notes (apply to the whole family):
+  * Dimension joins (region, nation) are explicitly broadcast — they are
+    O(25) rows at any scale factor. customer/supplier/part joins are left
+    to AQE, which broadcasts while they fit and shuffles when they do not;
+    forcing a broadcast on a table that grows with SF is the round-1
+    star-join mistake (VERDICT.md) and is not repeated here.
+  * Fact-side aggregates (Q18's per-order quantity, Q4's semi join) reduce
+    lineitem BEFORE joining the wider tables, so the big shuffle carries
+    grouped longs/decimals, never full rows.
+  * All money math runs in DECIMAL until the final round (registry
+    hash-stability rules); ratios divide decimal sums cast to double.
+  * Every LIMIT carries a unique total order (explicit key tiebreaker).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.registry import register
+
+
+def _dec_price() -> "F.Column":
+    return F.col("l_extendedprice").cast("decimal(12,2)")
+
+
+def _dec_disc() -> "F.Column":
+    return F.col("l_discount").cast("decimal(4,2)")
+
+
+def _revenue() -> "F.Column":
+    """extendedprice * (1 - discount) in exact DECIMAL."""
+    return _dec_price() * (F.lit(1) - _dec_disc())
+
+
+_REVENUE_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping priority: unshipped-as-of-date revenue per order.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate  > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (adapted: o_orderpriority stands in for the missing
+    o_shippriority). Segment filter prunes customer before the join;
+    both date predicates push into the parquet scans. The group-by key
+    includes the order columns so no second join is needed post-agg."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-07-01").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order priority checking via EXISTS (late-shipment adaptation).
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: the missing l_commitdate < l_receiptdate lateness
+    test becomes "some lineitem shipped > 90 days after the order date").
+    Plans as a LEFT SEMI join on l_orderkey with the non-equi lateness
+    predicate as the join condition — lineitem is never widened, and the
+    semi join short-circuits per order at scale."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume within one region.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT
+      n_name,
+      CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 verbatim: the "local supplier" constraint is the extra
+    c_nationkey = s_nationkey equi-condition on the supplier join.
+    nation ⋈ region (O(25) rows forever) broadcasts explicitly; the
+    customer/supplier joins stay AQE-decided so the plan survives a
+    100× customer table."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    dims = F.broadcast(n.join(r, F.col("n_regionkey") == F.col("r_regionkey")))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(dims, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change: single-table selective aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q6",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+           AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim: the canonical pushdown probe — all three
+    predicates and the two-column projection must reach the parquet scan
+    (asserted in tests/test_plans.py), after which the whole query is one
+    map-side partial sum plus a single-row exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(_dec_price() * _dec_disc()), 2).cast("double").alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by direction and year.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+    SELECT
+      supp_nation,
+      cust_nation,
+      l_year,
+      CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT
+        n1.n_name AS supp_nation,
+        n2.n_name AS cust_nation,
+        year(l_shipdate) AS l_year,
+        {_REVENUE_SQL} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey  = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1999-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 verbatim (nation pair NATION_1/NATION_2). The two nation
+    lookups broadcast; the disjunctive nation-pair predicate runs after
+    them, and Catalyst infers n_nationkey IN (1,2) filters onto both
+    supplier and customer scans, so the fact joins only carry the two
+    relevant nations' rows."""
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — market share of one nation within a region's market.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+    SELECT
+      o_year,
+      round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(16,4)) END)
+                 AS DOUBLE)
+            / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+    FROM (
+      SELECT
+        year(o_orderdate) AS o_year,
+        CAST({_REVENUE_SQL} AS DECIMAL(16,4)) AS volume,
+        n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey  = l_partkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey  = c_custkey
+      JOIN nation n1 ON c_nationkey  = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN supplier  ON l_suppkey   = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'AMERICA'
+        AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted: single-word p_type domain, target supplier
+    nation NATION_5, market region AMERICA). Ratio-of-conditional-sums runs
+    entirely in DECIMAL(16,4) so both engines accumulate identically, then
+    divides as double and rounds to 4 (registry rules). The seven-way join
+    keeps all O(25) dims broadcast and lets AQE handle part/customer."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust_region = F.broadcast(
+        n.join(r, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("c_nk")
+        )
+    )
+    supp_nation = F.broadcast(
+        n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    )
+    vol = _revenue().cast("decimal(16,4)")
+    zero = F.lit(0).cast("decimal(16,4)")
+    joined = (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust_region, F.col("c_nationkey") == F.col("c_nk"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("s_nk"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(zero)).cast(
+                "double"
+            )
+            / F.sum("volume").cast("double"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by supplier nation and year.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+    SELECT
+      nation,
+      o_year,
+      CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT
+        n_name AS nation,
+        year(o_orderdate) AS o_year,
+        {_REVENUE_SQL} AS amount
+      FROM part
+      JOIN lineitem ON p_partkey  = l_partkey
+      JOIN supplier ON l_suppkey  = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp table, so profit omits the
+    ps_supplycost * l_quantity term and is pure discounted revenue).
+    The '%red%' contains-filter cannot push to a parquet statistic but
+    does prune part before the fact join; nation broadcasts."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        p.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            _revenue().alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned-item reporting: top customers by lost revenue.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+    SELECT
+      c_custkey,
+      c_name,
+      CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
+      c_acctbal,
+      n_name
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 verbatim: one quarter of 'R'-flagged lineitems, revenue
+    per customer, top 20. Both filters push to scans; the group-by carries
+    the customer attributes in the key so no re-join after the aggregate;
+    revenue desc + c_custkey gives the unique total order the LIMIT needs."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping lateness vs order priority (shipmode adaptation).
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q12",
+    oracle="""
+    SELECT
+      lateness,
+      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        AS high_line_count,
+      sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        AS low_line_count
+    FROM (
+      SELECT
+        o_orderpriority,
+        CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 120 THEN 'VERY LATE'
+             WHEN date_diff('day', o_orderdate, l_shipdate) > 60  THEN 'LATE'
+             ELSE 'ON TIME' END AS lateness
+      FROM orders
+      JOIN lineitem ON o_orderkey = l_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    ) shipped
+    GROUP BY lateness
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: lineitem has no l_shipmode/commitdate/receiptdate,
+    so the group key is a ship-lag bucket — days between order and ship —
+    and the measure is the classic high/low priority line counts). Both
+    timestamps are midnight-aligned, so day-diff bucketing is exact and
+    engine-independent."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    lateness = (
+        F.when(lag > 120, "VERY LATE").when(lag > 60, "LATE").otherwise("ON TIME")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(lateness.alias("lateness"), high.alias("is_high"))
+        .groupBy("lateness")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~F.col("is_high"), 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promotion effect: ratio of promo revenue to total revenue.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT
+      round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                                  THEN CAST({_REVENUE_SQL} AS DECIMAL(16,4))
+                                  ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+            / CAST(sum(CAST({_REVENUE_SQL} AS DECIMAL(16,4))) AS DOUBLE), 4)
+        AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (adapted: p_type = 'PROMO' exact match, single-word type
+    domain). One selective month of lineitem joins part (AQE broadcasts
+    part while it fits); the conditional and total sums accumulate in
+    DECIMAL(16,4) and divide as doubles rounded to 4."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    vol = _revenue().cast("decimal(16,4)")
+    zero = F.lit(0).cast("decimal(16,4)")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers: group-by-having over the fact table.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q18",
+    oracle="""
+    SELECT
+      c_name,
+      c_custkey,
+      o_orderkey,
+      o_orderdate,
+      o_totalprice,
+      round(sum(l_quantity), 2) AS sum_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (threshold 250 ≈ top 1% of orders in this data). The
+    qualifying-order set reduces lineitem to grouped (orderkey, sum)
+    longs BEFORE any join — the classic aggregate-then-join rewrite that
+    keeps the big shuffle narrow at 100 TB — then semi-joins orders and
+    re-joins lineitem only for the surviving keys."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty_all"))
+        .filter(F.col("sum_qty_all") > 250)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue under OR-of-AND predicates.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT CAST(round(sum({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted brands/sizes to this data's domains): the
+    OR-of-AND predicate spans both join sides, so it must evaluate post-join
+    — but Catalyst derives the single-side implications (brand IN (...),
+    size/quantity envelopes) and pushes THOSE into both scans, which is
+    the behavior this key exists to exercise."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    branch = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= size_hi)
+        & (q >= q_lo)
+        & (q <= q_hi)
+    )
+    cond = (
+        branch("Brand#1", 15, 1, 11)
+        | branch("Brand#2", 25, 10, 20)
+        | branch("Brand#3", 35, 20, 30)
+    )
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.round(F.sum(_revenue()), 2).cast("double").alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22 — dormant high-balance customers (global sales opportunity).
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q22",
+    oracle="""
+    SELECT
+      c_nationkey,
+      count(*) AS numcust,
+      CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (
+        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: no phone column, so the group key is
+    c_nationkey, and "no orders" — vacuous in this data — becomes "no
+    orders since 2001-01-01"). Scalar-subquery average broadcasts as a
+    literal; the NOT EXISTS is a LEFT ANTI join against the pruned
+    recent-orders scan. Balance sums run in DECIMAL."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = F.broadcast(
+        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )

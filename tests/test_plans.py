@@ -165,3 +165,46 @@ def test_asof_join_is_window_not_range_join(spark, sf_dir):
     assert "Window" in plan
     assert "NestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q6_full_pushdown(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: every predicate and the 4-column
+    projection must reach the parquet scan, leaving one partial-agg stage."""
+    plan = _formatted(spark, "q_tpch_q6", sf_dir)
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_returnflag" not in read_schema
+    assert "l_orderkey" not in read_schema
+
+
+def test_tpch_q5_broadcasts_fixed_dims_only(spark, sf_dir):
+    """nation⋈region (O(25) rows at any SF) must broadcast; the growing
+    tables (customer/orders/lineitem/supplier) must NOT be hint-forced —
+    at this SF AQE may still broadcast them, but no SortMergeJoin on the
+    dim chain."""
+    plan = _formatted(spark, "q_tpch_q5", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # one of the fact joins may legitimately shuffle
+    assert plan.count("SortMergeJoin") <= 3
+
+
+def test_tpch_q18_aggregates_before_join(spark, sf_dir):
+    """The qualifying-orders set must come from a lineitem aggregate (partial
+    agg on the scan side), not from joining full lineitem rows first."""
+    plan = _formatted(spark, "q_tpch_q18", sf_dir)
+    assert "HashAggregate" in plan
+    # the semi join against qualifying orderkeys exists
+    assert "LeftSemi" in plan
+
+
+def test_tpch_q19_derives_singleside_filters(spark, sf_dir):
+    """The OR-of-AND predicate spans both join sides; Catalyst must still
+    derive and push the single-side implications (brand IN-set on part,
+    quantity envelope on lineitem) into the scans."""
+    plan = _formatted(spark, "q_tpch_q19", sf_dir)
+    pushed_all = plan.split("PushedFilters:")
+    joined = " ".join(seg.split("\n")[0] for seg in pushed_all[1:])
+    assert "p_brand" in joined
+    assert "l_quantity" in joined
