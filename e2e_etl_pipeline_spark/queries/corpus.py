@@ -412,6 +412,91 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS words
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, words,
+             len(words) AS n,
+             list_distinct(words) AS dw,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])
+                  ELSE [] END AS grams
+      FROM w
+    )
+    SELECT
+      doc_id,
+      round(CAST(len(dw) AS DOUBLE) / n, 4) AS ttr,
+      round(CAST(list_max(list_transform(dw,
+                   d -> len(list_filter(words, x -> x = d)))) AS DOUBLE) / n, 4)
+        AS top_word_frac,
+      CASE WHEN n >= 2
+           THEN round(CAST(list_max(list_transform(list_distinct(grams),
+                        g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
+                      / (n - 1), 4)
+           ELSE 0.0 END AS top_bigram_frac
+    FROM f
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: type-token ratio, fraction of tokens
+    that are the single most frequent word, and fraction of bigrams that are
+    the single most frequent bigram — the standard signals for excising
+    boilerplate/degenerate documents before LLM training.
+
+    Scale: entirely per-row array expressions (no explode, no shuffle, no
+    Python) — the whole plan is one codegen'd map over the corpus, so it
+    scales embarrassingly to 100 TB. Per-row cost is O(|distinct| · |words|),
+    bounded by document length. Short-text guard: documents with < 2 words
+    get an empty bigram array (never a descending `sequence`), reporting
+    top_bigram_frac = 0 (ADVICE.md round-1 lesson).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = _words("text")
+    d = d.select("doc_id", words.alias("words"), F.size(words).alias("n"))
+    dw = F.array_distinct(F.col("words"))
+    occurrences = lambda arr, item: F.size(  # noqa: E731
+        F.filter(arr, lambda x: x == item)
+    )
+    top_word = F.array_max(
+        F.transform(dw, lambda d_: occurrences(F.col("words"), d_))
+    )
+    grams = F.when(
+        F.col("n") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("words", i), F.element_at("words", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.withColumn("grams", grams)
+    top_gram = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("grams")),
+            lambda g: occurrences(F.col("grams"), g),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    return d.select(
+        "doc_id",
+        F.round(F.size(dw).cast("double") / n_d, 4).alias("ttr"),
+        F.round(top_word.cast("double") / n_d, 4).alias("top_word_frac"),
+        F.when(
+            F.col("n") >= 2,
+            F.round(top_gram.cast("double") / (n_d - 1), 4),
+        )
+        .otherwise(0.0)
+        .alias("top_bigram_frac"),
+    )
+
+
 # Imported HERE, after this module's @register calls: importing llm earlier
 # would register its (round-1-driver-green) keys ahead of this module's
 # never-driver-checked ones — see the registration-order note in __init__.py.

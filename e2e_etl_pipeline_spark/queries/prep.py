@@ -665,3 +665,57 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
     )
+
+
+@register(
+    "q_embedding_dimstats",
+    oracle="""
+    WITH flat AS (
+      SELECT i AS dim,
+             CAST(embedding[i] AS DECIMAL(12,6)) AS v
+      FROM embeddings, range(1, 65) t(i)
+    )
+    SELECT
+      CAST(dim AS INTEGER) AS dim,
+      round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_v,
+      round(sqrt(greatest(
+        CAST(sum(v * v) AS DOUBLE) / count(*)
+          - (CAST(sum(v) AS DOUBLE) / count(*)) * (CAST(sum(v) AS DOUBLE) / count(*)),
+        0.0)), 4) AS std_v,
+      CAST(round(min(v), 4) AS DOUBLE) AS min_v,
+      CAST(round(max(v), 4) AS DOUBLE) AS max_v
+    FROM flat
+    GROUP BY dim
+    """,
+)
+def q_embedding_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension profile of the embedding column (mean/std/min/max per
+    coordinate) — the feature-health dashboard for a vector corpus and the
+    input to whitening / quantizer calibration.
+
+    Hash stability: each float is first snapped to DECIMAL(12,6) (exact,
+    engine-independent), sums and sums-of-squares accumulate exactly in
+    decimal, and only the final mean/variance arithmetic runs in double
+    with an identical expression tree in both dialects.
+
+    Scale: posexplode fans each vector into (dim, value) pairs — dim count
+    is fixed (64), so the shuffle is |corpus|·dims skinny rows feeding a
+    64-group partial agg; no window, no Python. At 100 TB this is one
+    map + one tiny-key reduce.
+    """
+    em = load_table(spark, sf_dir, "embeddings")
+    flat = em.select(F.posexplode("embedding").alias("pos", "raw"))
+    v = F.col("raw").cast("decimal(12,6)")
+    flat = flat.select((F.col("pos") + 1).cast("int").alias("dim"), v.alias("v"))
+    n = F.count(F.lit(1))
+    sum_d = F.sum("v").cast("double")
+    sumsq_d = F.sum(F.col("v") * F.col("v")).cast("double")
+    mean = sum_d / n
+    return flat.groupBy("dim").agg(
+        F.round(mean, 4).alias("mean_v"),
+        F.round(
+            F.sqrt(F.greatest(sumsq_d / n - mean * mean, F.lit(0.0))), 4
+        ).alias("std_v"),
+        F.round(F.min("v"), 4).cast("double").alias("min_v"),
+        F.round(F.max("v"), 4).cast("double").alias("max_v"),
+    )

@@ -529,3 +529,56 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_day = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return per_day.withColumn("cum_users", F.sum("new_users").over(w))
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT
+        user_id,
+        event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events
+    )
+    SELECT
+      prev_type,
+      event_type AS next_type,
+      count(*) AS n_trans,
+      round(CAST(count(*) AS DOUBLE)
+            / sum(count(*)) OVER (PARTITION BY prev_type), 4) AS p_trans
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (prev_type, next_type) pair, the transition count and the
+    row-normalized probability — the standard building block for journey
+    mining and next-event prediction features.
+
+    Scale: one lag window partitioned by user_id (the same shuffle any
+    sessionization pays; skew bounded by events-per-user), then a
+    partial-agg'd groupBy down to |event_type|² rows; the normalizing
+    window runs on that tiny matrix, not the event stream. Ordering ties
+    on ts are broken by event_id so the lag is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    w_row = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans").cast("double") / F.sum("n_trans").over(w_row), 4
+        ).alias("p_trans"),
+    )
