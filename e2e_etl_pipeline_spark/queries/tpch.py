@@ -701,3 +701,224 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal"),
         )
     )
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double group-by).
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer
+      LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (adapted: the o_comment NOT LIKE exclusion becomes
+    "exclude 1-URGENT orders" — same shape, a filter embedded in the outer
+    join condition, NOT a pre-filter, so order-less customers still count
+    with c_count = 0). Two cascaded aggregations: the first shuffles on
+    c_custkey (same key as the join, so AQE coalesces into one exchange),
+    the second reduces to |distinct counts| rows. count(o_orderkey) —
+    not count(*) — so NULL-extended rows contribute zero."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s) by quarterly revenue (agg + scalar-max filter).
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, sum({_REVENUE_SQL}) AS rev_d
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT
+      s_suppkey,
+      s_name,
+      CAST(round(rev_d, 2) AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE rev_d = (SELECT max(rev_d) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (view + scalar subquery): quarterly revenue per supplier,
+    returning the supplier(s) achieving the global maximum. The revenue
+    "view" materializes once as a |suppliers|-row aggregate; the max is a
+    1-row frame broadcast back onto it (never a window over the fact
+    table), and ties are decided on the EXACT decimal sum — rounding
+    happens only in the projection, so both engines pick identical
+    winners. Supplier join runs after the reduction, carrying only the
+    max-revenue row(s)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("rev_d")
+    )
+    mx = F.broadcast(rev.agg(F.max("rev_d").alias("mx")))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(mx, F.col("rev_d") == F.col("mx"))
+        .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_d"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated per-part average).
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q17",
+    oracle="""
+    WITH brand_li AS (
+      SELECT l_partkey, CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#12'
+    ),
+    cut AS (
+      SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS n
+      FROM brand_li GROUP BY l_partkey
+    )
+    SELECT
+      CAST(round(CAST(sum(price) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM brand_li
+    JOIN cut USING (l_partkey)
+    WHERE qty * 5 * n < sum_qty
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: no p_container column, so the part predicate is
+    brand-only; the 7-year divisor is kept from the spec). The correlated
+    subquery `l_quantity < 0.2 * avg(l_quantity per part)` is decorrelated
+    into one per-part aggregate joined back on l_partkey — two passes over
+    the brand slice, never a per-row subquery. The threshold compare is
+    rewritten divisionless (qty * 5 * n < sum_qty) so it runs in EXACT
+    decimal/integer arithmetic — no FP average whose last-bit could flip
+    the predicate differently per engine. The part filter prunes lineitem
+    before both aggregates."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#12")
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_li = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        _dec_price().alias("price"),
+    )
+    cut = brand_li.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        brand_li.join(cut, "l_partkey")
+        .filter(F.col("qty") * 5 * F.col("n") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum("price").cast("double") / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who alone held up multi-supplier orders.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q21",
+    oracle="""
+    SELECT s_suppkey, s_name, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: lateness `l_receiptdate > l_commitdate` — columns
+    absent — becomes "shipped > 60 days after the order date"; numwait
+    counts distinct orders so the EXISTS oracle and the aggregate rewrite
+    agree exactly). The EXISTS / NOT EXISTS pair is rewritten as ONE
+    per-order aggregate: an order charges its supplier iff it has > 1
+    distinct supplier and EXACTLY ONE distinct late supplier — identical
+    semantics, but a single shuffle on l_orderkey instead of two
+    correlated self-joins over the fact table. Orders ('F' slice) joins
+    the per-order summary on its own key; supplier attaches only to the
+    |qualifying orders| survivors."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+    ).select("l_orderkey", "late_supp")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        blamed.groupBy("late_supp")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("s_suppkey") == F.col("late_supp"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+    )

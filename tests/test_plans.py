@@ -208,3 +208,43 @@ def test_tpch_q19_derives_singleside_filters(spark, sf_dir):
     joined = " ".join(seg.split("\n")[0] for seg in pushed_all[1:])
     assert "p_brand" in joined
     assert "l_quantity" in joined
+
+
+def test_tpch_q13_filter_inside_outer_join(spark, sf_dir):
+    """Q13's priority exclusion must live in the LEFT join condition (so
+    order-less customers survive with count 0) — the plan must keep the
+    outer join, not let the filter degrade it to inner."""
+    plan = _formatted(spark, "q_tpch_q13", sf_dir)
+    assert "LeftOuter" in plan
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    # customer side reads only its key
+    assert "c_mktsegment" not in plan.split("ReadSchema:")[1]
+
+
+def test_tpch_q15_max_is_broadcast_not_window(spark, sf_dir):
+    """Q15's scalar max must attach via a 1-row broadcast onto the
+    supplier-grain aggregate — never a global Window over it."""
+    plan = _formatted(spark, "q_tpch_q15", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_tpch_q17_decorrelated_single_fanout(spark, sf_dir):
+    """Q17's correlated per-part average must decorrelate to an aggregate
+    joined back on l_partkey — no nested-loop re-evaluation, and the brand
+    filter must prune the part scan."""
+    plan = _formatted(spark, "q_tpch_q17", sf_dir)
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pushed_all = plan.split("PushedFilters:")
+    joined = " ".join(seg.split("\n")[0] for seg in pushed_all[1:])
+    assert "p_brand" in joined
+
+
+def test_tpch_q21_one_fact_shuffle_no_self_joins(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is rewritten as one per-order aggregate:
+    exactly one grouping over the lineitem⋈orders join — not two extra
+    correlated self-joins of the fact table (lineitem scans stay ≤ 1)."""
+    plan = _formatted(spark, "q_tpch_q21", sf_dir)
+    assert plan.count("lineitem.parquet") <= 1
+    assert "TakeOrderedAndProject" in plan
