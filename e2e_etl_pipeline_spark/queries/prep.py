@@ -719,3 +719,325 @@ def q_embedding_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 4).cast("double").alias("min_v"),
         F.round(F.max("v"), 4).cast("double").alias("max_v"),
     )
+
+
+@register(
+    "q_ref_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS relation,
+           (SELECT count(*) FROM lineitem) AS total_rows,
+           (SELECT count(*) FROM lineitem
+             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_rows
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+             WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+             WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders
+             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) 
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer
+             WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    """,
+)
+def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for every
+    FK->PK edge, the child row count and how many children point at a
+    missing parent — the standard pre-flight data-quality gate before a
+    warehouse load is trusted.
+
+    Each edge is a left join against the DISTINCT parent keys (so a
+    duplicated parent can never fan out the child count) with a
+    null-parent conditional sum; the five per-edge single-row aggregates
+    union into one audit table.
+
+    Scale: per edge, one shuffle of child KEYS only (columns pruned to
+    the FK) against a distinct'd dim — the dims broadcast under AQE while
+    they fit; counts partial-aggregate map-side. No edge materializes
+    matched rows."""
+    edges = [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    parts = []
+    for child_t, fk, parent_t, pk in edges:
+        child = load_table(spark, sf_dir, child_t).select(fk)
+        parent = load_table(spark, sf_dir, parent_t).select(pk).distinct()
+        audited = child.join(parent, F.col(fk) == F.col(pk), "left").agg(
+            F.count(F.lit(1)).alias("total_rows"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias(
+                "orphan_rows"
+            ),
+        )
+        parts.append(
+            audited.select(
+                F.lit(f"{child_t}.{fk}->{parent_t}").alias("relation"),
+                "total_rows",
+                "orphan_rows",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT user_id, cnt,
+             sum(cnt) OVER (PARTITION BY user_id) AS total
+      FROM c
+    )
+    SELECT user_id,
+           CAST(max(total) AS BIGINT) AS n_events,
+           round(-sum((CAST(cnt AS DOUBLE) / total)
+                      * log2(CAST(cnt AS DOUBLE) / total)), 4) AS entropy_bits
+    FROM t
+    GROUP BY user_id
+    """,
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy (bits) of the event-type mix — the
+    information-theoretic "how varied is this user's behavior" feature;
+    near 0 = monomaniac sessions, log2(|types|) = uniform usage. The same
+    shape profiles label balance in a training corpus.
+
+    Scale: events reduce to (user, type, cnt) first (one shuffle on the
+    composite key, partial-agg map-side); the per-user total is a window
+    over THAT reduced frame on the same user_id partitioning, so no
+    second fact-table pass. Entropy terms sum per user over ≤ |types|
+    doubles; round(4) swallows last-bit FP noise."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("user_id")
+    c = c.withColumn("total", F.sum("cnt").over(w))
+    p = F.col("cnt").cast("double") / F.col("total")
+    return c.groupBy("user_id").agg(
+        F.max("total").cast("bigint").alias("n_events"),
+        F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
+    )
+
+
+@register(
+    "q_corr_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT
+        count(*) AS n,
+        CAST(sum(q)     AS DOUBLE) AS sq,  CAST(sum(q*q) AS DOUBLE) AS sqq,
+        CAST(sum(p)     AS DOUBLE) AS sp,  CAST(sum(p*p) AS DOUBLE) AS spp,
+        CAST(sum(d)     AS DOUBLE) AS sd,  CAST(sum(d*d) AS DOUBLE) AS sdd,
+        CAST(sum(q*p)   AS DOUBLE) AS sqp,
+        CAST(sum(q*d)   AS DOUBLE) AS sqd,
+        CAST(sum(p*d)   AS DOUBLE) AS spd
+      FROM (
+        SELECT CAST(l_quantity      AS DECIMAL(12,2)) AS q,
+               CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+               CAST(l_discount      AS DECIMAL(4,2))  AS d
+        FROM lineitem
+      )
+    )
+    SELECT x_col, y_col, round(num / sqrt(denx * deny), 4) AS corr_r
+    FROM (
+      SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
+             n*sqp - sq*sp AS num, n*sqq - sq*sq AS denx, n*spp - sp*sp AS deny
+      FROM m
+      UNION ALL
+      SELECT 'l_quantity', 'l_discount',
+             n*sqd - sq*sd, n*sqq - sq*sq, n*sdd - sd*sd FROM m
+      UNION ALL
+      SELECT 'l_extendedprice', 'l_discount',
+             n*spd - sp*sd, n*spp - sp*sp, n*sdd - sd*sd FROM m
+    )
+    """,
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric measures
+    (quantity, extendedprice, discount) — the column-relationship half of
+    data profiling (q_profile covers per-column stats).
+
+    Determinism: Spark/DuckDB `corr()` accumulates doubles in partition
+    order, so the last bits differ per engine/partitioning. Instead ALL
+    moments (sums, squares, cross-products) accumulate EXACTLY in
+    decimal in one aggregate pass; only the closed-form correlation
+    arithmetic runs in double, on identical inputs in both engines.
+
+    Scale: one map-side-combinable pass over the fact table producing a
+    single 10-number row; the matrix assembly is driver-trivial. Decimal
+    sums of (24,4) products fit Spark's (34,4) accumulator to ~1e15 —
+    beyond that, shard the sum (e.g. per-month partial moments summed
+    exactly) before the final combine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("decimal(12,2)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("p"),
+        F.col("l_discount").cast("decimal(4,2)").alias("d"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").cast("double").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("double").alias("sqq"),
+        F.sum("p").cast("double").alias("sp"),
+        F.sum(F.col("p") * F.col("p")).cast("double").alias("spp"),
+        F.sum("d").cast("double").alias("sd"),
+        F.sum(F.col("d") * F.col("d")).cast("double").alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).cast("double").alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).cast("double").alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).cast("double").alias("spd"),
+    )
+    pairs = [
+        ("l_quantity", "l_extendedprice", "sqp", "sq", "sp", "sqq", "spp"),
+        ("l_quantity", "l_discount", "sqd", "sq", "sd", "sqq", "sdd"),
+        ("l_extendedprice", "l_discount", "spd", "sp", "sd", "spp", "sdd"),
+    ]
+    rows = []
+    for x, y, sxy, sx, sy, sxx, syy in pairs:
+        n = F.col("n")
+        num = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        denx = n * F.col(sxx) - F.col(sx) * F.col(sx)
+        deny = n * F.col(syy) - F.col(sy) * F.col(sy)
+        rows.append(
+            m.select(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                F.round(num / F.sqrt(denx * deny), 4).alias("corr_r"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "q_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, value, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events
+    )
+    SELECT user_id, value AS last_value, n_changes
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture log compaction: treat events as an ordered
+    change stream per key (user_id), apply last-writer-wins, and drop
+    keys whose final record is a tombstone ('error' plays the delete op).
+    This is the standard CDC->table materialization every lakehouse
+    ingest performs.
+
+    Scale: ONE shuffle on the key feeds both window functions (row_number
+    for last-wins, count for change stats share the same partitioning);
+    ties on ts break on event_id so replays are deterministic. At 100 TB
+    this is the same plan Delta/Hudi compaction runs: no fact-table
+    self-join, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id",
+        "value",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_changes"),
+    )
+    return ranked.filter(
+        (F.col("rn") == 1) & (F.col("event_type") != "error")
+    ).select("user_id", F.col("value").alias("last_value"), "n_changes")
+
+
+@register(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CAST(o_totalprice AS DECIMAL(12,2)) AS pr
+      FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
+    ),
+    b AS (
+      SELECT o_orderkey AS k, o_orderstatus AS st,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) * CAST(1.1 AS DECIMAL(2,1))
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS pr
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+    )
+    SELECT
+      CASE WHEN b.k IS NULL THEN 'removed'
+           WHEN a.k IS NULL THEN 'added'
+           WHEN a.st <> b.st OR a.pr <> b.pr THEN 'changed'
+           ELSE 'unchanged' END AS change_type,
+      count(*) AS n_rows
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    GROUP BY 1
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-snapshot diff (the data-diff / reconciliation operator): a
+    keyed FULL OUTER join of two snapshot views classifying every key as
+    added / removed / changed / unchanged. The snapshots are deterministic
+    projections of orders (old window vs new window with urgent-order
+    price restated), so the oracle reconstructs them exactly.
+
+    Scale: one co-partitioned full-outer shuffle on the key — the only
+    way to see both absences — with all compares on pruned columns;
+    change math runs in exact DECIMAL so "changed" never flickers on FP
+    noise. Output is the 4-row audit summary, not the row-level diff
+    (swap the final agg for the classified frame to materialize it)."""
+    o = load_table(spark, sf_dir, "orders")
+    pr = F.col("o_totalprice").cast("decimal(12,2)")
+    a = o.filter(
+        F.col("o_orderdate") < F.lit("2001-01-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("ak"),
+        F.col("o_orderstatus").alias("ast"),
+        pr.alias("apr"),
+    )
+    b = o.filter(
+        F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("bk"),
+        F.col("o_orderstatus").alias("bst"),
+        F.when(
+            F.col("o_orderpriority") == "1-URGENT",
+            pr * F.lit("1.1").cast("decimal(2,1)"),
+        )
+        .otherwise(pr)
+        .alias("bpr"),
+    )
+    full = a.join(b, F.col("ak") == F.col("bk"), "full")
+    change = (
+        F.when(F.col("bk").isNull(), "removed")
+        .when(F.col("ak").isNull(), "added")
+        .when(
+            (F.col("ast") != F.col("bst")) | (F.col("apr") != F.col("bpr")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return full.groupBy(change.alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )

@@ -582,3 +582,64 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_trans").cast("double") / F.sum("n_trans").over(w_row), 4
         ).alias("p_trans"),
     )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(12,2)) AS v,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             lead(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           round(CAST(sum(v * (nt - t)) AS DOUBLE) / sum(nt - t), 4) AS twap
+    FROM s
+    WHERE nt IS NOT NULL
+    GROUP BY user_id
+    HAVING sum(nt - t) > 0
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user: each observation is
+    weighted by how long it remained current (seconds until the user's
+    next event; the open-ended last observation is excluded). TWAP is the
+    standard temporal aggregate wherever sampling is irregular — sensor
+    rollups, price feeds, utilization metering — and a plain avg() is
+    simply wrong there.
+
+    Determinism: epochs floor to whole seconds in both engines (Spark's
+    ts→long cast floors; the oracle floors epoch() explicitly — BASELINE
+    gotcha), weights are exact bigints, values snap to DECIMAL before the
+    weighted sum, and ordering ties break on event_id.
+
+    Scale: one shuffle on user_id feeds the lead() window; the weighted
+    sums partial-aggregate on the SAME partitioning (no second exchange).
+    Degenerate all-same-second users are dropped by the sum(dt) > 0 guard
+    rather than dividing by zero."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.col("ts").cast("long")
+    s = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("nt"),
+    ).filter(F.col("nt").isNotNull())
+    dt = F.col("nt") - F.col("t")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("v") * dt).cast("double") / F.sum(dt), 4
+            ).alias("twap"),
+            F.sum(dt).alias("_sdt"),
+        )
+        .filter(F.col("_sdt") > 0)
+        .drop("_sdt")
+    )

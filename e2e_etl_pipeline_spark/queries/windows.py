@@ -219,3 +219,51 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
     )
+
+
+@register(
+    "q_window_median",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT day, n_orders,
+           CAST(median(n_orders) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS med7
+    FROM daily
+    """,
+)
+def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of daily order volume over a trailing 7-row
+    frame — the robust-smoothing companion to q_window_moving_avg (means
+    are skew-sensitive; ops dashboards want medians).
+
+    Spark has no median window function, so the frame's values are
+    collected (bounded: ≤ 7 longs), sorted, and interpolated exactly like
+    DuckDB's quantile_cont(0.5): middle element when odd, mean of the two
+    middles when even. Counts are integers, so the .5 interpolation is
+    exact in double — no FP-tie risk.
+
+    Scale: the window runs over the DAILY aggregate (|days| rows), never
+    the fact table; the fact scan reduces map-side first. A single-series
+    global window is one partition by design — the pre-aggregated frame
+    is tiny at any SF (shard by series key when there are many series)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list("n_orders").over(w))
+    n = F.size(arr)
+    mid = F.element_at(arr, ((n + 1) / 2).cast("int")).cast("double")
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2).cast("int") + 1)
+    ).cast("double") / 2.0
+    return daily.select(
+        "day",
+        "n_orders",
+        F.when(n % 2 == 1, mid).otherwise(even).alias("med7"),
+    )
