@@ -1041,3 +1041,40 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.groupBy(change.alias("change_type")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+@register("q_hll_sketch")  # rows-only: estimates are engine-specific
+def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-nation HyperLogLog sketches of the
+    customer key, unioned to region grain with hll_union_agg, plus the
+    exact distinct count at both grains for error audit. This is THE
+    100 TB pattern for distinct-count hierarchies — sketches are built
+    once at the fine grain (map-side combinable, fixed bytes per group)
+    and re-aggregate to ANY coarser grain without touching raw data,
+    unlike countDistinct whose exact shuffle must rerun per grain.
+
+    Rows-only by design: HLL estimates are deterministic for a given
+    engine but not portable across sketch implementations (DuckDB's
+    approx sketches differ), so there is no cross-engine oracle;
+    tests/test_llm_ops.py asserts < 2% relative error against the exact
+    counts instead. Output carries only scalar columns (estimates +
+    exacts), never the binary sketch (driver canonicalizer rule)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sk"),
+            F.countDistinct("c_custkey").alias("exact_nation"),
+        )
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
+            F.sum("exact_nation").alias("exact_customers"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -643,3 +643,108 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_sdt") > 0)
         .drop("_sdt")
     )
+
+
+@register(
+    "q_incremental_agg",
+    oracle="""
+    SELECT
+      CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+        AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an additive rollup: the monthly
+    revenue materialization is built as base partial (history slice) +
+    delta partial (new arrivals since the cutoff), merged by summing
+    partials — the pattern that turns a 100 TB nightly recompute into a
+    touch-only-the-new-partition update. The oracle recomputes from
+    scratch, so the gate proves partial-merge == full-recompute.
+
+    Scale: each slice partial-aggregates map-side on its own scan (the
+    cutoff predicate pushes into both); the merge shuffles |months| × 2
+    partial rows, not facts. Works for any commutative-monoid aggregate
+    (sum/count/min/max, sketches); averages must ship (sum, count) pairs
+    — which is why the partials here carry counts, not means."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("2001-01-01").cast("timestamp")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+    def partial(slice_df: DataFrame) -> DataFrame:
+        return slice_df.groupBy(
+            F.trunc(F.to_date("l_shipdate"), "month").alias("month")
+        ).agg(F.sum(rev).alias("rev_d"), F.count(F.lit(1)).alias("n_items"))
+
+    base = partial(li.filter(F.col("l_shipdate") < cutoff))
+    delta = partial(li.filter(F.col("l_shipdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.round(F.sum("rev_d"), 2).cast("double").alias("revenue"),
+            F.sum("n_items").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    f AS (
+      SELECT day, n_orders,
+             list(n_orders) OVER (ORDER BY day
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS arr
+      FROM daily
+    )
+    SELECT day, n_orders,
+           round(
+             list_sum(list_transform(arr,
+               (x, i) -> CAST(x AS DOUBLE) * power(0.5, len(arr) - i)))
+             / (2 - power(0.5, len(arr) - 1)), 4) AS ewma10
+    FROM f
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 0.5) of daily order
+    volume over a truncated 10-row tail — the recency-weighted smoother
+    behind monitoring baselines and trend features; the truncation makes
+    it a pure window expression (no recursive state).
+
+    Determinism: weights are powers of 1/2 — EXACT in binary floating
+    point — applied to small integer counts, and the normalizer uses the
+    closed-form geometric sum 2 - 2^-(m-1), so both engines compute
+    identical doubles before the final round. Frame order (day asc) fixes
+    the weight-to-element pairing; Spark's 0-based transform index and
+    DuckDB's 1-based one both map the newest row to exponent 0.
+
+    Scale: like q_window_median, the window runs over the pre-aggregated
+    daily series, never the fact table; each frame carries ≤ 10 longs."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("day").rowsBetween(-9, 0)
+    arr = F.collect_list("n_orders").over(w)
+    daily = daily.withColumn("arr", arr)
+    m = F.size("arr")
+    weighted = F.transform(
+        F.col("arr"),
+        lambda x, i: x.cast("double")
+        * F.pow(F.lit(0.5), (m - 1 - i).cast("double")),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = F.lit(2.0) - F.pow(F.lit(0.5), (m - 1).cast("double"))
+    return daily.select(
+        "day", "n_orders", F.round(num / den, 4).alias("ewma10")
+    )

@@ -159,3 +159,17 @@ def test_embedding_dedup_finds_planted_duplicates(spark, sf_dir):
     }
     # identical vectors hash into identical buckets in every table
     assert (9001, 9002) in found or (9002, 9001) in found
+
+
+def test_hll_sketch_rollup_error_bounded(spark, sf_dir):
+    """q_hll_sketch has no cross-engine oracle (sketch implementations are
+    engine-specific); assert instead that the region-grain HLL estimate
+    stays within 2% of the exact distinct count at default precision."""
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_hll_sketch"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        rel_err = abs(r.est_customers - r.exact_customers) / r.exact_customers
+        assert rel_err < 0.02, (r.n_regionkey, rel_err)
