@@ -43,6 +43,12 @@ SHOWCASE = [
                       "never enter the exchange"),
     ("q_anomaly_zscore", "group stats broadcast back over the fact scan; "
                          "outlier filter runs inside codegen"),
+    ("q_tpch_q21", "EXISTS/NOT-EXISTS rewritten as one per-order "
+                   "aggregate: a single lineitem scan feeds the blame "
+                   "assignment; TakeOrderedAndProject caps the output"),
+    ("q_incremental_agg", "base + delta slices partial-aggregate on their "
+                          "own pruned scans; the merge shuffles per-month "
+                          "partials, never facts"),
     ("q_training_pipeline", "four pipeline stages (quality filter, digest "
                             "dedup, shingle decontamination, balanced "
                             "sample) fused into ONE plan; no exchange "
