@@ -334,3 +334,63 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return back.localCheckpoint()  # materialize before the tmp dir goes
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_compact_files",
+    oracle="""
+    SELECT 'fragmented' AS stage, 64 AS n_files,
+           (SELECT count(*) FROM orders) AS n_rows
+    UNION ALL
+    SELECT 'compacted', 4, (SELECT count(*) FROM orders)
+    """,
+)
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the unglamorous operator every long-lived
+    lake needs: streaming/incremental ingest leaves thousands of tiny
+    files per partition, and scan throughput dies on open/footer costs
+    long before bytes matter. A fragmented copy (64 shards) is rewritten
+    to 4 right-sized files; the audit reports file count and row count
+    per stage, and the oracle pins both (rows preserved, exact target
+    counts — a silent row drop or rogue extra file fails the gate).
+
+    The shard counts are fixed so the result is SF-stable; production
+    sizing replaces the constant with ceil(input_bytes / target_bytes)
+    (128 MB parquet default) per partition, via a repartition — NOT
+    coalesce, which would also narrow the upstream write's parallelism
+    and can't split skewed inputs. At 100 TB compaction runs
+    per-partition-predicate (only partitions whose small-file count
+    crosses a threshold rewrite), which is exactly how OPTIMIZE works in
+    table formats."""
+    import os
+
+    o = load_table(spark, sf_dir, "orders")
+    frag_path, comp_path = _tmpdir("frag"), _tmpdir("comp")
+
+    def parquet_files(path: str) -> int:
+        return sum(f.endswith(".parquet") for f in os.listdir(path))
+
+    try:
+        o.repartition(64).write.mode("overwrite").parquet(frag_path)
+        frag = spark.read.parquet(frag_path)
+        n_frag_files, n_frag_rows = parquet_files(frag_path), frag.count()
+        frag.repartition(4).write.mode("overwrite").parquet(comp_path)
+        comp = spark.read.parquet(comp_path)
+        rows = [
+            ("fragmented", n_frag_files, n_frag_rows),
+            ("compacted", parquet_files(comp_path), comp.count()),
+        ]
+        from e2e_etl_pipeline_spark.catalog import inline_frame
+
+        return inline_frame(
+            spark,
+            [dict(zip(["stage", "n_files", "n_rows"], r)) for r in rows],
+            ["stage", "n_files", "n_rows"],
+        ).select(
+            "stage",
+            F.col("n_files").cast("int").alias("n_files"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+        )
+    finally:
+        shutil.rmtree(frag_path, ignore_errors=True)
+        shutil.rmtree(comp_path, ignore_errors=True)

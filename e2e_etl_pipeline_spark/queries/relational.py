@@ -424,3 +424,61 @@ def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "o_orderkey", F.lit("slim").alias("src")
     )
     return full.unionByName(slim, allowMissingColumns=True)
+
+
+@register(
+    "q_json_flatten",
+    oracle="""
+    WITH tag_rows AS (
+      SELECT event_type,
+             CAST(value AS DECIMAL(12,2)) AS v,
+             unnest([event_type, json_extract_string(props, '$.k')]) AS tag
+      FROM events
+    )
+    SELECT event_type, tag, count(*) AS n,
+           CAST(round(sum(v), 2) AS DOUBLE) AS sum_v
+    FROM tag_rows
+    GROUP BY event_type, tag
+    """,
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON shredding: serialize each event into a nested document
+    (object + inner object + tag array), parse it back with a full
+    from_json schema, explode the array, and aggregate over fields pulled
+    from every nesting level — the standard "semi-structured in, columns
+    out" path (q_json_extract covers the single-path scalar case).
+
+    The oracle computes the same result from the relational columns
+    directly, so the gate proves the serialize→parse→explode pipeline is
+    lossless (a formatting or type-coercion bug in the roundtrip shows up
+    as a value mismatch).
+
+    Scale: from_json/explode are codegen'd row-local ops — no shuffle
+    until the final partial-agg'd groupBy; document bodies never move.
+    Schema is explicit (never schema-inference on a 100 TB corpus);
+    corrupt records would surface as nulls under mode=PERMISSIVE and get
+    counted, not dropped silently."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("user_id").alias("user"),
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("value").alias("v"),
+            ).alias("meta"),
+            F.array(
+                F.col("event_type"), F.get_json_object("props", "$.k")
+            ).alias("tags"),
+        )
+    )
+    schema = "user long, meta struct<type:string,v:double>, tags array<string>"
+    parsed = ev.select(F.from_json(doc, schema).alias("j"))
+    flat = parsed.select(
+        F.col("j.meta.type").alias("event_type"),
+        F.col("j.meta.v").cast("decimal(12,2)").alias("v"),
+        F.explode("j.tags").alias("tag"),
+    )
+    return flat.groupBy("event_type", "tag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("v"), 2).cast("double").alias("sum_v"),
+    )
