@@ -191,3 +191,75 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return d.groupBy("lang").applyInPandas(stats, schema=schema)
+
+
+@register(
+    "q_cogroup",
+    oracle="""
+    SELECT
+      c_custkey,
+      count(o_custkey) AS n_orders,
+      CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))),
+                    CAST(0 AS DECIMAL(12,2))) AS DOUBLE) AS spend
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE c_nationkey = 0
+    GROUP BY c_custkey
+    """,
+)
+def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped-pandas surface: ``groupBy(k).cogroup(other.groupBy(k))
+    .applyInPandas`` hands BOTH sides' rows for one key to a single Python
+    function — the escape hatch for per-key merge logic (custom as-of
+    matching, per-entity reconciliation) that no join expresses directly.
+    Here the merge computes each customer's order count and exact spend,
+    so the DuckDB LEFT JOIN oracle can verify the cogroup machinery
+    end-to-end (including empty-right-side groups → zero rows kept).
+
+    Determinism inside the UDF: pandas sums of float64 would depend on
+    per-partition row order, so spend accumulates in integer CENTS
+    (exact), divided back once — the same value DuckDB's decimal sum
+    casts out.
+
+    Scale: cogroup shuffles both sides on the key once (same exchange
+    shape as a shuffle join) and streams each key's two Arrow batches to
+    one worker; per-key memory is the group's rows. Both sides are scoped
+    (one nation; orders semi-joined to its customers) BEFORE the cogroup —
+    per-key Python has real overhead, so you narrow the keyset first and
+    never cogroup what a plain join answers."""
+    import pandas as pd
+
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey") == 0)
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+
+    def merge(key, cpdf: "pd.DataFrame", opdf: "pd.DataFrame") -> "pd.DataFrame":
+        if cpdf.empty:  # orders whose customer is outside this slice
+            return pd.DataFrame(
+                {"c_custkey": [], "n_orders": [], "spend": []}
+            ).astype({"c_custkey": "int64", "n_orders": "int64", "spend": "float64"})
+        cents = (
+            (opdf["o_totalprice"] * 100).round().astype("int64").sum()
+            if len(opdf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "c_custkey": [key[0]],
+                "n_orders": [len(opdf)],
+                "spend": [cents / 100.0],
+            }
+        )
+
+    return (
+        c.groupBy("c_custkey")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(merge, "c_custkey long, n_orders long, spend double")
+    )
