@@ -31,22 +31,59 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Adapt ``events.ts`` to a session-TZ TIMESTAMP whatever the physical
+    parquet type is. The driver has shipped the column as TIMESTAMP(NANOS)
+    (round 1) and as plain TIMESTAMP_NTZ micros (round 2); downstream
+    queries and the DuckDB oracles assume naive-UTC wall-clock semantics,
+    which with the session TZ pinned to UTC (session.pin_utc) both branches
+    preserve exactly:
+
+    * ``bigint`` — nanos read via ``nanosAsLong``; the testdata is
+      microsecond-granular so ``div 1000`` is lossless and matches DuckDB's
+      nanos→micros truncation.
+    * ``timestamp_ntz`` — cast to TIMESTAMP; under UTC the wall-clock value
+      is unchanged and event-time ops (windows, watermarks) work as before.
+
+    Either way the cast is a projection fused into the scan — no extra pass.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source streaming read of the events table, ts-normalized.
+
+    The file stream source requires a directory path; we point it at sf_dir
+    and glob-filter down to the events file. Schema comes from a batch read
+    of the same footer (streams can't infer)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return normalize_events_ts(stream)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one logical table. Columns/filters prune at the parquet scan.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw
-    nanos (``nanosAsLong``) and rebuild a proper timestamp; the testdata's
-    timestamps are microsecond-granular, so ``div 1000`` is lossless and
-    matches DuckDB's nanos→micros truncation. The cast is a cheap projection
-    fused into the scan stage — no extra pass.
-    """
+    ``events`` gets its ts column normalized (see normalize_events_ts);
+    ``nanosAsLong`` is set pre-read so the nanos variant of the testdata
+    doesn't fail schema resolution ([PARQUET_TYPE_ILLEGAL])."""
     if name == "events":
-        from pyspark.sql import functions as F
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return normalize_events_ts(df)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

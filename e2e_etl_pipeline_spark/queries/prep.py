@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.catalog import load_table, read_events_stream
 from e2e_etl_pipeline_spark.registry import register
 from e2e_etl_pipeline_spark.session import pin_utc
 
@@ -305,18 +305,10 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     triggers and is asserted in tests/test_streaming.py instead.
     """
     pin_utc(spark)
-    # Same TIMESTAMP(NANOS) handling as q_stream_watermark: stream-read raw
-    # nanos, rebuild micros before event-time ops.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
     def side(name: str, event_type: str) -> DataFrame:
         return (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            read_events_stream(spark, sf_dir)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{name}_event_id"),

@@ -18,7 +18,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.catalog import load_table, read_events_stream
 from e2e_etl_pipeline_spark.registry import register
 from e2e_etl_pipeline_spark.session import pin_utc
 from e2e_etl_pipeline_spark.streaming import windows as sw
@@ -115,13 +115,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded case where unbounded state is safe.
     """
     pin_utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
+        read_events_stream(spark, sf_dir)
         .select("user_id")
         .dropDuplicates(["user_id"])
     )
@@ -161,20 +156,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     *dropping* (which needs multiple triggers) is asserted in
     tests/test_streaming.py."""
     pin_utc(spark)
-    # The events parquet stores ts as TIMESTAMP(NANOS): stream-read it as raw
-    # nanos (same nanosAsLong path as catalog.load_table) and rebuild the
-    # timestamp before the watermark.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file stream source requires a directory path; point it at sf_dir
-    # and glob-filter down to the events file.
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    )
+    stream = read_events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"))
@@ -227,15 +209,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     segment-count agg keeps (tiny) state. A dimension too big to
     broadcast becomes a stream-static shuffle join, still stateless."""
     pin_utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .select("user_id", "value")
-    )
+    stream = read_events_stream(spark, sf_dir).select("user_id", "value")
     cust = F.broadcast(
         load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     )
@@ -289,14 +263,8 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-batch stale-escalation path (which no oracle can express) is
     asserted in tests/test_streaming.py."""
     pin_utc(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-        .select(F.col("event_type").alias("key"), F.col("event_id").alias("idx"))
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("key"), F.col("event_id").alias("idx")
     )
     from e2e_etl_pipeline_spark.streaming.stateful import progress_tracker
 
