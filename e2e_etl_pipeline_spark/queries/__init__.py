@@ -39,6 +39,7 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     temporal,
     prep,
     corpus,
+    graph,
     tpch,
     extras,
     aggregates,

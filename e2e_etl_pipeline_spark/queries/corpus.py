@@ -568,3 +568,73 @@ ORACLES["q_training_pipeline"] = f"""
     SELECT doc_id, lang, quality, n_tokens, CAST(lang_rank AS BIGINT) AS lang_rank
     FROM ranked WHERE lang_rank <= {LANG_CAP}
 """
+
+
+@register(
+    "q_dup_cluster_sizes",
+    oracle="""
+    SELECT group_size,
+           count(*)                        AS n_groups,
+           CAST(group_size * count(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT count(*) AS group_size
+      FROM documents
+      GROUP BY text
+    )
+    GROUP BY group_size
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how many exact-dup groups of
+    each size the corpus holds, and how many documents they account for —
+    the first diagnostic a dedup pass reports (a heavy tail here means the
+    corpus is scrape-loop-polluted).
+
+    Scale: groups on ``xxhash64(text)`` (8 bytes/doc shuffled) rather than
+    the document body the oracle groups on — identical answer short of a
+    64-bit hash collision (~n²/2⁶⁵; at 10⁹ docs that is ~3·10⁻²), then a
+    second tiny agg over |groups| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sizes = d.groupBy(F.xxhash64("text").alias("digest")).agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        (F.col("group_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )
+
+
+@register(
+    "q_source_stats",
+    oracle="""
+    SELECT
+      source,
+      count(*)                                              AS n_docs,
+      round(avg(n_chars), 4)                                AS avg_chars,
+      count(DISTINCT lang)                                  AS n_langs,
+      round(1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+                  / count(*), 4)                            AS dup_ratio
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (doc count, mean length, language spread,
+    within-source duplicate ratio) — the dashboard a crawl-based pipeline
+    uses to decide which sources to throttle or drop.
+
+    Scale: one grouped aggregate; the distinct-text count runs on the
+    8-byte ``xxhash64(text)`` digest so the expand/distinct shuffle carries
+    hashes, not bodies (same collision bound as q_dup_cluster_sizes)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.lit(1.0)
+            - F.countDistinct(F.xxhash64("text")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_ratio"),
+    )

@@ -505,3 +505,27 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("l_shipdate"), F.to_date("first_ship"))
         ).alias("max_gap_days"),
     )
+
+
+@register(
+    "q_grouping_id",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      GROUPING(l_returnflag, l_linestatus) AS gid,
+      count(*)                             AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping_id(): the bitmask that disambiguates a real
+    NULL key from a rolled-up subtotal row — required by any consumer
+    materializing multi-level aggregates into one table (completes the
+    q_agg_rollup/q_agg_cube family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

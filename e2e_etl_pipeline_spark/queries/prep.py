@@ -1070,3 +1070,54 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+    WITH cuts AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT
+      o.o_orderpriority,
+      count(*)                                        AS n_orders,
+      round(avg(o.o_totalprice), 4)                   AS mean_raw,
+      round(avg(least(greatest(o.o_totalprice, c.p05), c.p95)), 4)
+                                                      AS mean_winsorized,
+      round(any_value(c.p05), 4)                      AS p05,
+      round(any_value(c.p95), 4)                      AS p95
+    FROM orders o JOIN cuts c USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization: clamp order totals to the group's
+    [p5, p95] band and report the mean shift — the standard outlier
+    treatment before fitting anything scale-sensitive (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the parity q_agg_percentiles
+    established).
+
+    Scale: two grouped aggregates over the same key plus a broadcast join
+    of the |groups|-row cut table back onto the fact — no second shuffle
+    of the facts; exact percentiles are the small-group path, with
+    approx_percentile as the documented constant-memory swap at larger
+    group cardinalities (q_agg_approx_percentile)."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clamped = o.join(F.broadcast(cuts), "o_orderpriority").withColumn(
+        "w", F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    )
+    return clamped.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 4).alias("mean_raw"),
+        F.round(F.avg("w"), 4).alias("mean_winsorized"),
+        F.round(F.first("p05"), 4).alias("p05"),
+        F.round(F.first("p95"), 4).alias("p95"),
+    )
