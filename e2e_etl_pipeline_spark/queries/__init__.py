@@ -40,6 +40,7 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     prep,
     corpus,
     graph,
+    ml,
     tpch,
     extras,
     aggregates,

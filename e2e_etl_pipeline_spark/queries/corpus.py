@@ -638,3 +638,73 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_ratio"),
     )
+
+
+COVERAGE_CUTOFFS = (100, 1000, 5000)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n_occ FROM tok GROUP BY token),
+    ranked AS (
+      SELECT n_occ,
+             row_number() OVER (ORDER BY n_occ DESC, token) AS rnk
+      FROM counts
+    ),
+    total AS (SELECT sum(n_occ) AS mass, count(*) AS n_vocab FROM counts)
+    SELECT CAST(c.cutoff AS BIGINT)                       AS cutoff,
+           (SELECT n_vocab FROM total)                    AS n_vocab,
+           round(CAST(sum(r.n_occ) AS DOUBLE)
+                 / (SELECT mass FROM total), 6)           AS coverage
+    FROM (VALUES {", ".join(f"({c})" for c in COVERAGE_CUTOFFS)}) c(cutoff)
+    JOIN ranked r ON r.rnk <= c.cutoff
+    GROUP BY c.cutoff
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-{{100,1000,5000}} vocabulary: what
+    fraction of all token occurrences the k most frequent types account
+    for — the curve that sizes a tokenizer's vocab (and exposes Zipf
+    pathologies like boilerplate domination).
+
+    Scale: the corpus reduces to (token, count) once (same shuffle as
+    q_vocab_topk); ranking touches only the top max(cutoff) rows via
+    TakeOrderedAndProject, and the totals come from the reduced counts,
+    not the corpus."""
+    counts = _tokens(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    totals = counts.agg(
+        F.sum("n_occ").alias("mass"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    top = counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(
+        max(COVERAGE_CUTOFFS)
+    )
+    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
+    ranked = top.withColumn("rnk", F.row_number().over(w))
+    cutoffs = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in COVERAGE_CUTOFFS])
+        ).alias("cutoff")
+    )
+    return (
+        ranked.join(
+            F.broadcast(cutoffs), F.col("rnk") <= F.col("cutoff")
+        )
+        .groupBy(F.col("cutoff").cast("bigint").alias("cutoff"))
+        .agg(F.sum("n_occ").alias("top_mass"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cutoff",
+            "n_vocab",
+            F.round(
+                F.col("top_mass").cast("double") / F.col("mass"), 6
+            ).alias("coverage"),
+        )
+    )

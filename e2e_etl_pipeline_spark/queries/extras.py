@@ -9,7 +9,7 @@ analytics engine expects even though the reference never computes them.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
@@ -528,4 +528,94 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "q_gini",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS x,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS i
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(
+             2.0 * CAST(sum(i * x) AS DOUBLE)
+               / (count(*) * CAST(sum(x) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY o_orderpriority
+    """,
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order totals per priority class — the standard
+    inequality/concentration metric (how top-heavy is revenue?), via the
+    sorted-rank formula G = 2·Σi·xᵢ/(n·Σxᵢ) − (n+1)/n.
+
+    Scale: one shuffle on the group key, one rank window per group, one
+    grouped aggregate. Σi·xᵢ runs in DECIMAL (i·x is exact; doubles first
+    appear at the final division, on identical inputs in both engines).
+    Ties in x across ranks cannot change Σi·xᵢ — permuting equal values
+    over a set of ranks leaves the sum invariant — so the orderkey
+    tiebreak only pins the window, not the metric."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(14,2)").alias("x"),
+        F.row_number().over(w).alias("i"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.lit(2.0)
+            * F.sum(F.col("i") * F.col("x")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("x").cast("double"))
+            - (F.count(F.lit(1)) + F.lit(1.0)) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "q_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.5) AS med_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(any_value(m.med_qty), 4)                       AS median_qty,
+           round(quantile_cont(abs(l.l_quantity - m.med_qty), 0.5), 4)
+                                                                AS mad_qty
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of quantity per return flag — the robust
+    dispersion measure outlier-heavy pipelines use where stddev is
+    useless (50% breakdown point vs 0%).
+
+    Scale: two grouped exact-percentile aggregates over the same key with
+    a broadcast of the |groups|-row median table between them — the facts
+    shuffle once per pass and never self-join row-to-row. Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` (q_agg_percentiles
+    parity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty")
+    )
+    j = li.join(F.broadcast(med), "l_returnflag")
+    return j.groupBy("l_returnflag").agg(
+        F.round(F.first("med_qty"), 4).alias("median_qty"),
+        F.round(
+            F.expr("percentile(abs(l_quantity - med_qty), 0.5)"), 4
+        ).alias("mad_qty"),
     )

@@ -142,3 +142,73 @@ def _iterate(edges: DataFrame, ranks: DataFrame, n_nodes: int) -> DataFrame:
         if (i + 1) % 3 == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+MAX_HOPS = 4
+
+
+@register(
+    "q_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE
+    seq AS (
+      SELECT
+        event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT prev_type AS src, event_type AS dst
+      FROM seq WHERE prev_type IS NOT NULL
+    ),
+    walk(node, hop) AS (
+      SELECT (SELECT min(event_type) FROM events), 0
+      UNION
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hop < {MAX_HOPS}
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+    """,
+)
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-synchronous BFS: minimum hop count from the lexicographically
+    smallest event type to every reachable node of the transition graph,
+    bounded at MAX_HOPS levels — shortest-path labeling, the second member
+    of the iterative-dataflow family (q_pagerank's power iteration is the
+    first). Oracle: recursive CTE whose UNION-dedup on (node, hop) pairs
+    bounds the walk; min(hop) at the end is the BFS distance.
+
+    Scale: per level one join of the (≤|nodes|-row) frontier against the
+    cached src-partitioned edge relation plus a distinct — frontiers move,
+    edges never do. The driver-side ``min()`` is loop setup (seed choice),
+    not per-iteration work."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    edges = (
+        seq.select(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .distinct()
+        .repartition("src")
+        .cache()
+    )
+    start = ev.agg(F.min("event_type")).collect()[0][0]
+    level = spark.range(1).select(
+        F.lit(start).alias("node"), F.lit(0).alias("hop")
+    )
+    walk = level
+    for _ in range(MAX_HOPS):
+        level = (
+            edges.join(F.broadcast(level), edges.src == level.node)
+            .select("dst", (F.col("hop") + 1).alias("hop"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("hop").alias("hop"))
+        )
+        walk = walk.unionByName(level)
+    return walk.groupBy("node").agg(F.min("hop").cast("bigint").alias("hops"))

@@ -748,3 +748,144 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "n_orders", F.round(num / den, 4).alias("ewma10")
     )
+
+
+@register(
+    "q_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)       AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  s - 1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island_id,
+             min(s) AS island_start, max(e) AS island_end
+      FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           count(*)                              AS n_islands,
+           sum(island_end - island_start)        AS covered_seconds,
+           max(island_end - island_start)        AS longest_seconds
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: give every event a 10-minute activity interval,
+    merge overlapping/touching intervals per user, and report island
+    count, covered seconds, and the longest island — the classic
+    interval-union problem (uptime stitching, session coverage, sensor
+    dead-time) that a naive self-join solves quadratically and a
+    running-max window solves in one pass.
+
+    Scale: one shuffle on user_id, two window passes over each user's
+    (modest) event list, then two grouped aggregates — linear end to end.
+    All arithmetic is whole-second BIGINT (the q_time_weighted_avg epoch
+    parity), so both engines agree bit-for-bit. A same-start tie cannot
+    split an island (s > max(e) is false for equal starts since e ≥ s),
+    so the event_id tiebreak only pins the window order, not the result."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + 600).alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.col("s") - 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island_id")
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias(
+            "covered_seconds"
+        ),
+        F.max(F.col("island_end") - F.col("island_start")).alias(
+            "longest_seconds"
+        ),
+    )
+
+
+@register(
+    "q_autocorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS day_value
+      FROM events GROUP BY 1
+    ),
+    lagged AS (
+      SELECT day_value,
+             lag(day_value) OVER (ORDER BY day) AS prev_value
+      FROM daily
+    )
+    SELECT count(*)                          AS n_pairs,
+           round(corr(day_value, prev_value), 4) AS lag1_autocorr
+    FROM lagged WHERE prev_value IS NOT NULL
+    """,
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily value series: how strongly one
+    day's total predicts the next — the first diagnostic of any
+    forecasting pipeline (white noise vs trend vs seasonality).
+
+    Scale: the corpus reduces to |days| rows in one grouped aggregate
+    (DECIMAL-exact so both engines see identical doubles); the lag window
+    and corr then run on that tiny series. The single-partition window is
+    safe exactly because it is post-reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("day_value")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day_value", F.lag("day_value").over(w).alias("prev_value")
+    ).where(F.col("prev_value").isNotNull())
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.corr("day_value", "prev_value"), 4).alias("lag1_autocorr"),
+    )

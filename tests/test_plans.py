@@ -248,3 +248,24 @@ def test_tpch_q21_one_fact_shuffle_no_self_joins(spark, sf_dir):
     plan = _formatted(spark, "q_tpch_q21", sf_dir)
     assert plan.count("lineitem.parquet") <= 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """The k×corpus distance evaluation must broadcast the k seed rows —
+    a shuffled or sort-merge assignment would move the corpus instead."""
+    plan = _formatted(spark, "q_kmeans_step", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan.split("Exchange")[0]  # assignment side
+
+
+def test_winsorize_broadcasts_cut_table(spark, sf_dir):
+    plan = _formatted(spark, "q_winsorize", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_coverage_topk_not_global_sort(spark, sf_dir):
+    """Ranking must touch only the top max(cutoff) rows, never sort the
+    whole vocabulary globally."""
+    plan = _formatted(spark, "q_vocab_coverage", sf_dir)
+    assert "TakeOrderedAndProject" in plan
