@@ -54,6 +54,15 @@ SHOWCASE = [
                             "sample) fused into ONE plan; no exchange "
                             "carries the text column — digests, scores and "
                             "token counts are computed in the scan stage"),
+    ("q_kmeans_step", "k seed centroids broadcast against the corpus scan "
+                      "(BroadcastNestedLoopJoin) — assignment never "
+                      "shuffles vectors; the mean-recompute exchanges "
+                      "k·d (cluster, dim) cells after partial agg"),
+    ("q_pagerank", "final iteration of the power loop: the cached "
+                   "src-partitioned edge relation joins a broadcast rank "
+                   "vector; per-iteration state is |nodes| rows, and "
+                   "localCheckpoint truncation keeps the plan this size "
+                   "at any iteration count"),
 ]
 
 
