@@ -284,3 +284,40 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state streaming via Spark 4's transformWithStateInPandas
+    (streaming/tws.py): per event type, ValueState-backed running
+    count/max/min over a real file-source stream under
+    Trigger.availableNow — the second-generation stateful API alongside
+    q_stream_stateful's applyInPandasWithState.
+
+    NOT registered as a query key: the transformWithState state-server
+    protocol requires google.protobuf in the Python workers, which this
+    container lacks (ImportError at stream start), so the operator is
+    import-gated — tests/test_streaming.py skips it when protobuf is
+    absent and asserts the full path when present. The registered
+    stateful-streaming surface remains q_stream_stateful."""
+    pin_utc(spark)
+    stream = read_events_stream(spark, sf_dir).select(
+        F.col("event_type").alias("key"), "value"
+    )
+    from e2e_etl_pipeline_spark.streaming.tws import extrema_tracker
+
+    tracked = extrema_tracker(stream)
+    sink = f"tw_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            tracked.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)

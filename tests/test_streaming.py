@@ -323,3 +323,27 @@ def test_foreach_batch_incremental_merge(spark):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(chk, ignore_errors=True)
         shutil.rmtree(os.path.dirname(tgt), ignore_errors=True)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithState's state server needs google.protobuf in the "
+    "Python workers; absent in this container (see streaming/tws.py)",
+)
+def test_transform_with_state_extrema(spark, sf_dir):
+    from e2e_etl_pipeline_spark.queries.streaming_q import q_stream_tws
+
+    out = {r["key"]: r for r in q_stream_tws(spark, sf_dir).collect()}
+    assert out, "no per-key state emitted"
+    for r in out.values():
+        assert r["n_events"] > 0
+        assert r["min_value"] <= r["max_value"]
