@@ -626,3 +626,51 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phones"
         ),
     )
+
+
+@register(
+    "q_langid_confusion",
+    oracle=f"""
+    WITH guessed AS (
+      SELECT
+        lang,
+        CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                   w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
+              / len(string_split(text, ' ')) >= 0.05
+             THEN 'en' ELSE 'other' END AS lang_guess
+      FROM documents
+    )
+    SELECT
+      lang,
+      lang_guess,
+      count(*) AS n_docs,
+      CASE WHEN (lang_guess = 'en') = (lang = 'en')
+           THEN 1 ELSE 0 END AS is_correct
+    FROM guessed
+    GROUP BY lang, lang_guess
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the corpus's
+    ground-truth lang label — the self-evaluation every classifier-driven
+    filter needs before it gates a training corpus (precision on 'en',
+    leakage of non-en into the keep set).
+
+    Scale: the per-doc guess is the same scan-stage expression as
+    q_text_langid; the matrix is one grouped count over
+    |langs|×|guesses| cells."""
+    d = load_table(spark, sf_dir, "documents")
+    ratio = ts.stopword_ratio("text")
+    guessed = d.select(
+        "lang",
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("lang_guess"),
+    )
+    return guessed.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.when(
+            (F.col("lang_guess") == "en") == (F.col("lang") == "en"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_correct"),
+    )

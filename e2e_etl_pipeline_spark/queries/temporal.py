@@ -889,3 +889,209 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.corr("day_value", "prev_value"), 4).alias("lag1_autocorr"),
     )
+
+
+@register(
+    "q_abtest",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS cohort,
+             max(CASE WHEN event_type = 'purchase' AND value > 100
+                      THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT cohort,
+             count(*)                       AS n_users,
+             sum(converted)                 AS n_converted,
+             CAST(sum(converted) AS DOUBLE) / count(*) AS conv
+      FROM per_user GROUP BY cohort
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN cohort = 0 THEN n_users END)     AS n_a,
+        max(CASE WHEN cohort = 0 THEN n_converted END) AS k_a,
+        max(CASE WHEN cohort = 0 THEN conv END)        AS conv_a,
+        max(CASE WHEN cohort = 1 THEN n_users END)     AS n_b,
+        max(CASE WHEN cohort = 1 THEN n_converted END) AS k_b,
+        max(CASE WHEN cohort = 1 THEN conv END)        AS conv_b
+      FROM arms
+    )
+    SELECT n_a, n_b,
+           round(conv_a, 6) AS conv_a,
+           round(conv_b, 6) AS conv_b,
+           round((conv_a - conv_b)
+                 / sqrt((CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 - CAST(k_a + k_b AS DOUBLE) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)), 4) AS z_score
+    FROM wide
+    """,
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the even/odd user cohorts on
+    high-value purchase conversion (value > 100; pooled standard error) —
+    the experiment-readout primitive every growth pipeline runs. The
+    value floor keeps both proportions strictly inside (0, 1) at every
+    test SF, so the pooled variance never degenerates to zero (ANSI
+    divide-by-zero).
+
+    Scale: one per-user aggregate (shuffle on user_id), then arithmetic
+    on a 2-row frame; the z statistic is a closed form over exact integer
+    counts, so both engines compute identical doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 100),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("converted")
+    ).withColumn("cohort", F.col("user_id") % 2)
+    arms = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("cohort") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("cohort") == 0, F.col("n_converted"))).alias("k_a"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("cohort") == 1, F.col("n_converted"))).alias("k_b"),
+    )
+    conv_a = F.col("k_a").cast("double") / F.col("n_a")
+    conv_b = F.col("k_b").cast("double") / F.col("n_b")
+    pooled = (F.col("k_a") + F.col("k_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(conv_a, 6).alias("conv_a"),
+        F.round(conv_b, 6).alias("conv_b"),
+        F.round(
+            (conv_a - conv_b)
+            / F.sqrt(
+                pooled
+                * (F.lit(1.0) - pooled)
+                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            ),
+            4,
+        ).alias("z_score"),
+    )
+
+
+@register(
+    "q_funnel_latency",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(floor(epoch(min(CASE WHEN event_type = 'signup'
+                                       THEN ts END))) AS BIGINT)  AS t_signup,
+             CAST(floor(epoch(min(CASE WHEN event_type = 'purchase'
+                                       THEN ts END))) AS BIGINT)  AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT t_purchase - t_signup AS latency_s
+      FROM per_user
+      WHERE t_signup IS NOT NULL AND t_purchase IS NOT NULL
+        AND t_purchase > t_signup
+    )
+    SELECT count(*)                                   AS n_users,
+           round(avg(latency_s), 4)                   AS avg_latency_s,
+           round(quantile_cont(latency_s, 0.5), 4)    AS median_latency_s
+    FROM lat
+    """,
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase latency: time from each user's first signup to
+    their first purchase (strictly after it), summarized as mean and
+    median seconds — the time-to-convert readout that pairs with
+    q_funnel's stage counts.
+
+    Scale: ONE per-user aggregate produces both stage timestamps (no
+    funnel self-join); whole-second BIGINT latencies make avg and exact
+    percentile engine-identical (q_time_weighted_avg epoch parity)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts").cast("long"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts").cast("long"))
+        ).alias("t_purchase"),
+    )
+    lat = per_user.where(
+        F.col("t_signup").isNotNull()
+        & F.col("t_purchase").isNotNull()
+        & (F.col("t_purchase") > F.col("t_signup"))
+    ).select((F.col("t_purchase") - F.col("t_signup")).alias("latency_s"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.avg("latency_s"), 4).alias("avg_latency_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 4).alias(
+            "median_latency_s"
+        ),
+    )
+
+
+@register(
+    "q_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS x
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT avg(x) AS mu, count(*) AS n FROM daily),
+    cusum AS (
+      SELECT day,
+             sum(x - (SELECT mu FROM stats)) OVER (
+               ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM daily
+    )
+    SELECT day                              AS changepoint_day,
+           round(abs(c), 2)                 AS max_abs_cusum,
+           (SELECT n FROM stats)            AS n_days
+    FROM cusum
+    ORDER BY abs(c) DESC, day
+    LIMIT 1
+    """,
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on the daily value series: the day
+    where the cumulative deviation from the global mean peaks — the
+    standard level-shift locator for ops/revenue monitoring.
+
+    Scale: the corpus reduces to |days| rows first (DECIMAL-exact sums);
+    the ordered running window and argmax run on that tiny series, and
+    the ordered running sum evaluates left-to-right over the same day
+    order in both engines, so the doubles agree bit-for-bit. LIMIT 1
+    carries the (abs(c), day) total order."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("x")
+    )
+    stats = daily.agg(
+        F.avg("x").alias("mu"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_days",
+        F.sum(F.col("x") - F.col("mu")).over(w).alias("c"),
+    )
+    return (
+        cusum.orderBy(F.abs(F.col("c")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.round(F.abs(F.col("c")), 2).alias("max_abs_cusum"),
+            "n_days",
+        )
+    )
