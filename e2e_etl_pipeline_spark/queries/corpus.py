@@ -708,3 +708,49 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@register(
+    "q_hapax_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS occ FROM tok GROUP BY 1, 2),
+    df AS (SELECT token, count(*) AS n_docs FROM tf GROUP BY token)
+    SELECT
+      tf.doc_id,
+      CAST(sum(tf.occ) AS BIGINT)                          AS n_tokens,
+      round(CAST(sum(CASE WHEN df.n_docs = 1 THEN tf.occ ELSE 0 END)
+                 AS DOUBLE) / sum(tf.occ), 4)              AS hapax_ratio
+    FROM tf JOIN df USING (token)
+    GROUP BY tf.doc_id
+    """,
+)
+def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hapax ratio: the share of a document's token
+    occurrences whose type appears in no other document — the classic
+    OCR-garbage / mojibake / random-string detector (clean prose shares
+    its vocabulary; corrupted text is full of corpus-unique types).
+
+    Scale: the corpus reduces to (doc, token, occ) and (token, df) counts
+    — the same single token shuffle as q_tfidf, bodies never move; the
+    df table joins back on token (counts only) and the per-doc rollup
+    shuffles doc-keyed partials."""
+    tf = _tokens(spark, sf_dir).groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("n_docs"))
+    j = tf.join(df, "token")
+    return j.groupBy("doc_id").agg(
+        F.sum("occ").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("n_docs") == 1, F.col("occ")).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum("occ"),
+            4,
+        ).alias("hapax_ratio"),
+    )
