@@ -394,3 +394,43 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(frag_path, ignore_errors=True)
         shutil.rmtree(comp_path, ignore_errors=True)
+
+
+@register(
+    "q_python_datasource",
+    oracle="""
+    WITH offers AS (
+      SELECT CAST(p.range AS INTEGER)            AS page,
+             p.range * 100 + i.range             AS offer_id
+      FROM range(0, 10) p CROSS JOIN range(0, 100) i
+    )
+    SELECT page,
+           count(*)                              AS n_offers,
+           min(offer_id)                         AS first_id,
+           max(offer_id)                         AS last_id,
+           sum(offer_id % 20000 + 3000)          AS sum_salary
+    FROM offers GROUP BY page
+    """,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated-acquisition loop as a custom Spark 4 Python Data
+    Source (sources/synthetic_ds.py): one input partition per page,
+    fetched executor-parallel — the reference's driver-side browser loop
+    (extract_data.py:108-146) turned into a planable source. Content is
+    hash-deterministic, so the oracle reproduces it from range() alone;
+    the parsed salary reduces per page in exact integer arithmetic."""
+    from e2e_etl_pipeline_spark.sources.synthetic_ds import register_source
+
+    register_source(spark)
+    offers = (
+        spark.read.format("synthetic_offers")
+        .option("npages", 10)
+        .option("per_page", 100)
+        .load()
+    )
+    return offers.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_offers"),
+        F.min("offer_id").alias("first_id"),
+        F.max("offer_id").alias("last_id"),
+        F.sum(F.col("offer_id") % 20000 + 3000).alias("sum_salary"),
+    )

@@ -482,3 +482,42 @@ def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("v"), 2).cast("double").alias("sum_v"),
     )
+
+
+@register(
+    "q_variant_shred",
+    oracle="""
+    WITH shredded AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events
+    )
+    SELECT count(*)                 AS n_events,
+           count(DISTINCT k)        AS n_distinct_k,
+           min(k)                   AS min_k,
+           max(k)                   AS max_k,
+           round(avg(k), 4)         AS avg_k
+    FROM shredded
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured shredding through Spark 4's VARIANT type:
+    ``parse_json`` decodes the JSON string ONCE into the binary variant
+    encoding, and ``variant_get`` does typed path extraction from it —
+    the at-scale JSON pattern (parse once per row, not once per path
+    access; the binary form also enables future shredded-column pushdown)
+    vs q_json_extract's direct string-path probe.
+
+    Scale: both steps are scan-stage expressions; the aggregate reduces
+    map-side. At many paths per row the variant decode amortizes across
+    every ``variant_get``, which the per-path string parser cannot."""
+    e = load_table(spark, sf_dir, "events")
+    shredded = e.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k")
+    )
+    return shredded.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
