@@ -1121,3 +1121,49 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("p05"), 4).alias("p05"),
         F.round(F.first("p95"), 4).alias("p95"),
     )
+
+
+@register(
+    "q_sequence_gaps",
+    oracle="""
+    WITH ids AS (SELECT DISTINCT event_id FROM events),
+    runs AS (
+      SELECT count(*) AS n_runs
+      FROM ids a
+      WHERE NOT EXISTS (SELECT 1 FROM ids b WHERE b.event_id = a.event_id - 1)
+    )
+    SELECT
+      count(*)                                          AS n_distinct,
+      min(event_id)                                     AS min_id,
+      max(event_id)                                     AS max_id,
+      max(event_id) - min(event_id) + 1 - count(*)      AS n_missing,
+      (SELECT n_runs FROM runs)                         AS n_runs
+    FROM ids
+    """,
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-continuity audit on event_id: how many ids are missing
+    from the [min, max] range and how many contiguous runs the id space
+    fragments into — the 'did ingestion drop events?' completeness check.
+
+    Scale: deliberately WINDOW-FREE. A run starts wherever id-1 is absent,
+    so runs are counted with an anti-join of the id set against itself
+    shifted by one — hash joins on 8-byte keys that partition freely,
+    where the textbook lag()-over-global-order solution would funnel the
+    corpus through one partition."""
+    ev = load_table(spark, sf_dir, "events")
+    ids = ev.select("event_id").distinct()
+    shifted = ids.select((F.col("event_id") + 1).alias("event_id"))
+    run_starts = ids.join(shifted, "event_id", "left_anti")
+    runs = run_starts.agg(F.count(F.lit(1)).alias("n_runs"))
+    stats = ids.agg(
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+        (
+            F.max("event_id") - F.min("event_id") + 1 - F.count(F.lit(1))
+        ).alias("n_missing"),
+    )
+    return stats.crossJoin(F.broadcast(runs)).select(
+        "n_distinct", "min_id", "max_id", "n_missing", "n_runs"
+    )
