@@ -619,3 +619,41 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(l_quantity - med_qty), 0.5)"), 4
         ).alias("mad_qty"),
     )
+
+
+@register(
+    "q_argmax",
+    oracle="""
+    SELECT
+      o_orderpriority,
+      arg_max(o_orderkey, o_totalprice * 8388608.0 + o_orderkey)
+                                                    AS most_expensive_key,
+      arg_min(o_orderkey, o_totalprice * 8388608.0 + o_orderkey)
+                                                    AS cheapest_key,
+      round(max(o_totalprice), 2)                   AS max_total,
+      round(min(o_totalprice), 2)                   AS min_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin aggregates (Spark max_by/min_by ≡ DuckDB
+    arg_max/arg_min): the key of each group's most/least expensive order
+    in ONE aggregation pass — the one-scan alternative to a rank-window
+    or self-join for single-winner-per-group.
+
+    Determinism: both engines break price ties via a scalar composite
+    ordering value, price·2²³ + orderkey — orderkey gaps (≥1) dwarf the
+    double ulp at this magnitude, so the composite is injective and both
+    engines pick the same winner regardless of row order."""
+    o = load_table(spark, sf_dir, "orders")
+    ordv = F.col("o_totalprice") * 8388608.0 + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "max_by(o_orderkey, o_totalprice * 8388608.0D + o_orderkey)"
+        ).alias("most_expensive_key"),
+        F.expr(
+            "min_by(o_orderkey, o_totalprice * 8388608.0D + o_orderkey)"
+        ).alias("cheapest_key"),
+        F.round(F.max("o_totalprice"), 2).alias("max_total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_total"),
+    )

@@ -320,3 +320,95 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue")
         )
     )
+
+
+@register(
+    "q_join_lateral",
+    oracle="""
+    SELECT c.c_custkey,
+           o.o_orderkey                 AS latest_orderkey,
+           round(o.o_totalprice, 2)     AS latest_total
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_orderdate DESC, o_orderkey
+             LIMIT 1) o
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's single latest order
+    (greatest-1-per-group expressed as SQL the way an analyst writes it).
+    Catalyst decorrelates the per-row subquery into a join + windowed
+    rank — same physical shape as q_window_topk_per_group — rather than
+    executing |customer| probes. Deterministic via the (o_orderdate DESC,
+    o_orderkey) unique order; customers with no orders drop (inner
+    lateral), matching the oracle."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               o.o_orderkey                 AS latest_orderkey,
+               round(o.o_totalprice, 2)     AS latest_total
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey
+                 LIMIT 1) o
+        """
+    )
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+    WITH keyed AS (
+      SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) = 50
+                  THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+             END AS k_bucket
+      FROM events
+    ),
+    lookup(lkey, label) AS (
+      VALUES (NULL, 'missing'), (0, 'b0'), (1, 'b1'), (2, 'b2'), (3, 'b3'),
+             (4, 'b4'), (5, 'b5'), (6, 'b6'), (7, 'b7'), (8, 'b8'), (9, 'b9')
+    )
+    SELECT l.label, count(*) AS n_events
+    FROM keyed k JOIN lookup l ON k.k_bucket IS NOT DISTINCT FROM l.lkey
+    GROUP BY l.label
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): events whose
+    derived key is NULL still match the dimension's NULL row instead of
+    silently dropping — the semantics every enrich join against a lookup
+    with a 'missing' bucket needs (a plain ``=`` would lose the NULL
+    group).
+
+    Scale: ``<=>`` is a hash-join key like any other (NULL hashes to a
+    bucket instead of disqualifying the row) — broadcast here, and the
+    plan stays a BroadcastHashJoin, not a nested loop."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    keyed = e.select(
+        F.when(k == 50, F.lit(None).cast("int")).otherwise(k % 10).alias(
+            "k_bucket"
+        )
+    )
+    lookup = spark.sql(
+        """
+        SELECT * FROM VALUES
+          (CAST(NULL AS INT), 'missing'), (0, 'b0'), (1, 'b1'), (2, 'b2'),
+          (3, 'b3'), (4, 'b4'), (5, 'b5'), (6, 'b6'), (7, 'b7'), (8, 'b8'),
+          (9, 'b9') AS t(lkey, label)
+        """
+    )
+    return (
+        keyed.join(
+            F.broadcast(lookup), F.expr("k_bucket <=> lkey"), "inner"
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

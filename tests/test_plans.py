@@ -269,3 +269,11 @@ def test_vocab_coverage_topk_not_global_sort(spark, sf_dir):
     whole vocabulary globally."""
     plan = _formatted(spark, "q_vocab_coverage", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_lateral_join_decorrelates(spark, sf_dir):
+    """The correlated LATERAL LIMIT-1 subquery must decorrelate into a
+    window + join, not execute per-outer-row nested loops."""
+    plan = _formatted(spark, "q_join_lateral", sf_dir)
+    assert "Window" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
