@@ -212,3 +212,45 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         walk = walk.unionByName(level)
     return walk.groupBy("node").agg(F.min("hop").cast("bigint").alias("hops"))
+
+
+_BFS_RECURSIVE_SQL = f"""
+    WITH RECURSIVE
+    seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT DISTINCT prev_type AS src, event_type AS dst
+      FROM seq WHERE prev_type IS NOT NULL
+    ),
+    walk(node, hop) AS (
+      SELECT (SELECT min(event_type) FROM events), 0
+      UNION ALL
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hop < {MAX_HOPS}
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hops
+    FROM walk GROUP BY node
+"""
+
+
+@register("q_bfs_recursive_sql", oracle=_BFS_RECURSIVE_SQL)
+def q_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME BFS as q_bfs_hops, expressed natively through Spark 4's
+    recursive CTE support — the IDENTICAL SQL text runs on both engines
+    (Spark accepts only UNION ALL in the recursive member, which here
+    enumerates hop-bounded walks; min(hop) per node collapses path
+    multiplicity, so the answer matches the driver-loop variant exactly).
+
+    Scale: UNION ALL recursion enumerates paths — exponential on dense
+    cyclic graphs — so it is only safe under a strict depth bound like
+    this one (Spark additionally guards with cteRecursionLevelLimit).
+    The level-synchronous driver loop with per-level dedup (q_bfs_hops)
+    is the unbounded-graph scale path; this key exists to pin the native
+    recursive planner against it."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BFS_RECURSIVE_SQL)

@@ -53,3 +53,16 @@ def test_pagerank_mass_is_conserved(spark, sf_dir):
     # so no dangling mass leaks: ranks must sum to 1.
     total = q_pagerank(spark, sf_dir).agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, abs=1e-4)
+
+
+def test_bfs_loop_and_recursive_sql_agree(spark, sf_dir):
+    # The driver-loop BFS and the native recursive-CTE BFS are the same
+    # algorithm in two execution styles; their results must be identical.
+    from e2e_etl_pipeline_spark.queries.graph import q_bfs_hops, q_bfs_recursive_sql
+
+    loop = {(r["node"], r["hops"]) for r in q_bfs_hops(spark, sf_dir).collect()}
+    rec = {
+        (r["node"], r["hops"])
+        for r in q_bfs_recursive_sql(spark, sf_dir).collect()
+    }
+    assert loop == rec and loop
