@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -433,4 +434,54 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("offer_id").alias("first_id"),
         F.max("offer_id").alias("last_id"),
         F.sum(F.col("offer_id") % 20000 + 3000).alias("sum_salary"),
+    )
+
+
+@register(
+    "q_observe_metrics",
+    oracle="""
+    SELECT
+      count(*)                                             AS n_rows,
+      count(*) FILTER (WHERE l_quantity > 45)              AS n_high_qty,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+                                                           AS sum_price
+    FROM lineitem
+    """,
+)
+def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass pipeline QA via the Observation API: row counts,
+    predicate counts, and exact DECIMAL sums are collected as side
+    metrics of ONE noop-sink pass over the fact table — the pattern that
+    replaces a separate validation scan in every production write job
+    (observe rides the same WholeStageCodegen pass; a second qa-query
+    would double the IO).
+
+    The observed metrics return as a 1-row JVM-side literal frame
+    (catalog.inline_frame — no Python-RDD round trip)."""
+    from pyspark.sql import Observation
+
+    from e2e_etl_pipeline_spark.catalog import inline_frame
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation(f"qa_{uuid.uuid4().hex[:8]}")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") > 45, 1)).alias("n_high_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("sum_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return inline_frame(
+        spark,
+        [
+            {
+                "n_rows": int(m["n_rows"]),
+                "n_high_qty": int(m["n_high_qty"]),
+                "sum_price": float(m["sum_price"]),
+            }
+        ],
+        ["n_rows", "n_high_qty", "sum_price"],
     )
