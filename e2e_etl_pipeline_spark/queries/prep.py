@@ -1167,3 +1167,174 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(runs)).select(
         "n_distinct", "min_id", "max_id", "n_missing", "n_runs"
     )
+
+
+@register(
+    "q_rfm",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey                                        AS c,
+             max(o_orderdate)                                 AS r,
+             count(*)                                         AS f,
+             sum(CAST(o_totalprice AS DECIMAL(14,2)))         AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT ntile(5) OVER (ORDER BY r, c)  AS r_q,
+             ntile(5) OVER (ORDER BY f, c)  AS f_q,
+             ntile(5) OVER (ORDER BY m, c)  AS m_q
+      FROM base
+    )
+    SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS segment,
+           count(*)                                    AS n_customers
+    FROM scored GROUP BY 1
+    """,
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per
+    customer, combined into the classic 3-digit segment code — the
+    marketing-analytics workhorse for targeting and churn triage.
+
+    Scale: the fact table reduces to one row per customer first; the
+    three ntile windows run post-reduction (|customers| rows — the same
+    stated single-partition caveat as q_ntile_bins, with range-partitioned
+    percent_rank as the named swap at billions of customers). Every
+    window order carries the custkey tiebreak, and monetary is an exact
+    DECIMAL sum, so quintile assignment is engine-identical."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.max("o_orderdate").alias("r"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("m"),
+    )
+    scored = base.select(
+        F.ntile(5).over(Window.orderBy("r", "c")).alias("r_q"),
+        F.ntile(5).over(Window.orderBy("f", "c")).alias("f_q"),
+        F.ntile(5).over(Window.orderBy("m", "c")).alias("m_q"),
+    )
+    return scored.groupBy(
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("segment")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "q_decile_lift",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey                                 AS c,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT s, ntile(10) OVER (ORDER BY s DESC, c) AS decile FROM spend
+    ),
+    agg AS (
+      SELECT decile, count(*) AS n_customers, sum(s) AS decile_spend
+      FROM ranked GROUP BY decile
+    )
+    SELECT CAST(decile AS INTEGER)                     AS decile,
+           n_customers,
+           round(CAST(decile_spend AS DOUBLE)
+                 / CAST(sum(decile_spend) OVER () AS DOUBLE), 6)
+                                                       AS spend_share,
+           round(CAST(sum(decile_spend) OVER (
+                   ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)
+                 / CAST(sum(decile_spend) OVER () AS DOUBLE), 6)
+                                                       AS cum_share
+    FROM agg
+    """,
+)
+def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift curve: customers ranked by total spend, the share of
+    revenue each decile carries and the cumulative share through it — the
+    'top 10% of customers drive X% of revenue' targeting readout.
+
+    Scale: facts reduce to |customers| rows before any window; the
+    decile/cumulative windows run on 10-row and |customers|-row reduced
+    frames. Spend is an exact DECIMAL sum (ratios go double only at the
+    final division on identical inputs)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("s")
+    )
+    ranked = spend.select(
+        "s",
+        F.ntile(10).over(Window.orderBy(F.desc("s"), F.asc("c"))).alias(
+            "decile"
+        ),
+    )
+    agg = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("s").alias("decile_spend"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return agg.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_customers",
+        F.round(
+            F.col("decile_spend").cast("double")
+            / F.sum("decile_spend").over(w_all).cast("double"),
+            6,
+        ).alias("spend_share"),
+        F.round(
+            F.sum("decile_spend").over(w_cum).cast("double")
+            / F.sum("decile_spend").over(w_all).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(floor(o_totalprice
+                        / power(10, floor(log10(o_totalprice)))) AS INTEGER)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT digit,
+           count(*)                                          AS n_orders,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (), 6)                 AS obs_freq,
+           round(log10(1.0 + 1.0 / digit), 6)                AS benford_freq
+    FROM digits GROUP BY digit
+    """,
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals: observed
+    digit frequencies against the log10(1+1/d) expectation — the
+    classic forensic screen for fabricated or systematically clipped
+    monetary data.
+
+    Scale: digit extraction is a scan-stage expression; the aggregate is
+    nine groups. log10/power evaluate on identical doubles in both
+    engines, so the 6-dp rounds agree."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    digits = o.where(F.col("o_totalprice") > 0).select(digit.alias("digit"))
+    w_all = Window.partitionBy()
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double")
+                / F.sum("n_orders").over(w_all),
+                6,
+            ).alias("obs_freq"),
+            F.round(F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6).alias(
+                "benford_freq"
+            ),
+        )
+    )
