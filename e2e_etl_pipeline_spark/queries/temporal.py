@@ -1095,3 +1095,143 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
         )
     )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    purchases AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS DATE)   AS day,
+             CAST(value AS DECIMAL(14,2))          AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    daily AS (
+      SELECT c.cohort_day,
+             date_diff('day', c.cohort_day, p.day) AS offset_days,
+             sum(p.v)                              AS revenue
+      FROM purchases p JOIN cohorts c USING (user_id)
+      WHERE date_diff('day', c.cohort_day, p.day) BETWEEN 0 AND 7
+      GROUP BY 1, 2
+    )
+    SELECT cohort_day, offset_days,
+           CAST(round(sum(revenue) OVER (
+                  PARTITION BY cohort_day ORDER BY offset_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS cum_revenue
+    FROM daily
+    """,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: cumulative purchase revenue per
+    first-activity-day cohort across day offsets 0–7 — the money-sided
+    companion of q_retention_cohort (does early engagement translate into
+    spend, and how fast does each cohort's curve flatten?).
+
+    Scale: same two reduced per-user/per-day aggregates as the retention
+    key joined on user_id; the cumulative window runs on cohorts×8 rows.
+    Revenue accumulates in exact DECIMAL; doubles appear only after the
+    final 2-dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    daily = (
+        purchases.join(cohorts, "user_id")
+        .withColumn("offset_days", F.datediff("day", "cohort_day"))
+        .where(F.col("offset_days").between(0, 7))
+        .groupBy("cohort_day", "offset_days")
+        .agg(F.sum("v").alias("revenue"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("offset_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "cohort_day",
+        "offset_days",
+        F.round(F.sum("revenue").over(w), 2).cast("double").alias(
+            "cum_revenue"
+        ),
+    )
+
+
+@register(
+    "q_order_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT count(*)                                   AS n_gaps,
+           round(avg(gap_days), 4)                    AS avg_gap_days,
+           round(quantile_cont(gap_days, 0.5), 4)     AS median_gap_days,
+           max(gap_days)                              AS max_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    """,
+)
+def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap statistics: whole-day gaps between each
+    customer's consecutive orders, summarized corpus-wide — the
+    repurchase-cadence signal behind churn models ('customer is N× past
+    their usual gap').
+
+    Scale: one shuffle on the customer key, one lag window per customer,
+    then a global aggregate over |orders| integer gaps; avg and exact
+    percentile work on whole-day INTs so both engines agree exactly."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 4).alias(
+            "median_gap_days"
+        ),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+@register(
+    "q_percentile_bands",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE)        AS day,
+           count(*)                                   AS n_events,
+           round(quantile_cont(value, 0.1), 4)        AS p10,
+           round(quantile_cont(value, 0.5), 4)        AS p50,
+           round(quantile_cont(value, 0.9), 4)        AS p90
+    FROM events GROUP BY 1
+    """,
+)
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p10/p50/p90 bands of the event value — the percentile-band
+    chart every ops dashboard draws over a latency or spend series
+    (means hide the tail; bands don't).
+
+    Scale: one grouped exact-percentile aggregate keyed by day; at
+    billions of events per day the documented swap is approx_percentile's
+    mergeable t-digest (q_agg_approx_percentile), identical plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.1)"), 4).alias("p10"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
