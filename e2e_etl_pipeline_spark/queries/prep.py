@@ -1338,3 +1338,57 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_impute",
+    oracle="""
+    WITH holey AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+    ),
+    med AS (
+      SELECT c_mktsegment, quantile_cont(bal, 0.5) AS seg_median
+      FROM holey WHERE bal IS NOT NULL GROUP BY c_mktsegment
+    )
+    SELECT h.c_mktsegment,
+           count(*)                                         AS n_customers,
+           count(*) FILTER (WHERE h.bal IS NULL)            AS n_imputed,
+           round(avg(coalesce(h.bal, m.seg_median)), 4)     AS avg_imputed_bal,
+           round(any_value(m.seg_median), 4)                AS seg_median
+    FROM holey h JOIN med m USING (c_mktsegment)
+    GROUP BY h.c_mktsegment
+    """,
+)
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation: account balances are deterministically
+    masked (every 7th key) to simulate missingness, then filled with the
+    segment median — the standard numeric-repair step before features
+    reach anything that can't handle NULLs.
+
+    Scale: one grouped exact-percentile pass over the non-null slice, a
+    broadcast of the |segments|-row median table back over the scan, and
+    a final grouped aggregate — facts shuffle once per pass, the repair
+    itself is a scan-stage coalesce."""
+    c = load_table(spark, sf_dir, "customer")
+    holey = c.select(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("c_acctbal")
+        ).alias("bal"),
+    )
+    med = (
+        holey.where(F.col("bal").isNotNull())
+        .groupBy("c_mktsegment")
+        .agg(F.expr("percentile(bal, 0.5)").alias("seg_median"))
+    )
+    j = holey.join(F.broadcast(med), "c_mktsegment")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.when(F.col("bal").isNull(), 1)).alias("n_imputed"),
+        F.round(F.avg(F.coalesce("bal", "seg_median")), 4).alias(
+            "avg_imputed_bal"
+        ),
+        F.round(F.first("seg_median"), 4).alias("seg_median"),
+    )
