@@ -64,15 +64,32 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--plain"]
+    plain = "--plain" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from e2e_etl_pipeline_spark.catalog import TABLES
     from e2e_etl_pipeline_spark.registry import ORACLES, QUERIES, load_all
     from e2e_etl_pipeline_spark.session import get_session
 
     load_all()
-    spark = get_session("check_oracles")
+    if plain:
+        # Driver-conditions sweep: an externally-built session with NONE of
+        # the engine factory's confs and a deliberately non-UTC timezone.
+        # Every query must still pass — the registry wrapper alone carries
+        # package shipping + UTC pinning (the verify-skill contract).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.showConsoleProgress", "false")
+            .appName("check_oracles_plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session("check_oracles")
 
     con = duckdb.connect()
     for t in TABLES:
