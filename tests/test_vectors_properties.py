@@ -1,0 +1,73 @@
+"""Mathematical invariants of the vector expression builders
+(functions/vectors.py), checked against numpy on one seeded random batch —
+a single Spark job covers every property (per-example jobs would make a
+hypothesis-style loop pay 100× the scheduler cost for the same coverage).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from e2e_etl_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
+
+N, DIM = 64, 16
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    rng = np.random.RandomState(7)
+    a = rng.randn(N, DIM).astype(np.float32)
+    b = rng.randn(N, DIM).astype(np.float32)
+    a[0] = 0.0  # zero vector: cosine must be NULL, norm must be 0
+    b[1] = a[1]  # identical vectors: cosine must be 1
+    b[2] = -a[2]  # opposite vectors: cosine must be -1
+    schema = T.StructType(
+        [
+            T.StructField("i", T.IntegerType()),
+            T.StructField("a", T.ArrayType(T.FloatType())),
+            T.StructField("b", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, a[i].tolist(), b[i].tolist()) for i in range(N)], schema
+    )
+    rows = (
+        df.select(
+            "i",
+            dot("a", "b").alias("dot"),
+            l2_norm("a").alias("na"),
+            l2_norm("b").alias("nb"),
+            cosine_similarity("a", "b").alias("cos"),
+        )
+        .collect()
+    )
+    return a, b, {r["i"]: r for r in rows}
+
+
+def test_dot_and_norm_match_numpy(batch):
+    a, b, rows = batch
+    for i in range(N):
+        assert rows[i]["dot"] == pytest.approx(float(np.dot(a[i].astype(np.float64), b[i].astype(np.float64))), rel=1e-9, abs=1e-9)
+        assert rows[i]["na"] == pytest.approx(float(np.linalg.norm(a[i].astype(np.float64))), rel=1e-9, abs=1e-12)
+
+
+def test_cosine_bounds_and_special_cases(batch):
+    _, _, rows = batch
+    assert rows[0]["cos"] is None  # zero vector → NULL, not NaN/crash
+    assert rows[1]["cos"] == pytest.approx(1.0, abs=1e-9)
+    assert rows[2]["cos"] == pytest.approx(-1.0, abs=1e-9)
+    for i in range(3, N):
+        assert -1.0 - 1e-9 <= rows[i]["cos"] <= 1.0 + 1e-9
+
+
+def test_cauchy_schwarz(batch):
+    a, b, rows = batch
+    for i in range(1, N):
+        assert abs(rows[i]["dot"]) <= rows[i]["na"] * rows[i]["nb"] + 1e-6
