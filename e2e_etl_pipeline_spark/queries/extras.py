@@ -657,3 +657,48 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("max_total"),
         F.round(F.min("o_totalprice"), 2).alias("min_total"),
     )
+
+
+@register(
+    "q_percentile_disc",
+    oracle="""
+    SELECT l_linestatus,
+           count(*)                            AS n_rows,
+           quantile_disc(l_quantity, 0.5)      AS p50_disc,
+           quantile_disc(l_quantity, 0.9)      AS p90_disc
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (an actually-occurring value, never an
+    interpolation — required wherever the metric must be a real
+    observation, e.g. latency SLOs). Spark has no percentile_disc, so it
+    is derived from the order statistic directly: the value at 1-based
+    row ceil(p·n) of the sorted group — which is exactly DuckDB's
+    quantile_disc definition.
+
+    Scale: one rank window per group keyed by the groupBy column (the
+    same shuffle the aggregate itself needs), then a filter to the two
+    target ranks — no global sort, no second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_linestatus").orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    w_all = Window.partitionBy("l_linestatus")
+    ranked = li.select(
+        "l_linestatus",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return ranked.groupBy("l_linestatus").agg(
+        F.first("n").alias("n_rows"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("l_quantity")
+            )
+        ).alias("p50_disc"),
+        F.min(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.9), F.col("l_quantity")
+            )
+        ).alias("p90_disc"),
+    )

@@ -1235,3 +1235,65 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
     )
+
+
+@register(
+    "q_concurrent_sessions",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT)       AS t, 1  AS d, event_id
+      FROM events
+      UNION ALL
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) + 600 AS t, -1 AS d, event_id
+      FROM events
+    ),
+    swept AS (
+      SELECT t,
+             sum(d) OVER (ORDER BY t, d DESC, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+      FROM deltas
+    )
+    SELECT max(live)                       AS peak_concurrency,
+           min(t) FILTER (WHERE live = (SELECT max(live) FROM swept))
+                                           AS peak_epoch_s
+    FROM swept
+    """,
+)
+def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the sweep-line algorithm: every event opens a
+    10-minute session; +1/-1 deltas at session edges, a running sum over
+    the time-ordered deltas, and the maximum is the peak load (plus the
+    first second it was reached) — the capacity-planning number a
+    max-per-bucket rollup systematically underestimates (sessions
+    straddle buckets).
+
+    Determinism: whole-second BIGINT edge times; at an open/close tie the
+    open sorts first (d DESC) in both engines, and event_id breaks exact
+    ties. Scale: the global-ordered running sum is the stated caveat —
+    shard the sweep by day (with per-shard carry-in, one tiny second
+    pass) when the delta stream outgrows one partition."""
+    ev = load_table(spark, sf_dir, "events")
+    opens = ev.select(
+        F.col("ts").cast("long").alias("t"), F.lit(1).alias("d"), "event_id"
+    )
+    closes = ev.select(
+        (F.col("ts").cast("long") + 600).alias("t"),
+        F.lit(-1).alias("d"),
+        "event_id",
+    )
+    deltas = opens.unionByName(closes)
+    w = (
+        Window.orderBy(F.col("t"), F.col("d").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = deltas.select("t", F.sum("d").over(w).alias("live"))
+    peak = swept.agg(F.max("live").alias("peak"))
+    return (
+        swept.crossJoin(F.broadcast(peak))
+        .where(F.col("live") == F.col("peak"))
+        .agg(
+            F.first("peak").alias("peak_concurrency"),
+            F.min("t").alias("peak_epoch_s"),
+        )
+    )
