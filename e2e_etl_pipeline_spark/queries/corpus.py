@@ -754,3 +754,50 @@ def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hapax_ratio"),
     )
+
+
+@register(
+    "q_sample_weighted",
+    oracle="""
+    WITH w AS (
+      SELECT lang,
+             least(n_chars / 400.0, 1.0) AS wt,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           count(*)                                             AS n_total,
+           count(*) FILTER (WHERE bucket < CAST(floor(wt * 256) AS INTEGER))
+                                                                AS n_kept,
+           round(avg(wt), 4)                                    AS avg_weight
+    FROM w GROUP BY lang
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional-to-size sampling, deterministically: each
+    document is kept with probability equal to its (length-based) weight,
+    gated by an md5-derived uniform — the quality/length-weighted
+    sampling step of corpus curation (upweight substantive documents)
+    without a single rand() call, so the sample re-derives identically on
+    any engine, rerun, or partitioning.
+
+    Scale: pure per-row scan-stage predicate + one grouped count — the
+    same zero-shuffle sampling shape as q_sample_stratified, with the
+    acceptance threshold now a per-row function of the data."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    w = d.select("lang", wt.alias("wt"), bucket.alias("bucket"))
+    return w.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(
+            F.when(
+                F.col("bucket") < F.floor(F.col("wt") * 256).cast("int"), 1
+            )
+        ).alias("n_kept"),
+        F.round(F.avg("wt"), 4).alias("avg_weight"),
+    )

@@ -1297,3 +1297,47 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("t").alias("peak_epoch_s"),
         )
     )
+
+
+@register(
+    "q_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT lag(event_type, 2) OVER w AS e1,
+             lag(event_type, 1) OVER w AS e2,
+             event_type                AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           count(*)                     AS n_paths
+    FROM seq WHERE e1 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step user journeys (the event-level trigram of
+    q_event_transitions' bigram matrix) — the path-mining readout behind
+    'what do users do right before purchasing?'.
+
+    Scale: one user-keyed window produces both lags in one pass; paths
+    reduce via partial agg to ≤|event_type|³ rows before the global
+    top-k (TakeOrderedAndProject); the LIMIT carries the (count, path)
+    unique total order."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).where(F.col("e1").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(20)
+    )
