@@ -801,3 +801,93 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_kept"),
         F.round(F.avg("wt"), 4).alias("avg_weight"),
     )
+
+
+@register(
+    "q_seqlen_histogram",
+    oracle="""
+    WITH lens AS (
+      SELECT len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    hist AS (
+      SELECT CAST(floor(log2(n_tokens)) AS INTEGER) AS bucket,
+             count(*)                               AS n_docs
+      FROM lens WHERE n_tokens > 0
+      GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(power(2, bucket) AS BIGINT)         AS bucket_lo,
+           CAST(power(2, bucket + 1) - 1 AS BIGINT) AS bucket_hi,
+           n_docs
+    FROM hist
+    """,
+)
+def q_seqlen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of document token counts — the
+    sequence-length distribution that drives context-packing efficiency
+    (q_pack_contexts) and truncation-loss estimates before training.
+
+    Scale: token counting is a scan-stage expression (no explode — the
+    array is sized, not expanded); the histogram is a ≤64-group
+    aggregate. log2/power run on identical integer inputs, so bucket
+    edges agree exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(_words("text"))
+    hist = (
+        d.select(n_tokens.alias("n_tokens"))
+        .where(F.col("n_tokens") > 0)
+        .groupBy(F.floor(F.log2("n_tokens")).cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return hist.select(
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_lo"),
+        (F.pow(F.lit(2.0), F.col("bucket") + 1) - 1)
+        .cast("bigint")
+        .alias("bucket_hi"),
+        "n_docs",
+    )
+
+
+@register(
+    "q_dup_rate_by_source",
+    oracle="""
+    WITH digests AS (
+      SELECT source, md5(text) AS dg FROM documents
+    ),
+    df AS (SELECT dg, count(*) AS n FROM digests GROUP BY dg)
+    SELECT d.source,
+           count(*)                                    AS n_docs,
+           count(*) FILTER (WHERE f.n > 1)             AS n_duped,
+           round(CAST(count(*) FILTER (WHERE f.n > 1) AS DOUBLE)
+                 / count(*), 4)                        AS dup_rate
+    FROM digests d JOIN df f USING (dg)
+    GROUP BY d.source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplication rate per source: the share of each
+    source's documents whose text also appears elsewhere in the corpus
+    (corpus-wide digest frequency > 1) — the 'which feed is recycling
+    content' diagnostic that q_source_stats' within-source ratio cannot
+    see.
+
+    Scale: documents reduce to (source, digest); the digest-frequency
+    table joins back on the digest — only hashes shuffle, never bodies.
+    md5 here (not xxhash64) because the oracle must compute the same
+    digest; same collision bound class."""
+    d = load_table(spark, sf_dir, "documents")
+    digests = d.select("source", F.md5("text").alias("dg"))
+    freq = digests.groupBy("dg").agg(F.count(F.lit(1)).alias("n"))
+    j = digests.join(freq, "dg")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("n") > 1, 1)).alias("n_duped"),
+        F.round(
+            F.count(F.when(F.col("n") > 1, 1)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("dup_rate"),
+    )

@@ -1341,3 +1341,53 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), F.asc("path"))
         .limit(20)
     )
+
+
+@register(
+    "q_seasonality_dow",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE)                AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
+               AS day_value
+      FROM events GROUP BY 1
+    ),
+    stats AS (SELECT avg(day_value) AS overall FROM daily)
+    SELECT CAST(isodow(day) AS INTEGER)                 AS dow,
+           count(*)                                     AS n_days,
+           round(avg(day_value), 2)                     AS avg_value,
+           round(avg(day_value) / (SELECT overall FROM stats), 4)
+                                                        AS seasonality_idx
+    FROM daily GROUP BY 1
+    """,
+)
+def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile: each weekday's average daily
+    value as an index against the overall daily mean (>1 = above-trend
+    weekday) — the first decomposition every forecasting/capacity model
+    starts from. ISO day-of-week (Mon=1..Sun=7) on both engines: Spark's
+    ``dayofweek`` is Sun=1, so the engine maps through the ISO formula.
+
+    Scale: the corpus reduces to |days| rows once (DECIMAL-exact); the
+    weekday profile and index run on that tiny series with the 1-row
+    overall mean broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
+        .cast("double")
+        .alias("day_value")
+    )
+    stats = daily.agg(F.avg("day_value").alias("overall"))
+    # ISO dow: Spark dayofweek is Sun=1..Sat=7 → ((dow + 5) % 7) + 1.
+    iso_dow = ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
+    return (
+        daily.crossJoin(F.broadcast(stats))
+        .groupBy(iso_dow.alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg("day_value"), 2).alias("avg_value"),
+            F.round(F.avg("day_value") / F.first("overall"), 4).alias(
+                "seasonality_idx"
+            ),
+        )
+    )
