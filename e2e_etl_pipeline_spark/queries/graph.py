@@ -254,3 +254,67 @@ def q_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive planner against it."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(_BFS_RECURSIVE_SQL)
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    und AS (
+      SELECT DISTINCT least(prev_type, event_type)    AS a,
+                      greatest(prev_type, event_type) AS b
+      FROM seq
+      WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    )
+    SELECT (SELECT count(DISTINCT event_type) FROM events) AS n_nodes,
+           (SELECT count(*) FROM und)                      AS n_edges,
+           count(*)                                        AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the undirected transition graph (a<b<c edge
+    orientation, so each triangle counts exactly once) — the clustering
+    primitive behind graph cohesion metrics.
+
+    Scale: the canonical ordered-edge trick makes this two equi-joins on
+    an edge list that is already deduped and oriented — never an
+    all-pairs expansion; on a skewed real graph the standard refinement
+    (orient edges from lower- to higher-degree endpoints) bounds each
+    join's fan-out by sqrt(|E|)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(
+        F.col("prev_type").isNotNull()
+        & (F.col("prev_type") != F.col("event_type"))
+    )
+    und = (
+        seq.select(
+            F.least("prev_type", "event_type").alias("a"),
+            F.greatest("prev_type", "event_type").alias("b"),
+        )
+        .distinct()
+        .cache()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nodes = ev.agg(F.countDistinct("event_type").alias("n_nodes"))
+    edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )

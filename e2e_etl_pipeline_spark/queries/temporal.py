@@ -1391,3 +1391,203 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_market_basket",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    singles AS (
+      SELECT event_type, count(*) AS n FROM baskets GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*)     AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    ),
+    total AS (SELECT count(DISTINCT user_id) AS n_users FROM baskets)
+    SELECT p.type_a, p.type_b, p.n_both,
+           round(CAST(p.n_both AS DOUBLE)
+                 / (sa.n + sb.n - p.n_both), 4)            AS jaccard,
+           round(CAST(p.n_both AS DOUBLE) * (SELECT n_users FROM total)
+                 / (CAST(sa.n AS DOUBLE) * sb.n), 4)       AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    """,
+)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association between event types: pair support,
+    user-set Jaccard, and lift P(a∧b)/(P(a)·P(b)) — the
+    co-occurrence/affinity primitive behind recommenders and
+    cross-feature analysis.
+
+    Scale: baskets reduce to distinct (user, type) first; the pair join
+    is an inverted-index self-join keyed on user — candidate volume is
+    Σ_user |types|², bounded by the small per-user type alphabet, never
+    |users|². Singles and the user total broadcast back over the
+    |types|²-row pair table."""
+    ev = load_table(spark, sf_dir, "events")
+    baskets = ev.select("user_id", "event_type").distinct()
+    singles = baskets.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select("user_id", F.col("event_type").alias("type_a"))
+    b = baskets.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    total = baskets.agg(F.countDistinct("user_id").alias("n_users"))
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n_users")
+                / (F.col("na").cast("double") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN CAST(date_trunc('day', ts) AS DATE) END) AS s,
+             max(CAST(date_trunc('day', ts) AS DATE))               AS last_day
+      FROM events GROUP BY user_id
+    ),
+    pp AS (
+      SELECT e.user_id,
+             min(CAST(date_trunc('day', e.ts) AS DATE)) AS p
+      FROM events e JOIN pu ON pu.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(date_trunc('day', e.ts) AS DATE) >= pu.s
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT CASE WHEN pp.p IS NOT NULL
+                  THEN date_diff('day', pu.s, pp.p)
+                  ELSE date_diff('day', pu.s, pu.last_day) END AS t,
+             CASE WHEN pp.p IS NOT NULL THEN 1 ELSE 0 END      AS ev
+      FROM pu LEFT JOIN pp USING (user_id)
+      WHERE pu.s IS NOT NULL
+    ),
+    days AS (SELECT t, sum(ev) AS d, count(*) AS exits FROM obs GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             (SELECT count(*) FROM obs)
+             - coalesce(sum(exits) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM days
+    )
+    SELECT CAST(t AS BIGINT)       AS t,
+           CAST(n_risk AS BIGINT)  AS n_risk,
+           CAST(d AS BIGINT)       AS n_events,
+           CASE WHEN sum(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                THEN 0.0
+                ELSE round(exp(sum(ln(nullif(1.0 - CAST(d AS DOUBLE) / n_risk, 0.0)))
+                       OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+           END AS survival
+    FROM risk
+    WHERE n_risk > 0 AND t BETWEEN 0 AND 7
+    """,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup→purchase conversion:
+    per-day at-risk counts, conversion events, and the product-limit
+    estimate S(t) = Π(1 − dᵢ/nᵢ), with non-converting users
+    right-censored at their last observed day — the time-to-event
+    estimator a naive conversion rate cannot replace (it throws away
+    censoring).
+
+    Determinism: exits and events are integer counts on whole-day
+    offsets; the cumulative product runs as exp of an ordered ln-sum on
+    identical doubles in both engines (the q_changepoint ordered-window
+    parity), with an explicit zero-factor guard so S drops to exactly 0
+    if every remaining at-risk user converts. Scale: events reduce to
+    one row per user, then |days| rows; every window is post-reduction."""
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.to_date("ts"))
+        ).alias("s"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    pp = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .join(pu.select("user_id", "s"), "user_id")
+        .where(F.col("day") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("p"))
+    )
+    obs = (
+        pu.join(pp, "user_id", "left")
+        .where(F.col("s").isNotNull())
+        .select(
+            F.datediff(F.coalesce("p", "last_day"), F.col("s")).alias("t"),
+            F.when(F.col("p").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    days = obs.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("exits")
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        days.crossJoin(F.broadcast(total))
+        .select(
+            "t",
+            "d",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("exits").over(w_prev), F.lit(0))
+            ).alias("n_risk"),
+        )
+        .where((F.col("n_risk") > 0) & F.col("t").between(0, 7))
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    dead = F.sum(
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    ln_sum = F.sum(
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk"))
+    ).over(w_cum)
+    return risk.select(
+        F.col("t").cast("bigint").alias("t"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.when(dead > 0, F.lit(0.0))
+        .otherwise(F.round(F.exp(ln_sum), 4))
+        .alias("survival"),
+    )
