@@ -1,0 +1,56 @@
+"""Behavioral invariants for the experiment/curation analytics keys —
+properties the DuckDB hash-parity check cannot articulate (monotonicity,
+bounds, conservation), asserted on the sf0.001 fixtures.
+"""
+
+from __future__ import annotations
+
+from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_survival_curve_is_monotone_from_one(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_survival_km"](spark, sf_dir).collect(), key=lambda r: r["t"]
+    )
+    assert rows, "empty survival curve"
+    assert rows[0]["survival"] <= 1.0 + 1e-9
+    for a, b in zip(rows, rows[1:]):
+        assert b["survival"] <= a["survival"] + 1e-9  # non-increasing
+        assert b["n_risk"] <= a["n_risk"]  # at-risk set only shrinks
+
+
+def test_market_basket_bounds(spark, sf_dir):
+    for r in QUERIES["q_market_basket"](spark, sf_dir).collect():
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["lift"] > 0.0
+        assert r["n_both"] > 0
+
+
+def test_decile_lift_cumulative_share_reaches_one(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_decile_lift"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert len(rows) == 10
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)  # cumulative share is monotone
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # deciles ranked by spend: the first decile carries the largest share
+    assert rows[0]["spend_share"] >= rows[-1]["spend_share"]
+
+
+def test_benford_frequencies_sum_to_one(spark, sf_dir):
+    rows = QUERIES["q_benford"](spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_freq"] for r in rows) - 1.0) < 1e-3
+
+
+def test_interval_merge_conservation(spark, sf_dir):
+    # Each island covers at least one 600 s interval and islands never
+    # overlap, so covered time >= 600 * 1 and >= longest island.
+    for r in QUERIES["q_interval_merge"](spark, sf_dir).collect():
+        assert r["covered_seconds"] >= 600
+        assert r["longest_seconds"] <= r["covered_seconds"]
+        assert r["n_islands"] >= 1
