@@ -1392,3 +1392,50 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.first("seg_median"), 4).alias("seg_median"),
     )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+    SELECT
+      count(*) AS n_rows,
+      sum((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+          + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
+          + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) AS checksum
+    FROM (
+      SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
+                 || CAST(o_custkey AS VARCHAR) || '|'
+                 || o_orderstatus || '|' || o_orderpriority) AS h
+      FROM orders
+    )
+    """,
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprint: per-row md5 over the stable
+    (integer/string) key columns, folded with an addition — equal tables
+    hash equal regardless of row order or partitioning, so two replicas
+    (or a pre/post-migration pair) compare with one number each. The
+    cross-engine primitive behind q_snapshot_diff's cheap precheck.
+
+    Columns are restricted to types with identical textual form in both
+    engines (ints, strings); doubles/timestamps would need a canonical
+    formatting step first. Scale: one combine-friendly aggregate, no
+    shuffle beyond the final 1-row reduce."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_custkey").cast("string"),
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+    )
+    word = F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint")
+    return o.select(word.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("w").alias("checksum"),
+    )
