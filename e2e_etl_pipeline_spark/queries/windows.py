@@ -267,3 +267,67 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.when(n % 2 == 1, mid).otherwise(even).alias("med7"),
     )
+
+
+@register(
+    "q_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(round(sum(CASE WHEN event_type = 'click'
+                                 THEN CAST(value AS DECIMAL(14,2))
+                                 ELSE CAST(0 AS DECIMAL(14,2)) END), 2)
+                  AS DOUBLE)                       AS clicks,
+             CAST(round(sum(CASE WHEN event_type = 'purchase'
+                                 THEN CAST(value AS DECIMAL(14,2))
+                                 ELSE CAST(0 AS DECIMAL(14,2)) END), 2)
+                  AS DOUBLE)                       AS purchases
+      FROM events GROUP BY 1
+    )
+    SELECT day,
+           round(corr(clicks, purchases) OVER (
+             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS corr_7d
+    FROM daily
+    QUALIFY count(*) OVER (
+      ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) = 7
+    """,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling correlation between the daily click and purchase
+    value series — the co-movement monitor that flags when two metrics
+    decouple (a point correlation can't show when it broke).
+
+    Scale: the corpus reduces once to |days| rows with both series as
+    DECIMAL-exact columns; the windowed corr runs post-reduction over
+    identical doubles in both engines, and rows without a full 7-day
+    frame are dropped on both sides (QUALIFY ≡ the count filter)."""
+    ev = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(14,2)")
+    zero = F.lit(0).cast("decimal(14,2)")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "click", dec).otherwise(zero)),
+            2,
+        )
+        .cast("double")
+        .alias("clicks"),
+        F.round(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec).otherwise(zero)
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("purchases"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            F.round(F.corr("clicks", "purchases").over(w), 4).alias("corr_7d"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .where(F.col("_n") == 7)
+        .drop("_n")
+    )
