@@ -1591,3 +1591,84 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp(ln_sum), 4))
         .alias("survival"),
     )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT
+        user_id, ts, event_type,
+        CASE
+          WHEN lag(ts) OVER w IS NULL
+            OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+          THEN 1 ELSE 0
+        END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT
+        user_id, ts, event_type,
+        SUM(is_new) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_seq
+      FROM marked
+    )
+    SELECT
+      user_id,
+      CAST(session_seq AS BIGINT) AS session_seq,
+      CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+      COUNT(*) AS n_events,
+      CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT)
+        AS duration_seconds,
+      COUNT(DISTINCT event_type) AS n_event_types
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream into sessions
+    at >30-minute inactivity gaps, then profile every session (start,
+    length, duration, event-type variety).
+
+    The batch twin of q_stream_session (B.9's session window): identical
+    gap semantics, expressed as the classic lag-then-prefix-sum — mark a
+    row as a session opener when its gap to the previous event exceeds the
+    timeout, and the running sum of openers IS the per-user session id.
+    One shuffle on user_id, two linear window scans over the same sort, one
+    hash aggregate on (user_id, session_seq) that AQE coalesces — no
+    range self-join, no per-session subquery, so the shape is
+    O(events log events_per_user) at any corpus size and the 30-minute
+    timeout never becomes a cross-product. Per-user timestamps are unique
+    (TESTDATA microsecond-random), so the sort — and therefore lag() — is
+    deterministic in both engines. Epochs are floored to whole seconds
+    before differencing so the two engines' sub-second representations
+    cannot diverge (same rule as q_join_asof).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.floor(F.col("ts").cast("double")) - F.floor(
+        F.lag("ts").over(w).cast("double")
+    )
+    marked = ev.withColumn(
+        "is_new",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_seq",
+        F.sum("is_new").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.floor(F.min("ts").cast("double")).cast("long").alias("session_start_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.floor(F.max("ts").cast("double")) - F.floor(F.min("ts").cast("double")))
+        .cast("long")
+        .alias("duration_seconds"),
+        F.countDistinct("event_type").alias("n_event_types"),
+    )

@@ -53,3 +53,33 @@ def test_skew_profile_shares_are_consistent(spark, sf_dir):
         assert abs(r.share - r.n_rows / li_count) < 1e-6
     counts = [r.n_rows for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_sessionize_conserves_events_and_respects_gap(spark, sf_dir):
+    sess = QUERIES["q_sessionize"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    agg = sess.agg(
+        F.sum("n_events").alias("total"),
+        F.min("n_events").alias("min_n"),
+        F.min("duration_seconds").alias("min_dur"),
+        F.max("session_seq").alias("max_seq"),
+    ).collect()[0]
+    # Conservation: every event lands in exactly one session.
+    assert agg.total == ev.count()
+    assert agg.min_n >= 1 and agg.min_dur >= 0 and agg.max_seq >= 1
+    # Gap semantics: consecutive sessions of one user start > 1800 s after
+    # the previous session's start (the previous session ended at or after
+    # its own start, and a new one only opens on a >1800 s gap).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("session_seq")
+    gaps = (
+        sess.withColumn(
+            "prev_start", F.lag("session_start_epoch").over(w)
+        )
+        .where(F.col("prev_start").isNotNull())
+        .where(
+            F.col("session_start_epoch") - F.col("prev_start") <= 1800
+        )
+    )
+    assert gaps.count() == 0
