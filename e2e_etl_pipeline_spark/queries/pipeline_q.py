@@ -485,3 +485,88 @@ def q_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["n_rows", "n_high_qty", "sum_price"],
     )
+
+
+def _zorder_code(cx, cy):
+    """Interleave two 8-bit codes into a 16-bit Morton (Z-order) value:
+    bit i of ``cx`` lands at position 2i+1, bit i of ``cy`` at 2i. Pure
+    shift/and/or column expressions — JVM codegen, no UDF."""
+    z = F.lit(0)
+    for i in range(8):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return z
+
+
+@register(
+    "q_layout_zorder",
+    oracle="""
+    SELECT
+      count(*)                    AS n_rows,
+      round(sum(o_totalprice), 2) AS total_price,
+      CAST(min(o_custkey) AS BIGINT) AS min_cust,
+      CAST(max(o_custkey) AS BIGINT) AS max_cust
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 700
+      AND o_totalprice BETWEEN 20000 AND 120000
+    """,
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) multi-dimensional clustering rewrite — the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY (o_custkey, o_totalprice)`` analog —
+    then a 2-D box scan over the rewritten copy.
+
+    Why this exists at 100 TB: range-sorting clusters ONE dimension
+    (q_layout_sorted_write) — a predicate on any other column still reads
+    every file. Interleaving the bits of per-column quantized codes makes
+    file/row-group min-max stats selective in BOTH dimensions at once: a
+    contiguous z-range is (within one curve split) a spatial quadrant, so a
+    box predicate prunes to O(perimeter) files instead of all of them.
+
+    Scale shape: one 4-scalar min/max aggregate (broadcast to the map side
+    as literals — the only driver round-trip), then a pure-expression
+    16-bit Morton code, ``repartitionByRange`` on the code (sampled range
+    exchange, skew-proof), sort-within-partition, write. No global window,
+    no ntile — codes are value-quantized, so the job is two scans at any
+    corpus size. The oracle asserts the rewrite is content-preserving for
+    the scanned box (layout never changes content); the disjoint-z-range
+    pruning guarantee itself is asserted in tests/test_pipeline.py.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).first()
+    mnx, mxx, mny, mxy = float(b[0]), float(b[1]), float(b[2]), float(b[3])
+    cx = F.least(
+        F.lit(255),
+        F.floor((F.col("o_custkey") - mnx) * 256.0 / (mxx - mnx + 1.0)),
+    ).cast("int")
+    cy = F.least(
+        F.lit(255),
+        F.floor((F.col("o_totalprice") - mny) * 256.0 / ((mxy - mny) * 1.000001)),
+    ).cast("int")
+    path = _tmpdir("zorder")
+    try:
+        (
+            o.withColumn("z", _zorder_code(cx, cy))
+            .repartitionByRange(8, "z")
+            .sortWithinPartitions("z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        back = spark.read.parquet(path).filter(
+            F.col("o_custkey").between(200, 700)
+            & F.col("o_totalprice").between(20000, 120000)
+        )
+        return back.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.min("o_custkey").cast("bigint").alias("min_cust"),
+            F.max("o_custkey").cast("bigint").alias("max_cust"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -79,3 +79,55 @@ def test_csv_sink_reference_compat(spark):
         assert with_salary["pay_period"] == "h"
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_zorder_quadrant_is_prefix_range(spark):
+    # A value-space quadrant must map to a contiguous z-prefix: both codes
+    # < 128 (top bit 0)  <=>  z < 2^14. That equivalence is what turns a
+    # 2-D box predicate into a file-range prune.
+    from e2e_etl_pipeline_spark.queries.pipeline_q import _zorder_code
+    import pyspark.sql.functions as F
+
+    pts = spark.createDataFrame(
+        [(x, y) for x in (0, 5, 127, 128, 200, 255) for y in (0, 63, 127, 128, 255)],
+        "cx int, cy int",
+    ).withColumn("z", _zorder_code(F.col("cx"), F.col("cy")))
+    for r in pts.collect():
+        in_quadrant = r.cx < 128 and r.cy < 128
+        assert (r.z < 1 << 14) == in_quadrant, (r.cx, r.cy, r.z)
+        # Interleave round-trips: de-interleaving z recovers the codes.
+        cx = sum(((r.z >> (2 * i + 1)) & 1) << i for i in range(8))
+        cy = sum(((r.z >> (2 * i)) & 1) << i for i in range(8))
+        assert (cx, cy) == (r.cx, r.cy)
+
+
+def test_zorder_files_have_disjoint_z_ranges(spark, sf_dir, tmp_path):
+    # repartitionByRange on z must yield pairwise-disjoint per-file z
+    # ranges — the structural guarantee that ANY z-interval predicate
+    # (i.e. any quadrant-decomposed box) prunes to a file subset.
+    import pyspark.sql.functions as F
+
+    from e2e_etl_pipeline_spark.catalog import load_table
+    from e2e_etl_pipeline_spark.queries.pipeline_q import _zorder_code
+
+    o = load_table(spark, sf_dir, "orders")
+    cx = (F.col("o_custkey") % 256).cast("int")
+    cy = F.least(F.lit(255), (F.col("o_totalprice") / 2000).cast("int"))
+    path = str(tmp_path / "z")
+    (
+        o.withColumn("z", _zorder_code(cx, cy))
+        .repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .collect()
+    )
+    assert len(stats) >= 4
+    ranges = sorted((r.lo, r.hi) for r in stats)
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert lo1 <= hi1 < lo2
