@@ -570,3 +570,71 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_targeted_delete",
+    oracle="""
+    SELECT
+      count(*)                         AS n_rows,
+      round(sum(value), 2)             AS total_value,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id NOT IN (1, 2, 3)
+    """,
+)
+def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style targeted row deletion: purge three user_ids from a
+    user-clustered copy of events by rewriting ONLY the files whose
+    min/max statistics can contain them, leaving every other file
+    untouched — the Delta/Iceberg DELETE + data-skipping shape.
+
+    Why this matters at 100 TB: a right-to-be-forgotten request touches a
+    handful of keys; rewriting the whole table is a full-corpus job, while
+    stats-pruned rewrite is O(affected files). Clustering by user_id first
+    (repartitionByRange) is what makes the blast radius small — victims
+    land in one or two contiguous range files. Soundness does not depend
+    on the stats being tight: a file whose [min,max] excludes every victim
+    provably cannot hold their rows, so skipping it is always correct.
+
+    The per-file stats scan here reads the user_id column only (column
+    pruning); the untouched file set is passed to the final union by PATH,
+    never re-materialized. The oracle asserts the post-delete table equals
+    a plain anti-filter of the source. File-immutability of the untouched
+    set is asserted in tests/test_pipeline.py.
+    """
+    victims = [1, 2, 3]
+    ev = load_table(spark, sf_dir, "events")
+    path = _tmpdir("tdelete")
+    try:
+        (
+            ev.repartitionByRange(8, "user_id")
+            .sortWithinPartitions("user_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+            .collect()
+        )
+        affected = [r.f for r in stats if any(r.lo <= v <= r.hi for v in victims)]
+        untouched = [r.f for r in stats if r.f not in set(affected)]
+        parts = []
+        if affected:
+            parts.append(
+                spark.read.parquet(*affected).where(~F.col("user_id").isin(victims))
+            )
+        if untouched:
+            parts.append(spark.read.parquet(*untouched))
+        final = parts[0]
+        for p in parts[1:]:
+            final = final.unionByName(p)
+        return final.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -131,3 +131,37 @@ def test_zorder_files_have_disjoint_z_ranges(spark, sf_dir, tmp_path):
     ranges = sorted((r.lo, r.hi) for r in stats)
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert lo1 <= hi1 < lo2
+
+
+def test_targeted_delete_touches_only_stat_affected_files(spark, sf_dir, tmp_path):
+    # The blast radius of a 3-user delete on a user-clustered copy must be
+    # a strict subset of files: with 8 contiguous user_id ranges, victims
+    # 1..3 sit in the first range (plus at most one boundary neighbor).
+    import pyspark.sql.functions as F
+
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "t")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    stats = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+        .collect()
+    )
+    victims = [1, 2, 3]
+    affected = [r.f for r in stats if any(r.lo <= v <= r.hi for v in victims)]
+    assert 0 < len(affected) <= 2, (len(affected), len(stats))
+    # Soundness: the skipped files really contain no victim rows.
+    untouched = [r.f for r in stats if r.f not in set(affected)]
+    if untouched:
+        leaked = (
+            spark.read.parquet(*untouched).where(F.col("user_id").isin(victims))
+        ).count()
+        assert leaked == 0
