@@ -277,3 +277,17 @@ def test_lateral_join_decorrelates(spark, sf_dir):
     plan = _formatted(spark, "q_join_lateral", sf_dir)
     assert "Window" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Sessionization is one user_id exchange: both window passes and the
+    (user_id, session_seq) aggregate reuse the same partitioning — the
+    lag-mark/prefix-sum formulation never range-self-joins."""
+    plan = _formatted(spark, "q_sessionize", sf_dir)
+    tree = [
+        ln
+        for ln in plan.split("== Initial Plan ==")[0].splitlines()
+        if "+-" in ln  # operator-tree rows only, not the per-node detail
+    ]
+    assert sum("Exchange" in ln for ln in tree) <= 1, plan[:2000]
+    assert sum("Window" in ln for ln in tree) == 2, plan[:2000]

@@ -54,6 +54,9 @@ SHOWCASE = [
                             "sample) fused into ONE plan; no exchange "
                             "carries the text column — digests, scores and "
                             "token counts are computed in the scan stage"),
+    ("q_sessionize", "one exchange on user_id feeds BOTH window passes and "
+                     "the final session aggregate — the sort order is "
+                     "computed once and reused; no range self-join"),
     ("q_kmeans_step", "k seed centroids broadcast against the corpus scan "
                       "(BroadcastNestedLoopJoin) — assignment never "
                       "shuffles vectors; the mean-recompute exchanges "
