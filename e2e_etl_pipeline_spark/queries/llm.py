@@ -10,6 +10,8 @@ function) and carry pytest coverage instead (tests/test_llm_ops.py).
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -673,4 +675,55 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.lit(0))
         .alias("is_correct"),
+    )
+
+
+@register(
+    "q_text_normalize",
+    oracle="""
+    SELECT
+      doc_id,
+      regexp_replace(trim(lower(nfc_normalize(text))), '[ \t\n\f\r]+', ' ', 'g')
+        AS norm_text,
+      length(regexp_replace(trim(lower(nfc_normalize(text))),
+                            '[ \t\n\f\r]+', ' ', 'g')) AS norm_len
+    FROM documents
+    WHERE doc_id < 500
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization — the first stage of every LLM-data prep
+    pipeline: NFC canonical composition (é as one codepoint, not e+◌́), a
+    unicode-aware lowercase, and ASCII-whitespace collapse to single
+    spaces. Without NFC, byte-identical dedup (q_dedup_exact's xxhash64)
+    misses visually-identical documents that differ only in composition
+    form.
+
+    Spark has no built-in Unicode normalizer, so this is the canonical
+    legitimate pandas-UDF use: Arrow-batched `unicodedata.normalize` —
+    one Python round-trip per ~10k-row batch, not per row, and the UDF is
+    stateless so it parallelizes per-partition at any corpus size. The
+    whitespace class is pinned to RE2's ASCII `\\s` ([ \\t\\n\\f\\r]) in
+    BOTH engines so the oracle (DuckDB `nfc_normalize`) and the UDF agree
+    on every codepoint. doc_id < 500 bounds the driver-compared payload;
+    the operator itself is scan-shaped (zero exchanges).
+    """
+    import re
+    import unicodedata
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+            if t is not None
+            else None
+        )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    return d.select(
+        "doc_id",
+        _norm(F.col("text")).alias("norm_text"),
+        F.length(_norm(F.col("text"))).alias("norm_len"),
     )

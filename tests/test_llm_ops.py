@@ -173,3 +173,20 @@ def test_hll_sketch_rollup_error_bounded(spark, sf_dir):
     for r in rows:
         rel_err = abs(r.est_customers - r.exact_customers) / r.exact_customers
         assert rel_err < 0.02, (r.n_regionkey, rel_err)
+
+
+def test_text_normalize_output_is_canonical(spark, sf_dir):
+    import unicodedata
+
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    rows = QUERIES["q_text_normalize"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        t = r.norm_text
+        assert "  " not in t and t == t.strip()
+        assert t == t.lower()
+        assert unicodedata.is_normalized("NFC", t)
+        assert r.norm_len == len(t)
