@@ -727,3 +727,77 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _norm(F.col("text")).alias("norm_text"),
         F.length(_norm(F.col("text"))).alias("norm_len"),
     )
+
+
+@register(
+    "q_dedup_incremental",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id + 1000000 AS doc_id, text, lang, 'recrawl' AS source
+      FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id, text || ' [updated]' AS text, lang,
+             'fresh' AS source
+      FROM documents WHERE doc_id % 50 = 7
+    ),
+    not_in_corpus AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)
+    ),
+    first_wins AS (
+      SELECT doc_id, text, lang, source,
+             min(doc_id) OVER (PARTITION BY text) AS survivor
+      FROM not_in_corpus
+    )
+    SELECT doc_id, lang, source, length(text) AS n_chars
+    FROM first_wins WHERE doc_id = survivor
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (snapshot-over-snapshot) dedup — the production shape:
+    a new crawl batch is deduplicated against the EXISTING corpus without
+    rescanning it, then within itself (first-wins on doc_id). The batch
+    here is built deterministically from the corpus: 10%-of-sources
+    re-crawled verbatim (must all drop) plus genuinely new revisions
+    (must all survive).
+
+    Scale story (generalizes operators/dedup.py's exact-dedup design,
+    reference parity: extract_data.py:194-197's insert-if-absent, done
+    corpus-scale): the historical corpus contributes only an 8-byte
+    xxhash64 digest index — maintained incrementally in practice, never
+    recomputed — and the anti-join shuffles |batch| digests, not corpus
+    bodies. Within-batch survivor selection is a digest-grouped min
+    (map-side combinable). Work is O(|new batch|) regardless of corpus
+    size; the corpus-side scan reads the text column once to hash it and
+    ships nothing else. Digest collisions are accepted as in
+    q_dedup_exact (2^-64-scale risk; a verify-on-collide equality join on
+    the tiny collided set is the belt-and-braces variant). The oracle
+    expresses identical semantics over raw text.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    recrawl = (
+        d.where(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            "text",
+            "lang",
+            F.lit("recrawl").alias("source"),
+        )
+    )
+    fresh = (
+        d.where(F.col("doc_id") % 50 == 7)
+        .select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" [updated]")).alias("text"),
+            "lang",
+            F.lit("fresh").alias("source"),
+        )
+    )
+    batch = recrawl.unionByName(fresh).withColumn("digest", F.xxhash64("text"))
+    corpus_index = d.select(F.xxhash64("text").alias("digest")).distinct()
+    novel = batch.join(corpus_index, "digest", "left_anti")
+    survivors = novel.groupBy("digest").agg(F.min("doc_id").alias("doc_id"))
+    return (
+        novel.join(survivors, ["digest", "doc_id"], "left_semi")
+        .select("doc_id", "lang", "source", F.length("text").alias("n_chars"))
+    )

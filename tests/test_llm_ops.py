@@ -190,3 +190,13 @@ def test_text_normalize_output_is_canonical(spark, sf_dir):
         assert t == t.lower()
         assert unicodedata.is_normalized("NFC", t)
         assert r.norm_len == len(t)
+
+
+def test_incremental_dedup_drops_recrawls_keeps_fresh(spark, sf_dir):
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    # Every verbatim re-crawl must be dropped; every revision must survive.
+    assert rows and all(r.source == "fresh" for r in rows)
+    assert len({r.doc_id for r in rows}) == len(rows)
