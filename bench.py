@@ -61,6 +61,15 @@ def main() -> int:
         timings[key] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Host-speed yardstick (BASELINE.md): VM generations for this repo have
+    # varied ~1.6× on identical plans, so BENCH deltas are only meaningful
+    # normalized by host speed. One extra JSON key; the driver's parser
+    # ignores keys it doesn't know.
+    t0 = time.time()
+    sum(range(10**7))
+    host_ms = round((time.time() - t0) * 1000, 1)
+
     print(
         json.dumps(
             {
@@ -69,6 +78,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_yardstick_ms": host_ms,
             }
         )
     )
