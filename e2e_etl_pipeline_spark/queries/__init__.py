@@ -29,6 +29,12 @@ Module map (SURVEY.md §2 Part B):
 # (incl. the round-2 temporal/prep modules, ahead of round-1-green extras),
 # and previously-verified modules last. Keep this ordering until every key
 # has a driver-green round on record.
+#
+# Round-3 note: after the round-2 driver run lands, read CORRECTNESS_r02
+# and rotate again — the late-round-2 keys appended past position 50
+# (q_sessionize, q_layout_zorder, q_targeted_delete, q_text_normalize,
+# q_dedup_incremental, and the temporal/prep/corpus/graph/ml/tpch waves)
+# are the ones most likely still unverified.
 from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     relational,
     scalars,
