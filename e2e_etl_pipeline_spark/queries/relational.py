@@ -521,3 +521,64 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.round(F.avg("k"), 4).alias("avg_k"),
     )
+
+
+@register(
+    "q_json_malformed",
+    oracle="""
+    WITH dirty AS (
+      SELECT
+        event_type,
+        CASE WHEN event_id % 10 = 3 THEN 'x' || props ELSE props END AS props
+      FROM events
+    )
+    SELECT
+      event_type,
+      count(*)                                              AS n_rows,
+      sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)    AS n_corrupt,
+      sum(CASE WHEN json_valid(props)
+               THEN CAST(props ->> 'k' AS BIGINT) ELSE 0 END) AS k_total
+    FROM dirty
+    GROUP BY event_type
+    """,
+)
+def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record tolerance — the PERMISSIVE-mode ingest contract: a
+    feed where 10% of JSON payloads are corrupt (deterministically
+    injected: a leading garbage byte) must not fail the pipeline; bad rows
+    are counted per group and excluded from the extracted aggregate.
+
+    Spark semantics: PERMISSIVE ``from_json`` routes unparseable input
+    into the declared ``columnNameOfCorruptRecord`` field (the parsed
+    fields come back NULL, the raw payload lands in ``_corrupt``), so
+    corruption detection is a null-check on that field — scan-stage
+    expressions only, no job failure, no Python. The
+    oracle mirrors with DuckDB ``json_valid``. At 100 TB this is how a
+    dirty feed quarantines: the same null-flag routes rows to a dead-letter
+    sink instead of killing a 1000-executor job (the reference's parser
+    crashes the batch on the first malformed document —
+    transform_data.py:268-271 does no error handling; this is the
+    engine-grade generalization)."""
+    ev = load_table(spark, sf_dir, "events")
+    dirty = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 10 == 3, F.concat(F.lit("x"), F.col("props"))
+        )
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+    parsed = dirty.withColumn(
+        "j",
+        F.from_json(
+            "props",
+            "k BIGINT, _corrupt STRING",
+            {"columnNameOfCorruptRecord": "_corrupt"},
+        ),
+    )
+    bad = F.col("j._corrupt").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).alias("n_corrupt"),
+        F.sum(F.when(~bad, F.col("j.k")).otherwise(0)).alias("k_total"),
+    )

@@ -54,3 +54,23 @@ def test_interval_merge_conservation(spark, sf_dir):
         assert r["covered_seconds"] >= 600
         assert r["longest_seconds"] <= r["covered_seconds"]
         assert r["n_islands"] >= 1
+
+
+def test_json_malformed_quarantine_is_exactly_the_injected_set(spark, sf_dir):
+    """Every injected-corrupt row (event_id % 10 == 3) is quarantined and
+    nothing else is: total corrupt across groups == count of the injection
+    predicate, and no job failure on a 10%-dirty feed."""
+    import pyspark.sql.functions as F
+
+    from e2e_etl_pipeline_spark.catalog import load_table
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_json_malformed"](spark, sf_dir)
+    total_corrupt = out.agg(F.sum("n_corrupt")).collect()[0][0]
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") % 10 == 3)
+        .count()
+    )
+    assert total_corrupt == expected > 0
