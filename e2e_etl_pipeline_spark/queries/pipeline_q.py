@@ -638,3 +638,52 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_join_dpp",
+    oracle="""
+    SELECT
+      event_type,
+      count(*)             AS n_events,
+      round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning (DPP): a fact table Hive-partitioned on
+    event_type joined to a small filtered dimension — Catalyst injects the
+    dimension's surviving keys as a runtime partition filter, so the fact
+    scan READS only the matching partition directories instead of scanning
+    all of them and filtering later.
+
+    This is the partition-side twin of runtime bloom filters (row-level,
+    plan-asserted elsewhere): at 100 TB a date- or type-partitioned fact
+    joined to a filtered dim is the single most common warehouse shape,
+    and DPP is what turns "scan 100 TB then drop 95%" into "list 5% of
+    directories". DPP requires a SELECTIVE dim (Catalyst only injects the
+    pruning subquery when the dim side carries a filter), hence the
+    filtered five-type dimension here. The dim is broadcast; the injected
+    ``dynamicpruning`` subquery reuses that broadcast. Plan shape is
+    machine-asserted in tests/test_plans.py; the oracle asserts the join
+    result equals a plain predicate on the source — partition layout and
+    pruning never change content.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = _tmpdir("dpp")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        fact = spark.read.parquet(path)
+        dim = spark.createDataFrame(
+            [(t,) for t in ("click", "purchase", "view", "signup", "error")],
+            "event_type string",
+        ).where(F.col("event_type").isin("click", "purchase"))
+        joined = fact.join(F.broadcast(dim), "event_type")
+        return joined.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -291,3 +291,21 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     ]
     assert sum("Exchange" in ln for ln in tree) <= 1, plan[:2000]
     assert sum("Window" in ln for ln in tree) == 2, plan[:2000]
+
+
+def test_dpp_injects_partition_pruning_subquery(spark, sf_dir, tmp_path):
+    """A partitioned fact joined to a selective broadcast dim must carry a
+    dynamicpruningexpression in its PartitionFilters — the fact scan lists
+    only surviving partition directories at runtime."""
+    from e2e_etl_pipeline_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "dpp")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(t,) for t in ("click", "purchase", "view", "signup", "error")],
+        "event_type string",
+    ).where(F.col("event_type").isin("click", "purchase"))
+    j = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
+    assert "dynamicpruning" in _plan(j)
