@@ -17,6 +17,10 @@ Module map (SURVEY.md §2 Part B):
                  stream-stream join)
   corpus       — corpus statistics (vocabulary build, unigram-LM document
                  scoring, language-balanced sampling)
+  graph        — iterative graph dataflow (PageRank, BFS — loop and
+                 recursive-CTE styles, triangle count)
+  ml           — vector-ML steps (k-means assignment/update, per-label
+                 centroids, embedding stats)
   tpch         — TPC-H composite analytics suite adapted to the testdata
                  schema (Q3-Q22 shapes: selective multi-join reporting,
                  EXISTS/NOT EXISTS, ratio-of-sums, group-by-having)
