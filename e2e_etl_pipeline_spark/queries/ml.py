@@ -134,3 +134,41 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid").alias("cluster_id"), "dim", "centroid", "n_members"
         )
     )
+
+
+@register(
+    "q_regression_ols",
+    oracle="""
+    SELECT
+      l_returnflag,
+      count(*)                                            AS n,
+      round(regr_slope(l_extendedprice, l_quantity), 4)   AS slope,
+      round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+      round(regr_r2(l_extendedprice, l_quantity), 4)      AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares fit (price ~ quantity) from
+    sufficient statistics: slope = covar_pop/var_pop, intercept from the
+    means, r² = corr². The oracle uses DuckDB's native ``regr_*``
+    aggregate family, which computes the identical closed forms.
+
+    Scale story: OLS over any corpus size is ONE map-side-combinable
+    aggregation — the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    fold per-partition and merge associatively, exactly how Spark plans
+    covar_pop/var_pop/corr — so a 100 TB regression is a single partial+
+    final agg with a |groups|-row shuffle. No gradient loop, no driver
+    math, no second pass. (The iterative counterpart for non-closed-form
+    models is q_kmeans_step's broadcast-assign/partial-update shape.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    slope = F.covar_pop(y, x) / F.var_pop(x)
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(slope, 4).alias("slope"),
+        F.round(F.avg(y) - slope * F.avg(x), 4).alias("intercept"),
+        F.round(F.pow(F.corr(y, x), 2), 4).alias("r2"),
+    )

@@ -74,3 +74,25 @@ def test_json_malformed_quarantine_is_exactly_the_injected_set(spark, sf_dir):
         .count()
     )
     assert total_corrupt == expected > 0
+
+
+def test_ols_matches_numpy_polyfit(spark, sf_dir):
+    """Both-engines-wrong guard: the closed-form OLS must agree with an
+    independent numpy least-squares fit on the same slice."""
+    import numpy as np
+
+    from e2e_etl_pipeline_spark.catalog import load_table
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {r.l_returnflag: r for r in QUERIES["q_regression_ols"](spark, sf_dir).collect()}
+    pdf = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    for flag, grp in pdf.groupby("l_returnflag"):
+        slope, intercept = np.polyfit(grp.l_quantity, grp.l_extendedprice, 1)
+        assert abs(rows[flag].slope - slope) < 1e-2
+        assert abs(rows[flag].intercept - intercept) < 1e-1
+        assert 0.0 <= rows[flag].r2 <= 1.0
