@@ -1672,3 +1672,85 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("duration_seconds"),
         F.countDistinct("event_type").alias("n_event_types"),
     )
+
+
+@register(
+    "q_pareto_topshare",
+    oracle="""
+    WITH spend AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    ranked AS (
+      SELECT c_nationkey, o_custkey, spend,
+             SUM(spend) OVER (
+               PARTITION BY c_nationkey
+               ORDER BY spend DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(spend) OVER (PARTITION BY c_nationkey) AS total,
+             COUNT(*)  OVER (PARTITION BY c_nationkey) AS n_customers
+      FROM spend
+    )
+    SELECT
+      c_nationkey,
+      CAST(count(*) AS BIGINT)        AS n_top,
+      CAST(max(n_customers) AS BIGINT) AS n_customers,
+      round(CAST(max(cum) AS DOUBLE) / CAST(max(total) AS DOUBLE), 4)
+        AS covered_share
+    FROM ranked
+    WHERE cum - spend < CAST(0.8 AS DECIMAL(18,2)) * total
+    GROUP BY c_nationkey
+    """,
+)
+def q_pareto_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC analysis: per nation, the smallest customer set whose
+    cumulative spend covers ≥ 80% of revenue — how concentrated is the
+    business (the 80/20 question), asked exactly.
+
+    Shape: one join-agg to per-customer spend, then ONE nation-partitioned
+    window sort carrying cumulative and total spend together; the
+    "smallest covering set" is the rows whose cumulative sum BEFORE them
+    is still under the threshold (cum − spend < 0.8·total), so the
+    crossing row is included and the set is minimal without a second
+    pass or a loop. Cumulative money runs in DECIMAL end-to-end — the
+    threshold comparison is exact in both engines, so boundary rows
+    cannot flip between Spark and the oracle (hash-stability rule,
+    registry.py). Per-nation ordering ties break on o_custkey. Scale:
+    shuffle on (nation, customer) for the agg, then |customers|-row
+    windows per nation — never the orders fact twice.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    )
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("c_nationkey")
+    ranked = spend.select(
+        "c_nationkey",
+        "o_custkey",
+        "spend",
+        F.sum("spend").over(w).alias("cum"),
+        F.sum("spend").over(wp).alias("total"),
+        F.count(F.lit(1)).over(wp).alias("n_customers"),
+    )
+    kept = ranked.where(
+        F.col("cum") - F.col("spend")
+        < F.lit("0.8").cast("decimal(18,2)") * F.col("total")
+    )
+    return kept.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.max("n_customers").cast("bigint").alias("n_customers"),
+        F.round(
+            F.max("cum").cast("double") / F.max("total").cast("double"), 4
+        ).alias("covered_share"),
+    )

@@ -83,3 +83,13 @@ def test_sessionize_conserves_events_and_respects_gap(spark, sf_dir):
         )
     )
     assert gaps.count() == 0
+
+
+def test_pareto_set_is_minimal_and_covering(spark, sf_dir):
+    rows = QUERIES["q_pareto_topshare"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Covers the threshold, and is a strict subset unless spend is
+        # nearly uniform (then n_top can equal n_customers).
+        assert r.covered_share >= 0.8 or r.n_top == r.n_customers
+        assert 1 <= r.n_top <= r.n_customers
