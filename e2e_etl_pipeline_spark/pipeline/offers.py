@@ -50,8 +50,8 @@ OFFER_SCHEMA = T.StructType(
     [
         T.StructField("position", T.StringType()),
         T.StructField("company_name", T.StringType()),
-        T.StructField("minimum", T.DoubleType()),
-        T.StructField("maximum", T.DoubleType()),
+        T.StructField("minimum", T.DecimalType(12, 2)),
+        T.StructField("maximum", T.DecimalType(12, 2)),
         T.StructField("currency", T.StringType()),
         T.StructField("pay_period", T.StringType()),
     ]
@@ -194,8 +194,11 @@ def parse_offers(raw_docs: DataFrame) -> DataFrame:
         "offer_idx",
         clean_position("position_raw").alias("position"),
         clean_text("company_raw").alias("company_name"),
-        parsed["minimum"].alias("minimum"),
-        parsed["maximum"].alias("maximum"),
+        # SURVEY.md §1.2: staging types money as decimal(12,2) (the parser's
+        # general-purpose number extraction stays double; the cast is the
+        # staging-schema contract).
+        parsed["minimum"].cast(T.DecimalType(12, 2)).alias("minimum"),
+        parsed["maximum"].cast(T.DecimalType(12, 2)).alias("maximum"),
         parsed["currency"].alias("currency"),
         parsed["pay_period"].alias("pay_period"),
     )

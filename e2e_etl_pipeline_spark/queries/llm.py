@@ -683,49 +683,69 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      regexp_replace(trim(lower(nfc_normalize(text))), '[ \t\n\f\r]+', ' ', 'g')
+      trim(regexp_replace(
+             translate(nfc_normalize(text),
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'abcdefghijklmnopqrstuvwxyz'),
+             '[ \t\n\f\r]+', ' ', 'g'), ' ')
         AS norm_text,
-      length(regexp_replace(trim(lower(nfc_normalize(text))),
-                            '[ \t\n\f\r]+', ' ', 'g')) AS norm_len
+      length(trim(regexp_replace(
+             translate(nfc_normalize(text),
+                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       'abcdefghijklmnopqrstuvwxyz'),
+             '[ \t\n\f\r]+', ' ', 'g'), ' ')) AS norm_len
     FROM documents
     WHERE doc_id < 500
     """,
 )
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode text normalization — the first stage of every LLM-data prep
-    pipeline: NFC canonical composition (é as one codepoint, not e+◌́), a
-    unicode-aware lowercase, and ASCII-whitespace collapse to single
-    spaces. Without NFC, byte-identical dedup (q_dedup_exact's xxhash64)
-    misses visually-identical documents that differ only in composition
-    form.
+    pipeline: NFC canonical composition (é as one codepoint, not e+◌́),
+    lowercasing, and ASCII-whitespace collapse to single spaces. Without
+    NFC, byte-identical dedup (q_dedup_exact's xxhash64) misses
+    visually-identical documents that differ only in composition form.
 
     Spark has no built-in Unicode normalizer, so this is the canonical
     legitimate pandas-UDF use: Arrow-batched `unicodedata.normalize` —
     one Python round-trip per ~10k-row batch, not per row, and the UDF is
-    stateless so it parallelizes per-partition at any corpus size. The
-    whitespace class is pinned to RE2's ASCII `\\s` ([ \\t\\n\\f\\r]) in
-    BOTH engines so the oracle (DuckDB `nfc_normalize`) and the UDF agree
-    on every codepoint. doc_id < 500 bounds the driver-compared payload;
-    the operator itself is scan-shaped (zero exchanges).
+    stateless so it parallelizes per-partition at any corpus size.
+
+    Cross-engine parity is pinned operation-by-operation (the oracle and
+    the UDF must agree on EVERY codepoint, not just the ones in today's
+    testdata): (1) NFC first; (2) lowercase restricted to ASCII A-Z via
+    `translate` — full-Unicode case mapping is engine-specific (DuckDB's
+    utf8proc simple one-to-one mapping vs Python's full mapping, e.g.
+    U+0130 → 'i'+U+0307 in Python but 'i' in utf8proc), so neither engine's
+    `lower()` can be the contract; (3) whitespace collapse over RE2's ASCII
+    `\\s` class ([ \\t\\n\\f\\r]); (4) trim of SPACES only (DuckDB `trim`
+    strips spaces; Python mirrors with `.strip(' ')`) applied AFTER the
+    collapse, so edge tabs/newlines — already collapsed to spaces — strip
+    identically. doc_id < 500 bounds the driver-compared payload; the
+    operator itself is scan-shaped (zero exchanges).
     """
     import re
     import unicodedata
 
     ws = re.compile(r"[ \t\n\f\r]+")
+    ascii_lower = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+    )
 
     @F.pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
         return s.map(
-            lambda t: ws.sub(" ", unicodedata.normalize("NFC", t).lower()).strip()
+            lambda t: ws.sub(
+                " ", unicodedata.normalize("NFC", t).translate(ascii_lower)
+            ).strip(" ")
             if t is not None
             else None
         )
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
-    return d.select(
-        "doc_id",
-        _norm(F.col("text")).alias("norm_text"),
-        F.length(_norm(F.col("text"))).alias("norm_len"),
+    # Invoke the UDF once per row; derive the length from the aliased
+    # column in a second select (halves the Python/Arrow round-trips).
+    return d.select("doc_id", _norm(F.col("text")).alias("norm_text")).select(
+        "doc_id", "norm_text", F.length("norm_text").alias("norm_len")
     )
 
 

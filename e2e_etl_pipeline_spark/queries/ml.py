@@ -139,36 +139,82 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_regression_ols",
     oracle="""
+    WITH s AS (
+      SELECT
+        l_returnflag,
+        count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sxx,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
     SELECT
       l_returnflag,
-      count(*)                                            AS n,
-      round(regr_slope(l_extendedprice, l_quantity), 4)   AS slope,
-      round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-      round(regr_r2(l_extendedprice, l_quantity), 4)      AS r2
-    FROM lineitem
-    GROUP BY l_returnflag
+      n,
+      round((CAST(n AS DOUBLE) * sxy - sx * sy)
+            / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS slope,
+      round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+            / CAST(n AS DOUBLE), 4) AS intercept,
+      round(((CAST(n AS DOUBLE) * sxy - sx * sy)
+             * (CAST(n AS DOUBLE) * sxy - sx * sy))
+            / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+               * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r2
+    FROM s
     """,
 )
 def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group ordinary-least-squares fit (price ~ quantity) from
-    sufficient statistics: slope = covar_pop/var_pop, intercept from the
-    means, r² = corr². The oracle uses DuckDB's native ``regr_*``
-    aggregate family, which computes the identical closed forms.
+    sufficient statistics: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    intercept from the means, r² = corr².
+
+    Hash-stability design (replaces the earlier covar_pop/regr_* pairing):
+    double-precision covar/var/corr accumulate in engine-specific order, so
+    a value landing on a .00005 rounding boundary could flip the 4th digit
+    between Spark and DuckDB. Instead BOTH engines sum the five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) as exact DECIMALs — associative,
+    order-independent, bit-identical — cast those exact sums to DOUBLE, and
+    evaluate the identical closed-form expression; IEEE division/multiply
+    on identical inputs is deterministic, so the rounded outputs match
+    bit-for-bit regardless of row order or partitioning.
 
     Scale story: OLS over any corpus size is ONE map-side-combinable
-    aggregation — the five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
-    fold per-partition and merge associatively, exactly how Spark plans
-    covar_pop/var_pop/corr — so a 100 TB regression is a single partial+
-    final agg with a |groups|-row shuffle. No gradient loop, no driver
-    math, no second pass. (The iterative counterpart for non-closed-form
-    models is q_kmeans_step's broadcast-assign/partial-update shape.)
+    aggregation — the sufficient statistics fold per-partition and merge
+    associatively — so a 100 TB regression is a single partial+final agg
+    with a |groups|-row shuffle. No gradient loop, no driver math, no
+    second pass. (The iterative counterpart for non-closed-form models is
+    q_kmeans_step's broadcast-assign/partial-update shape.)
     """
     li = load_table(spark, sf_dir, "lineitem")
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
-    slope = F.covar_pop(y, x) / F.var_pop(x)
-    return li.groupBy("l_returnflag").agg(
+    xd = F.col("l_quantity").cast("decimal(12,2)")
+    yd = F.col("l_extendedprice").cast("decimal(18,2)")
+    stats = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(slope, 4).alias("slope"),
-        F.round(F.avg(y) - slope * F.avg(x), 4).alias("intercept"),
-        F.round(F.pow(F.corr(y, x), 2), 4).alias("r2"),
+        F.sum(xd).alias("sx_d"),
+        F.sum(yd).alias("sy_d"),
+        F.sum(xd * yd).alias("sxy_d"),
+        F.sum(xd * xd).alias("sxx_d"),
+        F.sum(yd * yd).alias("syy_d"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx_d").cast("double")
+    sy = F.col("sy_d").cast("double")
+    sxy = F.col("sxy_d").cast("double")
+    sxx = F.col("sxx_d").cast("double")
+    syy = F.col("syy_d").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round(num / denx, 4).alias("slope"),
+        F.round((sy - (num / denx) * sx) / n, 4).alias("intercept"),
+        F.round((num * num) / (denx * deny), 4).alias("r2"),
     )

@@ -258,8 +258,8 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       count(*)                                               AS n_rows,
-      sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)    AS n_with_price,
-      sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)    AS n_with_priority
+      CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
+      CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority
     FROM orders
     """,
 )
@@ -409,7 +409,7 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)                              AS n_offers,
            min(offer_id)                         AS first_id,
            max(offer_id)                         AS last_id,
-           sum(offer_id % 20000 + 3000)          AS sum_salary
+           CAST(sum(offer_id % 20000 + 3000) AS BIGINT) AS sum_salary
     FROM offers GROUP BY page
     """,
 )
@@ -547,7 +547,9 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     cy = F.least(
         F.lit(255),
-        F.floor((F.col("o_totalprice") - mny) * 256.0 / ((mxy - mny) * 1.000001)),
+        F.floor(
+            (F.col("o_totalprice") - mny) * 256.0 / ((mxy - mny) * 1.000001 + 1.0)
+        ),
     ).cast("int")
     path = _tmpdir("zorder")
     try:

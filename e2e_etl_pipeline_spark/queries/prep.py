@@ -426,7 +426,7 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
       lang,
       CAST(floor(cum_before / 2048) AS BIGINT) AS bin_id,
       count(*)                                 AS n_docs,
-      sum(n_tokens)                            AS total_tokens
+      CAST(sum(n_tokens) AS BIGINT)            AS total_tokens
     FROM packed
     GROUP BY 1, 2
     """,
@@ -1399,12 +1399,12 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       count(*) AS n_rows,
-      sum((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
+      CAST(sum((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576
           + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536
           + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096
           + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256
           + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
-          + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) AS checksum
+          + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) AS BIGINT) AS checksum
     FROM (
       SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
                  || CAST(o_custkey AS VARCHAR) || '|'

@@ -535,9 +535,9 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       count(*)                                              AS n_rows,
-      sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END)    AS n_corrupt,
-      sum(CASE WHEN json_valid(props)
-               THEN CAST(props ->> 'k' AS BIGINT) ELSE 0 END) AS k_total
+      CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+      CAST(sum(CASE WHEN json_valid(props)
+               THEN CAST(props ->> 'k' AS BIGINT) ELSE 0 END) AS BIGINT) AS k_total
     FROM dirty
     GROUP BY event_type
     """,

@@ -510,8 +510,8 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       day,
       new_users,
-      sum(new_users) OVER (ORDER BY day
-                           ROWS UNBOUNDED PRECEDING) AS cum_users
+      CAST(sum(new_users) OVER (ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
     FROM per_day
     """,
 )
@@ -783,7 +783,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*)                              AS n_islands,
-           sum(island_end - island_start)        AS covered_seconds,
+           CAST(sum(island_end - island_start) AS BIGINT) AS covered_seconds,
            max(island_end - island_start)        AS longest_seconds
     FROM merged GROUP BY user_id
     """,
@@ -1254,7 +1254,7 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS live
       FROM deltas
     )
-    SELECT max(live)                       AS peak_concurrency,
+    SELECT CAST(max(live) AS BIGINT)       AS peak_concurrency,
            min(t) FILTER (WHERE live = (SELECT max(live) FROM swept))
                                            AS peak_epoch_s
     FROM swept

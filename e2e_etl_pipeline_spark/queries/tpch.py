@@ -465,10 +465,10 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       lateness,
-      sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-        AS high_line_count,
-      sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-        AS low_line_count
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        AS BIGINT) AS high_line_count,
+      CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+        AS BIGINT) AS low_line_count
     FROM (
       SELECT
         o_orderpriority,

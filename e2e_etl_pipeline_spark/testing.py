@@ -31,11 +31,28 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    return "other"
+
+
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     if a.shape != b.shape:
         return False
     for c in a.columns:
         x, y = a[c], b[c]
+        # Driver-faithful dtype gate (round-2 lesson, q_json_malformed): the
+        # driver's exact hash renders 195 and 195.0 differently, so an
+        # int-vs-float/bool split between engines is a mismatch even when
+        # every value is numerically identical.
+        kx, ky = _dtype_kind(x), _dtype_kind(y)
+        if kx != ky and {kx, ky} <= {"int", "float", "bool"}:
+            return False
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
             yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)

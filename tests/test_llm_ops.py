@@ -186,8 +186,13 @@ def test_text_normalize_output_is_canonical(spark, sf_dir):
     assert rows
     for r in rows:
         t = r.norm_text
-        assert "  " not in t and t == t.strip()
-        assert t == t.lower()
+        # The cross-engine contract is pinned to ASCII classes (see the
+        # query docstring): collapse of [ \t\n\f\r]+, space-only trim,
+        # A-Z→a-z lowercase. Assert exactly that, not Python's wider
+        # full-Unicode strip()/lower() semantics.
+        assert "  " not in t and t == t.strip(" ")
+        assert not any("A" <= ch <= "Z" for ch in t)
+        assert not any(ch in "\t\n\f\r" for ch in t)
         assert unicodedata.is_normalized("NFC", t)
         assert r.norm_len == len(t)
 

@@ -47,11 +47,29 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_kind(s: pd.Series) -> str:
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    return "other"
+
+
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     if a.shape != b.shape:
         return False
     for c in a.columns:
         x, y = a[c], b[c]
+        # Driver-faithful dtype gate: the driver's hash renders 195 and
+        # 195.0 differently, so an int-vs-float (or bool-vs-numeric) dtype
+        # split between Spark and the oracle is a FAIL even when every
+        # value is numerically identical. Round 2 shipped q_json_malformed
+        # red precisely because the old coercing compare masked this class.
+        kx, ky = _dtype_kind(x), _dtype_kind(y)
+        if kx != ky and {kx, ky} <= {"int", "float", "bool"}:
+            return False
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
             yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)
