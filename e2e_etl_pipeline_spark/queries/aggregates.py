@@ -59,14 +59,32 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct counts. Spark expands multi-distinct via `expand` —
-    fine for low-cardinality groups; the approximate variant below is the
-    100 TB-scale alternative when exactness isn't required."""
+    """Exact multi-column distinct counts, two-stage: one dedup-then-count
+    aggregation per distinct column, joined on the (tiny) group key.
+
+    Why not `agg(countDistinct(a), countDistinct(b))`: Spark plans
+    multi-distinct through an `Expand` that multiplies every input row by
+    the number of distinct aggregates (3× here) BEFORE the shuffle — at
+    100 TB that's 300 TB shuffled. The two-stage form instead runs one
+    partial (map-side) dedup per column — each a column-pruned scan
+    shuffling only the surviving (flag, key) pairs — then counts the
+    deduped pairs and joins the per-flag counts (a broadcast of a few
+    rows). The approximate variant below (HLL) is the single-pass
+    constant-memory alternative when exactness isn't required."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+    supps = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return parts.join(supps, "l_returnflag")
 
 
 @register("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines

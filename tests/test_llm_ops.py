@@ -70,6 +70,69 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall too low: {recall}"
 
 
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    """q_agg_approx_distinct (rows-only key): HLL++ at rsd=0.02 must land
+    within 6% (≈3σ) of the exact per-group distinct count — a quantitative
+    bound, not just ran-without-error."""
+    from e2e_etl_pipeline_spark.catalog import load_table
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r.n
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, n_exact in exact.items():
+        rel_err = abs(approx[flag] - n_exact) / n_exact
+        assert rel_err <= 0.06, (flag, approx[flag], n_exact, rel_err)
+
+
+def test_dedup_near_recall_on_planted_pairs(spark):
+    """q_dedup_near's pipeline (MinHash32 + 8-band LSH + est_jaccard≥0.5)
+    against planted ground truth: 40 base documents each paired with a
+    one-token-edit variant (true 3-shingle Jaccard ≥ ~0.8). Recall of the
+    planted pairs must be ≥ 0.8, and no pair of unrelated base docs may
+    surface — a recall/precision bound, not just ran-without-error."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows = []
+    truth = set()
+    for i in range(40):
+        words = [vocab[rng.randrange(len(vocab))] for _ in range(30)]
+        base_id, var_id = 2 * i, 2 * i + 1
+        rows.append((base_id, " ".join(words)))
+        edited = list(words)
+        edited[15] = "EDITED"
+        rows.append((var_id, " ".join(edited)))
+        truth.add((base_id, var_id))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = dd.minhash_signatures(docs, "doc_id", "text", num_hashes=32, shingle_size=3)
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+    found = {
+        (r.id_a, r.id_b)
+        for r in dd.minhash_similarity(sigs, pairs)
+        .where(F.col("est_jaccard") >= 0.5)
+        .collect()
+    }
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.8, f"planted-pair recall too low: {recall} ({len(found)} found)"
+    # Unrelated random 30-token docs share essentially no 3-shingles:
+    # any cross-pair (different base index) surfacing at ≥0.5 is a bug.
+    cross = {(a, b) for (a, b) in found if a // 2 != b // 2}
+    assert not cross, f"false near-dups across unrelated docs: {sorted(cross)[:5]}"
+
+
 def test_connected_components_chains(spark):
     """Transitive clusters: 1-2, 2-3 chain plus an isolated 8-9 pair."""
     pairs = spark.createDataFrame(

@@ -64,6 +64,17 @@ def test_agg_has_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_count_distinct_two_stage_no_expand(spark, sf_dir):
+    """q_agg_count_distinct must NOT plan the multi-distinct Expand (which
+    multiplies every input row by the number of distinct aggregates before
+    the shuffle — 3× the shuffle volume at any scale). The two-stage form
+    dedups each column with partial aggregation instead."""
+    plan = _formatted(spark, "q_agg_count_distinct", sf_dir)
+    assert "Expand" not in plan
+    # Each distinct branch carries map-side partial aggregation.
+    assert plan.count("HashAggregate") >= 4
+
+
 def test_bucketed_join_no_shuffle(spark, sf_dir):
     """Both sides bucketed on the join key → the join and the same-key
     groupBy need no runtime Exchange."""
