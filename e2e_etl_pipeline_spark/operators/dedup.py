@@ -23,6 +23,26 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 # Exact dedup (A24 generalized; q_dedup_exact)
 # ---------------------------------------------------------------------------
+def content_digest(col: Column | str, bits: int = 64) -> Column:
+    """Content digest for shuffle-light dedup grouping.
+
+    bits=64: one xxhash64 (8 bytes through the shuffle) — fine to ~10^8
+    docs. bits=128: a struct of two xxhash64 passes over domain-separated
+    input (the second appends a \\x01 salt byte), pushing the birthday
+    bound past any real corpus (~2^64 effective) while staying JVM-side —
+    16 bytes through the shuffle, same plan shape. This is the upgrade
+    path the 64-bit dedup docstrings reference."""
+    c = F.col(col) if isinstance(col, str) else col
+    if bits == 64:
+        return F.xxhash64(c)
+    if bits == 128:
+        return F.struct(
+            F.xxhash64(c).alias("h1"),
+            F.xxhash64(F.concat(c, F.lit(""))).alias("h2"),
+        )
+    raise ValueError(f"unsupported digest width: {bits}")
+
+
 def dedup_exact_first_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
     """Keep exactly one row per key: the one with the smallest order_col.
 

@@ -60,6 +60,34 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_exact128",
+    oracle="""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies, min(lang) AS lang
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_exact's named 128-bit upgrade path, made concrete: identical
+    plan shape (digest-grouped aggregate, bodies never shuffle), but the
+    group key is operators/dedup.content_digest(bits=128) — two
+    domain-separated xxhash64 passes as a struct, 16 bytes through the
+    shuffle — so the 64-bit birthday bound (~2^32 docs) no longer applies.
+    The oracle groups by raw text: the check therefore also PROVES the
+    digest introduced no collision at this scale."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(dd.content_digest("text", bits=128).alias("_digest"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("lang").alias("lang"),
+        )
+        .select("keep_id", "n_copies", "lang")
+    )
+
+
 @register("q_dedup_near")  # rows-only: xxhash64-based MinHash is engine-specific
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands) candidate pairs with estimated

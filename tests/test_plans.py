@@ -64,6 +64,15 @@ def test_agg_has_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_ntile_bins_no_single_partition_window(spark, sf_dir):
+    """Distributed-exact NTILE: the plan must contain no SinglePartition
+    exchange — the window runs partitioned by the range-partition id, and
+    the final 10-row agg shuffles on decile."""
+    plan = _formatted(spark, "q_ntile_bins", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # per-partition row_number is still a window
+
+
 def test_count_distinct_two_stage_no_expand(spark, sf_dir):
     """q_agg_count_distinct must NOT plan the multi-distinct Expand (which
     multiplies every input row by the number of distinct aggregates before
