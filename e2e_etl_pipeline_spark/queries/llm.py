@@ -88,6 +88,78 @@ def q_dedup_exact128(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dup_span_audit",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM words, UNNEST(range(1, greatest(len(ws) - 6, 1))) AS t(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+    flagged AS (
+      SELECT DISTINCT doc_id, source FROM grams JOIN dup USING (gram)
+    ),
+    per_source_flagged AS (
+      SELECT source, count(*) AS n_flagged FROM flagged GROUP BY source
+    ),
+    base AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+    SELECT
+      b.source,
+      b.n_docs,
+      CAST(coalesce(f.n_flagged, 0) AS BIGINT)              AS n_flagged,
+      round(coalesce(f.n_flagged, 0) * 1.0 / b.n_docs, 4)   AS flagged_share
+    FROM base b LEFT JOIN per_source_flagged f USING (source)
+    """,
+)
+def q_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span (memorization-risk) audit: a document
+    is flagged when any of its word-8-grams also appears in ANOTHER
+    document — the substring-level duplication signal behind
+    train-data-extraction risk, distinct from within-doc repetition
+    (q_text_repetition) and pairwise similarity (q_dedup_jaccard /
+    q_dedup_ngram). Output is the per-source flagged share, the number a
+    curation pipeline thresholds on.
+
+    Scale: grams are distinct-per-doc at the scan stage, so the shuffle
+    carries (gram, doc) pairs once each; the duplicated-gram set is a
+    HAVING over a combinable count, and the flag join is an equi-join on
+    the gram. Grams shuffle as strings here for oracle-exactness — at
+    corpus scale swap the join key for operators/dedup.content_digest
+    (bits=128) of the gram, which shrinks shuffle bytes ~4× with the same
+    plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", "source", F.explode(dd.word_shingles("text", 8)).alias("gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    flagged = (
+        grams.join(dup, "gram")
+        .select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_flagged"))
+    )
+    base = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_flagged = F.coalesce(F.col("n_flagged"), F.lit(0).cast("long"))
+    return base.join(flagged, "source", "left").select(
+        "source",
+        "n_docs",
+        n_flagged.alias("n_flagged"),
+        F.round(n_flagged * F.lit(1.0) / F.col("n_docs"), 4).alias("flagged_share"),
+    )
+
+
 @register("q_dedup_near")  # rows-only: xxhash64-based MinHash is engine-specific
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands) candidate pairs with estimated

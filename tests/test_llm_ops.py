@@ -133,6 +133,41 @@ def test_dedup_near_recall_on_planted_pairs(spark):
     assert not cross, f"false near-dups across unrelated docs: {sorted(cross)[:5]}"
 
 
+def test_content_digest_widths(spark):
+    df = spark.createDataFrame([("abc",), ("abd",), ("abc",)], "t string")
+    d64 = df.select(dd.content_digest("t", bits=64).alias("d")).distinct()
+    d128 = df.select(dd.content_digest("t", bits=128).alias("d")).distinct()
+    assert d64.count() == 2 and d128.count() == 2
+    row = df.limit(1).select(dd.content_digest("t", bits=128).alias("d")).first()
+    # The two 64-bit halves must be domain-separated, not copies.
+    assert row.d.h1 != row.d.h2
+    with pytest.raises(ValueError):
+        dd.content_digest("t", bits=256)
+
+
+def test_dup_span_audit_flags_planted_span(spark, sf_dir, monkeypatch):
+    """A shared 8-word span across two docs must flag exactly those docs'
+    sources; a doc with no shared span stays unflagged."""
+    from e2e_etl_pipeline_spark.queries import llm as llm_q
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    span = "one two three four five six seven eight"
+    rows = [
+        (0, f"prefix {span} suffix alpha", "en", "sa", 1),
+        (1, f"other start {span} tail words", "en", "sb", 1),
+        (2, "totally unrelated text with many distinct words here", "en", "sb", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    monkeypatch.setattr(llm_q, "load_table", lambda *_a, **_k: docs)
+    out = {r.source: r for r in QUERIES["q_dup_span_audit"](spark, sf_dir).collect()}
+    assert out["sa"].n_flagged == 1
+    assert out["sb"].n_flagged == 1  # doc 1 flagged, doc 2 not
+    assert out["sb"].flagged_share == 0.5
+
+
 def test_connected_components_chains(spark):
     """Transitive clusters: 1-2, 2-3 chain plus an isolated 8-9 pair."""
     pairs = spark.createDataFrame(

@@ -41,6 +41,15 @@ SHOWCASE = [
                      "TakeOrderedAndProject; window sees only the top-k"),
     ("q_dedup_exact", "dedup groups on xxhash64 digest — document bodies "
                       "never enter the exchange"),
+    ("q_agg_count_distinct", "two-stage exact multi-distinct: NO Expand "
+                             "node (the default multi-countDistinct plan "
+                             "triples pre-shuffle rows); each column dedups "
+                             "behind partial aggregation, counts join on "
+                             "the tiny group key"),
+    ("q_ntile_bins", "distributed-exact global NTILE: range exchange + "
+                     "per-partition row_number (Window partitioned by pid, "
+                     "no SinglePartition anywhere) + broadcast offset join; "
+                     "final agg shuffles 10 rows"),
     ("q_anomaly_zscore", "group stats broadcast back over the fact scan; "
                          "outlier filter runs inside codegen"),
     ("q_tpch_q21", "EXISTS/NOT-EXISTS rewritten as one per-order "
