@@ -36,9 +36,11 @@ Module map (SURVEY.md §2 Part B):
 # then rows-only keys dead last (the driver can only record `no_oracle` for
 # them). Module import order below no longer affects driver ordering.
 #
-# Round-4 note: after the round-3 driver run lands, regenerate the order
-# module from CORRECTNESS_r01..r03 (same script shape: risk keys, then
-# still-unverified, then green, then rows-only).
+# Round-4 note: after the round-3 driver run lands, run
+#   PYTHONPATH=. python tools/gen_order.py r4 [just-fixed keys...]
+# (it folds in every CORRECTNESS_r*.json: unresolved fails lead, then
+# still-unverified, then green, then rows-only), point the import below at
+# _order_r4, and delete _order_r3.
 from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     relational,
     scalars,
