@@ -7,7 +7,13 @@ comparison (exact for non-floats, 1e-9-relative for floats). Keys without an
 oracle get the weaker rows-only check, mirroring the driver contract
 (/root/repo/__spark_entry__.py).
 
-Usage:  python tools/check_oracles.py [sf_dir] [key ...]
+Usage:  python tools/check_oracles.py [sf_dir] [key ...] [--plain] [--exact]
+
+--plain runs on an externally-built driver-conditions session (non-UTC tz,
+none of the engine factory's confs). --exact compares float columns
+bit-for-bit instead of at 1e-9 tolerance — the closest local proxy for the
+driver's exact value hash; a key that is tolerance-green but exact-red is a
+driver-hash risk.
 """
 
 from __future__ import annotations
@@ -57,7 +63,7 @@ def _dtype_kind(s: pd.Series) -> str:
     return "other"
 
 
-def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+def values_match(a: pd.DataFrame, b: pd.DataFrame, exact: bool = False) -> bool:
     if a.shape != b.shape:
         return False
     for c in a.columns:
@@ -73,7 +79,10 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
             yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)
-            if not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
+            if exact:
+                if not ((xv == yv) | (np.isnan(xv) & np.isnan(yv))).all():
+                    return False
+            elif not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
                 return False
         else:
             if not x.astype(str).fillna("<null>").equals(y.astype(str).fillna("<null>")):
@@ -82,8 +91,9 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--plain"]
+    args = [a for a in sys.argv[1:] if a not in ("--plain", "--exact")]
     plain = "--plain" in sys.argv[1:]
+    exact = "--exact" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -155,11 +165,11 @@ def main() -> int:
                 n_fail += 1
                 failures.append(key)
                 continue
-            if not values_match(ca, cb):
+            if not values_match(ca, cb, exact=exact):
                 problems.append("values differ")
                 diff_preview = []
                 for c in ca.columns:
-                    if not values_match(ca[[c]], cb[[c]]):
+                    if not values_match(ca[[c]], cb[[c]], exact=exact):
                         diff_preview.append(c)
                 problems.append(f"differing cols: {diff_preview}")
         if problems:
