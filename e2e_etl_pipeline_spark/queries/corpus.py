@@ -891,3 +891,74 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "q_mix_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(round(sqrt(CAST(n_docs AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS w_raw
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(sum(w_raw) AS DECIMAL(38,6)) AS w_sum,
+             CAST(sum(n_docs) AS BIGINT)        AS n_total
+      FROM w
+    )
+    SELECT
+      w.lang,
+      w.n_docs,
+      round(CAST(w.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE), 4)
+        AS share_before,
+      round(CAST(w.w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE), 4)
+        AS mix_weight,
+      round((CAST(w.w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE))
+            / (CAST(w.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)), 4)
+        AS boost
+    FROM w CROSS JOIN tot t
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mix reweighting (α = 0.5): per-language
+    sampling weights ∝ n_docs^α, normalized — the mixing step between
+    dedup and context packing that upweights low-resource slices without
+    letting any slice dominate. `boost` is the resampling factor vs the
+    natural share (the number a weighted sampler like q_sample_weighted
+    consumes).
+
+    Bit-stability design: α is pinned to 0.5 because `sqrt` is IEEE
+    correctly-rounded in BOTH engines while `pow` is only ~1-ulp accurate
+    and can differ between libm implementations; the per-group weight is
+    rounded to 6dp and cast to DECIMAL before the normalizing sum, so the
+    denominator is an exact, order-independent decimal sum — both engines
+    then divide identical doubles (same q_regression_ols technique).
+
+    Scale: one map-side-combinable count per language + a broadcast 1-row
+    total; the weights table is |langs| rows. Generalizing α ≠ 0.5 at
+    scale: compute n^α as round(exp(α·ln n), 6) and accept the 1-ulp
+    boundary risk, or precompute weights driver-side from the (tiny)
+    counts table."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = counts.withColumn(
+        "w_raw",
+        F.round(F.sqrt(F.col("n_docs").cast("double")), 6).cast("decimal(18,6)"),
+    )
+    tot = w.agg(
+        F.sum("w_raw").cast("decimal(38,6)").alias("w_sum"),
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+    )
+    wd = F.col("w_raw").cast("double") / F.col("w_sum").cast("double")
+    sd = F.col("n_docs").cast("double") / F.col("n_total").cast("double")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(sd, 4).alias("share_before"),
+        F.round(wd, 4).alias("mix_weight"),
+        F.round(wd / sd, 4).alias("boost"),
+    )
