@@ -16,9 +16,11 @@ from pyspark.sql import functions as F
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
 # BPE-ish tokenizer: letter runs, digit runs, or single non-alnum-non-space
-# symbols — the classic pre-tokenization split (public GPT-2 style, simplified
-# to a regex RE2 and Java regex agree on).
-BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# symbols — the classic pre-tokenization split (public GPT-2 style).
+# Whitespace is the EXPLICIT Java-\s class [ \t\n\x0B\f\r], never the \s
+# shorthand: RE2 (DuckDB oracles) excludes \x0B from \s while Java includes
+# it, so shorthand classes silently diverge between engines on a \v byte.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 31
@@ -29,8 +31,10 @@ def _c(col: Column | str) -> Column:
 
 
 def words(col: Column | str) -> Column:
-    """Whitespace tokenization → array<string> (empty tokens removed)."""
-    return F.filter(F.split(_c(col), r"\s+"), lambda w: w != "")
+    """Whitespace tokenization → array<string> (empty tokens removed).
+    Splits on the explicit [ \\t\\n\\x0B\\f\\r]+ class (== Java \\s, which
+    RE2 oracles cannot express as \\s — see BPE_ISH_PATTERN note)."""
+    return F.filter(F.split(_c(col), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
 
 
 def whitespace_tokens(col: Column | str) -> Column:
@@ -67,7 +71,9 @@ def punct_ratio(col: Column | str) -> Column:
     """Punctuation characters / total characters; NULL for empty text."""
     c = _c(col)
     total = F.length(c)
-    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    punct = F.length(c) - F.length(
+        F.regexp_replace(c, r"[^\w \t\n\x0B\f\r]", "")
+    )
     return F.when(total == 0, F.lit(None).cast("double")).otherwise(
         punct.cast("double") / total.cast("double")
     )

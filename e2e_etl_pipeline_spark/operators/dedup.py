@@ -58,8 +58,10 @@ def dedup_exact_first_wins(df: DataFrame, key_cols: list[str], order_col: str) -
 # Shingling + MinHash + LSH banding (q_dedup_near)
 # ---------------------------------------------------------------------------
 def _words(col: Column | str) -> Column:
+    # Explicit [ \t\n\x0B\f\r]+ (== Java \s): RE2-based oracles exclude \x0B
+    # from \s, so the shorthand would silently diverge between engines.
     c = F.col(col) if isinstance(col, str) else col
-    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+    return F.filter(F.split(c, r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

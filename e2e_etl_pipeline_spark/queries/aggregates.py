@@ -72,17 +72,19 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows). The approximate variant below (HLL) is the single-pass
     constant-memory alternative when exactness isn't required."""
     li = load_table(spark, sf_dir, "lineitem")
+    # count(col), not count(1): COUNT(DISTINCT col) excludes NULLs, and the
+    # deduped frame keeps a (flag, NULL) row if the key column ever has one.
     parts = (
         li.select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .agg(F.count("l_partkey").alias("n_parts"))
     )
     supps = (
         li.select("l_returnflag", "l_suppkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .agg(F.count("l_suppkey").alias("n_suppliers"))
     )
     return parts.join(supps, "l_returnflag")
 

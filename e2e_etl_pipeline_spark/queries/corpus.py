@@ -43,7 +43,7 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+             unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                 t -> t <> '')) AS token
       FROM documents
     ),
@@ -88,7 +88,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+             unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                 t -> t <> '')) AS token
       FROM documents
     ),
@@ -181,7 +181,7 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+             unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                 t -> t <> '')) AS token
       FROM documents
     ),
@@ -249,7 +249,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ws AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'),
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                          t -> t <> '') AS w
       FROM documents
     ),
@@ -417,7 +417,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS words
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS words
       FROM documents
     ),
     f AS (
@@ -508,13 +508,13 @@ ORACLES["q_training_pipeline"] = f"""
       SELECT
         doc_id, lang, text,
         CAST(length(text) AS DOUBLE) AS n_chars,
-        CAST(len(list_filter(string_split(text, ' '),
+        CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
              w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
-          / len(string_split(text, ' '))                               AS sw,
-        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))                               AS sw,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
           / length(text)                                               AS pr,
-        CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
-          / len(string_split(text, ' '))                               AS mwl
+        CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''), w -> length(w))) AS DOUBLE)
+          / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))                               AS mwl
       FROM documents
     ),
     scored AS (
@@ -534,7 +534,7 @@ ORACLES["q_training_pipeline"] = f"""
     ),
     toks AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS w
       FROM documents
     ),
     sh AS (
@@ -558,7 +558,7 @@ ORACLES["q_training_pipeline"] = f"""
     ),
     ranked AS (
       SELECT doc_id, lang, quality,
-        CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+        CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                              t -> t <> '')) AS INTEGER) AS n_tokens,
         row_number() OVER (PARTITION BY lang
                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
@@ -647,7 +647,7 @@ COVERAGE_CUTOFFS = (100, 1000, 5000)
     "q_vocab_coverage",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+      SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                 t -> t <> '')) AS token
       FROM documents
     ),
@@ -715,7 +715,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+             unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                 t -> t <> '')) AS token
       FROM documents
     ),
@@ -807,7 +807,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_seqlen_histogram",
     oracle="""
     WITH lens AS (
-      SELECT len(list_filter(regexp_split_to_array(text, '\\s+'),
+      SELECT len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                              t -> t <> '')) AS n_tokens
       FROM documents
     ),

@@ -93,7 +93,7 @@ def q_dedup_exact128(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH words AS (
       SELECT doc_id, source,
-             list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS ws
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS ws
       FROM documents
     ),
     grams AS (
@@ -181,7 +181,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_jaccard",
-    # Oracle tokenization mirrors the engine's _words exactly: split on \s+
+    # Oracle tokenization mirrors the engine's _words exactly: split on the
+    # explicit [ \t\n\x0B\f\r]+ whitespace class
     # and drop empty tokens (a single-space split would diverge on tabs /
     # doubled spaces). The df-cutoff (HAVING count(*) <= 500) mirrors the
     # engine's max_df candidate-verify guard: candidates come from rare
@@ -190,7 +191,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH raw_toks AS (
       SELECT DISTINCT doc_id AS id,
-             unnest(regexp_split_to_array(text, '\\s+')) AS token
+             unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS token
       FROM documents WHERE lang = 'de'
     ),
     toks AS (SELECT id, token FROM raw_toks WHERE token <> ''),
@@ -417,12 +418,12 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       doc_id,
       lang,
-      round(CAST(len(list_filter(string_split(text, ' '),
+      round(CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                  w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
-            / len(string_split(text, ' ')), 4)                    AS stopword_ratio,
-      CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+            / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')), 4)                    AS stopword_ratio,
+      CASE WHEN CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                  w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
-            / len(string_split(text, ' ')) >= 0.05
+            / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) >= 0.05
            THEN 'en' ELSE 'other' END                             AS lang_guess
     FROM documents
     """,
@@ -448,13 +449,13 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         doc_id,
         CAST(length(text) AS DOUBLE) AS n_chars,
-        CAST(len(list_filter(string_split(text, ' '),
+        CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
              w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
-          / len(string_split(text, ' '))                               AS sw,
-        CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+          / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))                               AS sw,
+        CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
           / length(text)                                               AS pr,
-        CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS DOUBLE)
-          / len(string_split(text, ' '))                               AS mwl
+        CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''), w -> length(w))) AS DOUBLE)
+          / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))                               AS mwl
       FROM documents
     )
     SELECT
@@ -479,8 +480,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
-      CAST(len(string_split(text, ' ')) AS INTEGER)                          AS ws_tokens,
-      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER)
+      CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS INTEGER)                          AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS INTEGER)
                                                                              AS bpe_ish_tokens
     FROM documents
     """,
@@ -502,7 +503,7 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
       doc_id,
       list_reduce(
         list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(text, ' '),
+          list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                          w -> CAST(length(w) + ascii(w) AS BIGINT))),
         (acc, v) -> (acc * 31 + v) % 1000000007
       ) AS fingerprint
@@ -613,7 +614,7 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang,
-             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS w
       FROM documents
     ),
     sh AS (
@@ -736,9 +737,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH guessed AS (
       SELECT
         lang,
-        CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        CASE WHEN CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                    w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
-              / len(string_split(text, ' ')) >= 0.05
+              / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) >= 0.05
              THEN 'en' ELSE 'other' END AS lang_guess
       FROM documents
     )

@@ -353,7 +353,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS w
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS w
       FROM documents
     ),
     starts AS (
@@ -411,7 +411,7 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang,
-             len(list_filter(regexp_split_to_array(text, '\\s+'),
+             len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                              t -> t <> '')) AS n_tokens
       FROM documents
     ),

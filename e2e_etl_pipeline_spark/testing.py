@@ -13,8 +13,15 @@ import numpy as np
 import pandas as pd
 
 
-def canonical(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name and rows by value."""
+def canonical(df: pd.DataFrame, strict_cells: bool = False) -> pd.DataFrame:
+    """Sort columns by name and rows by value.
+
+    strict_cells=True mirrors the external driver's canonicalizer, which
+    sorts/hashes raw cells and dies on unhashable lists: an array/map/struct
+    cell in an oracle-checked output is then an error, not something to
+    paper over (the tools/check_oracles.py contract). The default tuple-izes
+    such cells for convenience in unit tests.
+    """
     df = df.reindex(sorted(df.columns), axis=1)
     out = {}
     for c in df.columns:
@@ -24,7 +31,17 @@ def canonical(df: pd.DataFrame) -> pd.DataFrame:
                 s = s.dt.tz_localize(None)
             s = s.astype("datetime64[us]")
         elif s.dtype == object:
-            s = s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            if strict_cells:
+                bad = s.map(lambda v: isinstance(v, (list, np.ndarray, dict))).any()
+                if bad:
+                    raise TypeError(
+                        f"column {c!r} holds array/map/struct cells; "
+                        "oracle-checked queries must emit scalar columns only"
+                    )
+            else:
+                s = s.map(
+                    lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
+                )
         out[c] = s
     df = pd.DataFrame(out)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
@@ -41,7 +58,9 @@ def _dtype_kind(s: pd.Series) -> str:
     return "other"
 
 
-def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+def values_match(a: pd.DataFrame, b: pd.DataFrame, exact: bool = False) -> bool:
+    """exact=True compares float columns bit-for-bit — the closest local
+    proxy for the driver's exact value hash; default is 1e-9 tolerance."""
     if a.shape != b.shape:
         return False
     for c in a.columns:
@@ -56,7 +75,10 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
             yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)
-            if not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
+            if exact:
+                if not ((xv == yv) | (np.isnan(xv) & np.isnan(yv))).all():
+                    return False
+            elif not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
                 return False
         else:
             if not x.astype(str).fillna("<null>").equals(y.astype(str).fillna("<null>")):

@@ -18,76 +18,24 @@ driver-hash risk.
 
 from __future__ import annotations
 
+import functools
+import os
 import sys
 import time
 import traceback
 
 import duckdb
-import numpy as np
-import pandas as pd
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def canonical(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name and rows by value for order-insensitive compare."""
-    df = df.reindex(sorted(df.columns), axis=1)
-    # Normalize cell values to comparable primitives.
-    out = {}
-    for c in df.columns:
-        s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
-            s = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) is not None else s
-            s = s.astype("datetime64[us]")
-        elif s.dtype == object:
-            # Match the driver: its canonicalizer sorts raw cells and dies on
-            # unhashable lists, so an array/map/struct output column in an
-            # oracle-checked query is a FAIL here, not something to paper over.
-            bad = s.map(lambda v: isinstance(v, (list, np.ndarray, dict))).any()
-            if bad:
-                raise TypeError(
-                    f"column {c!r} holds array/map/struct cells; "
-                    "oracle-checked queries must emit scalar columns only"
-                )
-        out[c] = s
-    df = pd.DataFrame(out)
-    df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")
-    return df.reset_index(drop=True)
+# Single source of truth for the comparison semantics (dtype gate, exact
+# mode, cell canonicalization) — shared with the pytest parity suite so the
+# two gates can never diverge. strict_cells mirrors the driver's
+# canonicalizer, which dies on unhashable array/map/struct cells.
+from e2e_etl_pipeline_spark.testing import canonical as _canonical
+from e2e_etl_pipeline_spark.testing import values_match
 
-
-def _dtype_kind(s: pd.Series) -> str:
-    if pd.api.types.is_bool_dtype(s):
-        return "bool"
-    if pd.api.types.is_float_dtype(s):
-        return "float"
-    if pd.api.types.is_integer_dtype(s):
-        return "int"
-    return "other"
-
-
-def values_match(a: pd.DataFrame, b: pd.DataFrame, exact: bool = False) -> bool:
-    if a.shape != b.shape:
-        return False
-    for c in a.columns:
-        x, y = a[c], b[c]
-        # Driver-faithful dtype gate: the driver's hash renders 195 and
-        # 195.0 differently, so an int-vs-float (or bool-vs-numeric) dtype
-        # split between Spark and the oracle is a FAIL even when every
-        # value is numerically identical. Round 2 shipped q_json_malformed
-        # red precisely because the old coercing compare masked this class.
-        kx, ky = _dtype_kind(x), _dtype_kind(y)
-        if kx != ky and {kx, ky} <= {"int", "float", "bool"}:
-            return False
-        if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
-            xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
-            yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)
-            if exact:
-                if not ((xv == yv) | (np.isnan(xv) & np.isnan(yv))).all():
-                    return False
-            elif not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
-                return False
-        else:
-            if not x.astype(str).fillna("<null>").equals(y.astype(str).fillna("<null>")):
-                return False
-    return True
+canonical = functools.partial(_canonical, strict_cells=True)
 
 
 def main() -> int:
