@@ -300,9 +300,14 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
         c.c_nationkey == F.col("n_nationkey"),
     )
+    # Resolve orders against the (region-pruned) customer dimension BEFORE
+    # touching lineitem: only orders of ASIA customers inside the date
+    # window reach the fact join, so the biggest shuffle probes a ~5×
+    # smaller build side. (Per-orderkey pre-aggregation is NOT valid here —
+    # the supplier join predicate depends on each line's l_suppkey.)
+    od = o.join(dim, F.col("o_custkey") == dim.c_custkey)
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(dim, F.col("o_custkey") == dim.c_custkey)
+        li.join(od, li.l_orderkey == F.col("o_orderkey"))
         .join(s,
               (F.col("s_suppkey") == li.l_suppkey)
               & (F.col("s_nationkey") == F.col("c_nationkey")))
