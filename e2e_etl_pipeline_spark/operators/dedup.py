@@ -38,7 +38,7 @@ def content_digest(col: Column | str, bits: int = 64) -> Column:
     if bits == 128:
         return F.struct(
             F.xxhash64(c).alias("h1"),
-            F.xxhash64(F.concat(c, F.lit(""))).alias("h2"),
+            F.xxhash64(F.concat(c, F.lit("\x01"))).alias("h2"),
         )
     raise ValueError(f"unsupported digest width: {bits}")
 

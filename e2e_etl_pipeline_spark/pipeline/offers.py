@@ -204,14 +204,24 @@ def parse_offers(raw_docs: DataFrame) -> DataFrame:
     )
 
 
+def _minimal_decimal_str(c) -> "F.Column":
+    # DECIMAL(12,2) renders "8000.00"; the reference writes the regex-parsed
+    # minimal form "8000" / "31.25" (transform_data.py:148-151 emits strings
+    # with no added decimals). Strip a trailing zero-run and any then-bare
+    # point: "8000.00"→"8000", "31.25"→"31.25", "8000.10"→"8000.1".
+    return F.regexp_replace(
+        F.regexp_replace(c.cast("string"), r"(\.\d*?)0+$", "$1"), r"\.$", ""
+    )
+
+
 def offers_to_staging_csv(offers: DataFrame, path: str, mode: str = "overwrite") -> None:
     """CSV sink with header (A6), reference-compatible: NULLs materialize as
-    empty strings, numerics as dot-decimal strings (SURVEY.md §1.2)."""
+    empty strings, numerics as minimal dot-decimal strings (SURVEY.md §1.2)."""
     out = offers.select(
         "position",
         "company_name",
-        F.coalesce(F.col("minimum").cast("string"), F.lit("")).alias("minimum"),
-        F.coalesce(F.col("maximum").cast("string"), F.lit("")).alias("maximum"),
+        F.coalesce(_minimal_decimal_str(F.col("minimum")), F.lit("")).alias("minimum"),
+        F.coalesce(_minimal_decimal_str(F.col("maximum")), F.lit("")).alias("maximum"),
         F.coalesce("currency", F.lit("")).alias("currency"),
         F.coalesce("pay_period", F.lit("")).alias("pay_period"),
     )

@@ -536,7 +536,10 @@ def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 10
     n_big = n % k
     size_big = -(-n // k)  # ceil(n/k)
-    size_small = n // k
+    # max(1): when n < k every row falls in the first branch (cut == n), so
+    # the small-bucket divisor is unreachable — but a literal 0 divisor
+    # would make that branch NULL (non-ANSI) or error (ANSI) anyway.
+    size_small = max(n // k, 1)
     cut = n_big * size_big
     w = Window.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
     rank = (F.col("off") + F.row_number().over(w)).alias("rank")

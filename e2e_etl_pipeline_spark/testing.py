@@ -76,7 +76,12 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame, exact: bool = False) -> bool:
             xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)
             yv = pd.to_numeric(y, errors="coerce").to_numpy(dtype=float)
             if exact:
-                if not ((xv == yv) | (np.isnan(xv) & np.isnan(yv))).all():
+                # Bit-level: == alone would call -0.0 equal to +0.0, but a
+                # string-rendering hash distinguishes them (DuckDB's C round
+                # preserves the sign of -0.0; Spark's BigDecimal round
+                # cannot represent it).
+                same = (xv == yv) & (np.signbit(xv) == np.signbit(yv))
+                if not (same | (np.isnan(xv) & np.isnan(yv))).all():
                     return False
             elif not np.allclose(xv, yv, rtol=1e-9, atol=1e-9, equal_nan=True):
                 return False

@@ -77,6 +77,10 @@ def test_csv_sink_reference_compat(spark):
         with_salary = next(r for r in rows if r["position"] == "Analyst")
         assert with_salary["minimum"] == "31.25"
         assert with_salary["pay_period"] == "h"
+        # Integral amounts render in the reference's minimal form ("8000",
+        # not the DECIMAL(12,2) default "8000.00").
+        integral = next(r for r in rows if r["position"] == "Junior Python Developer")
+        assert integral["minimum"] == "8000"
     finally:
         shutil.rmtree(path, ignore_errors=True)
 
