@@ -45,29 +45,34 @@ def test_simhash_hamming(near_dup_docs, spark):
 
 
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    # 20 queries × top-5 = 100 truth pairs (5 queries was too noisy to bound
+    # meaningfully). Parameters match the registered q_similarity_lsh key:
+    # 4 planes ≈ log2(500/31) for this corpus, 16 tables. Measured 0.92.
     from e2e_etl_pipeline_spark.catalog import load_table
 
     em = load_table(spark, sf_dir, "embeddings")
-    queries = em.where(F.col("vec_id") < 5)
+    queries = em.where(F.col("vec_id") < 20)
     exact = sim.brute_force_topk(em, queries, k=5)
-    approx = sim.lsh_bucketed_topk(em, queries, k=5, n_planes=6, n_tables=8)
+    approx = sim.lsh_bucketed_topk(em, queries, k=5, n_planes=4, n_tables=16)
     exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.4, f"LSH recall too low: {recall}"
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
 
 
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    # Parameters match the registered q_similarity_ivf key (16 centroids,
+    # probe 2 → ~1/8 of the corpus scanned per query). Measured 0.81.
     from e2e_etl_pipeline_spark.catalog import load_table
 
     em = load_table(spark, sf_dir, "embeddings")
-    queries = em.where(F.col("vec_id") < 5)
+    queries = em.where(F.col("vec_id") < 20)
     exact = sim.brute_force_topk(em, queries, k=5)
     approx = sim.ivf_topk(em, queries, k=5, n_centroids=16, n_probe=2)
     exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.2, f"IVF recall too low: {recall}"
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
