@@ -762,27 +762,37 @@ def q_embedding_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'lineitem.l_orderkey->orders' AS relation,
            (SELECT count(*) FROM lineitem) AS total_rows,
            (SELECT count(*) FROM lineitem
-             WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS orphan_rows
+             WHERE l_orderkey IS NOT NULL
+               AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                       WHERE o_orderkey IS NOT NULL)) AS orphan_rows
     UNION ALL
     SELECT 'lineitem.l_partkey->part',
            (SELECT count(*) FROM lineitem),
            (SELECT count(*) FROM lineitem
-             WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+             WHERE l_partkey IS NOT NULL
+               AND l_partkey NOT IN (SELECT p_partkey FROM part
+                                      WHERE p_partkey IS NOT NULL))
     UNION ALL
     SELECT 'lineitem.l_suppkey->supplier',
            (SELECT count(*) FROM lineitem),
            (SELECT count(*) FROM lineitem
-             WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+             WHERE l_suppkey IS NOT NULL
+               AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                      WHERE s_suppkey IS NOT NULL))
     UNION ALL
     SELECT 'orders.o_custkey->customer',
            (SELECT count(*) FROM orders),
            (SELECT count(*) FROM orders
-             WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) 
+             WHERE o_custkey IS NOT NULL
+               AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                      WHERE c_custkey IS NOT NULL))
     UNION ALL
     SELECT 'customer.c_nationkey->nation',
            (SELECT count(*) FROM customer),
            (SELECT count(*) FROM customer
-             WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+             WHERE c_nationkey IS NOT NULL
+               AND c_nationkey NOT IN (SELECT n_nationkey FROM nation
+                                        WHERE n_nationkey IS NOT NULL))
     """,
 )
 def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -811,11 +821,14 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for child_t, fk, parent_t, pk in edges:
         child = load_table(spark, sf_dir, child_t).select(fk)
         parent = load_table(spark, sf_dir, parent_t).select(pk).distinct()
+        # SQL FK semantics: a NULL child key is NOT a violation (constraints
+        # skip NULLs; the oracle's NOT IN likewise drops them) — orphan means
+        # a NON-NULL key with no parent.
         audited = child.join(parent, F.col(fk) == F.col(pk), "left").agg(
             F.count(F.lit(1)).alias("total_rows"),
-            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias(
-                "orphan_rows"
-            ),
+            F.sum(
+                F.when(F.col(pk).isNull() & F.col(fk).isNotNull(), 1).otherwise(0)
+            ).alias("orphan_rows"),
         )
         parts.append(
             audited.select(

@@ -535,7 +535,8 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       count(*)                                              AS n_rows,
-      CAST(sum(CASE WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
+      CAST(sum(CASE WHEN props IS NULL THEN 0
+                    WHEN json_valid(props) THEN 0 ELSE 1 END) AS BIGINT) AS n_corrupt,
       CAST(sum(CASE WHEN json_valid(props)
                THEN CAST(props ->> 'k' AS BIGINT) ELSE 0 END) AS BIGINT) AS k_total
     FROM dirty
@@ -553,7 +554,11 @@ def q_json_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields come back NULL, the raw payload lands in ``_corrupt``), so
     corruption detection is a null-check on that field — scan-stage
     expressions only, no job failure, no Python. The
-    oracle mirrors with DuckDB ``json_valid``. At 100 TB this is how a
+    oracle mirrors with DuckDB ``json_valid``. A NULL payload is MISSING,
+    not corrupt, in both engines (PERMISSIVE ``from_json(NULL)`` yields a
+    null row with no corrupt-record, and the oracle short-circuits
+    ``props IS NULL`` before ``json_valid`` — which would otherwise return
+    NULL and fall into the corrupt branch). At 100 TB this is how a
     dirty feed quarantines: the same null-flag routes rows to a dead-letter
     sink instead of killing a 1000-executor job (the reference's parser
     crashes the batch on the first malformed document —

@@ -57,17 +57,29 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
+    # Carry (ts, value) as ONE struct: with separate columns a purchase
+    # whose value is NULL would be skipped by last(ignorenulls) for the
+    # value while its ts still won — last_purchase_value would come from an
+    # OLDER purchase than last_purchase_ts. The struct is non-null for
+    # every purchase row, so the latest purchase wins as a unit (its value
+    # may legitimately be NULL, exactly as ASOF JOIN returns it).
     tagged = ev.withColumn(
-        "p_value", F.when(F.col("event_type") == "purchase", F.col("value"))
-    ).withColumn("p_ts", F.when(F.col("event_type") == "purchase", F.col("ts")))
+        "p",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
+        ),
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    enriched = tagged.withColumn(
-        "last_purchase_value", F.last("p_value", ignorenulls=True).over(w)
-    ).withColumn("last_purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+    enriched = (
+        tagged.withColumn("last_p", F.last("p", ignorenulls=True).over(w))
+        .withColumn("last_purchase_value", F.col("last_p.value"))
+        .withColumn("last_purchase_ts", F.col("last_p.ts"))
+    )
     return enriched.where(F.col("event_type") == "click").select(
         "event_id",
         "user_id",
@@ -1347,17 +1359,20 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_seasonality_dow",
     oracle="""
     WITH daily AS (
-      SELECT CAST(date_trunc('day', ts) AS DATE)                AS day,
-             CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
-               AS day_value
+      SELECT CAST(date_trunc('day', ts) AS DATE)       AS day,
+             sum(CAST(value AS DECIMAL(14,2)))         AS day_value
       FROM events GROUP BY 1
     ),
-    stats AS (SELECT avg(day_value) AS overall FROM daily)
+    stats AS (
+      SELECT CAST(sum(day_value) AS DOUBLE) / count(day_value) AS overall
+      FROM daily
+    )
     SELECT CAST(isodow(day) AS INTEGER)                 AS dow,
            count(*)                                     AS n_days,
-           round(avg(day_value), 2)                     AS avg_value,
-           round(avg(day_value) / (SELECT overall FROM stats), 4)
-                                                        AS seasonality_idx
+           round(CAST(sum(day_value) AS DOUBLE) / count(day_value), 2)
+                                                        AS avg_value,
+           round((CAST(sum(day_value) AS DOUBLE) / count(day_value))
+                 / (SELECT overall FROM stats), 4)      AS seasonality_idx
     FROM daily GROUP BY 1
     """,
 )
@@ -1372,12 +1387,17 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekday profile and index run on that tiny series with the 1-row
     overall mean broadcast."""
     ev = load_table(spark, sf_dir, "events")
+    # day_value stays an EXACT decimal; averages are computed as
+    # cast(sum AS double) / count in BOTH engines so the division operates
+    # on identical inputs — engine-native avg() over doubles accumulates in
+    # engine-specific order and can flip a .xx5 rounding boundary.
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
-        .cast("double")
-        .alias("day_value")
+        F.sum(F.col("value").cast("decimal(14,2)")).alias("day_value")
     )
-    stats = daily.agg(F.avg("day_value").alias("overall"))
+    stats = daily.agg(
+        (F.sum("day_value").cast("double") / F.count("day_value")).alias("overall")
+    )
+    avg_val = F.sum("day_value").cast("double") / F.count("day_value")
     # ISO dow: Spark dayofweek is Sun=1..Sat=7 → ((dow + 5) % 7) + 1.
     iso_dow = ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
     return (
@@ -1385,10 +1405,8 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(iso_dow.alias("dow"))
         .agg(
             F.count(F.lit(1)).alias("n_days"),
-            F.round(F.avg("day_value"), 2).alias("avg_value"),
-            F.round(F.avg("day_value") / F.first("overall"), 4).alias(
-                "seasonality_idx"
-            ),
+            F.round(avg_val, 2).alias("avg_value"),
+            F.round(avg_val / F.first("overall"), 4).alias("seasonality_idx"),
         )
     )
 

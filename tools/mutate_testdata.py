@@ -1,14 +1,23 @@
-"""Build a whitespace-mutated copy of a testdata directory to prove
-cross-engine parity holds on data shapes the per-round regeneration could
-introduce (the round-2/3 advisor findings: edge whitespace, tabs, vertical
-tabs, doubled spaces silently split Java-\\s-based Spark tokenizers from
-RE2-based DuckDB oracles unless every class is pinned explicitly).
+"""Build mutated copies of a testdata directory to prove cross-engine
+parity holds on data shapes the per-round regeneration could introduce.
+
+Variant "whitespace" (advisor-finding class): edge whitespace, tabs,
+vertical tabs, doubled spaces in documents.text — these silently split
+Java-\\s-based Spark tokenizers from RE2-based DuckDB oracles unless every
+character class is pinned explicitly.
+
+Variant "nulls": NULL l_partkey/l_suppkey and NULL events.value/props —
+this class exposed four real parity splits in round 3 (NOT IN vs
+anti-join NULL-key semantics, json_valid(NULL), last(ignorenulls) tearing
+a (ts, value) pair, engine-native avg() rounding-boundary flips).
 
 Usage:
-    python tools/mutate_testdata.py [src_sf_dir] [dst_dir]
-    PYTHONPATH=. python tools/check_oracles.py <dst_dir> --exact
+    python tools/mutate_testdata.py [whitespace|nulls] [src_sf_dir] [dst_dir]
+    PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
-Round-3 result (2026-08-14): 228/228 keys bit-exact on the mutated copy.
+Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls
+variant 228/228 (tolerance mode — NULL injection shifts float values onto
+different rounding boundaries run-to-run, parity is the claim).
 """
 
 from __future__ import annotations
@@ -21,34 +30,58 @@ import duckdb
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf_mutated"
+    args = sys.argv[1:]
+    variant = args[0] if args and args[0] in ("whitespace", "nulls") else "whitespace"
+    rest = args[1:] if args and args[0] in ("whitespace", "nulls") else args
+    src = rest[0] if rest else "/root/testdata/sf0.001"
+    dst = rest[1] if len(rest) > 1 else f"/tmp/sf_{variant}"
+    keep = {
+        "whitespace": ("documents.parquet",),
+        "nulls": ("lineitem.parquet", "events.parquet"),
+    }[variant]
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
     for f in os.listdir(src):
-        if f != "documents.parquet":
+        if f not in keep:
             shutil.copy(os.path.join(src, f), os.path.join(dst, f))
     con = duckdb.connect()
-    con.execute(f"""
-    COPY (
-      SELECT doc_id,
-             CASE doc_id % 7
-               WHEN 0 THEN ' ' || text                 -- leading space
-               WHEN 1 THEN text || E'\t'               -- trailing tab
-               WHEN 2 THEN replace(text, ' ', '  ')    -- doubled spaces
-               WHEN 3 THEN replace(text, ' ', E'\t')   -- tabs between words
-               WHEN 4 THEN replace(text, ' ', chr(11)) -- vertical tab \\x0B
-               WHEN 5 THEN E'\n' || text || E'\r'      -- edge newline/CR
-               ELSE text
-             END AS text,
-             lang, source, n_chars
-      FROM read_parquet('{src}/documents.parquet')
-    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
-    """)
-    n = con.execute(
-        f"SELECT count(*) FROM read_parquet('{dst}/documents.parquet')"
-    ).fetchone()[0]
-    print(f"wrote {dst}: {n} mutated document rows")
+    if variant == "whitespace":
+        con.execute(f"""
+        COPY (
+          SELECT doc_id,
+                 CASE doc_id % 7
+                   WHEN 0 THEN ' ' || text                 -- leading space
+                   WHEN 1 THEN text || E'\t'               -- trailing tab
+                   WHEN 2 THEN replace(text, ' ', '  ')    -- doubled spaces
+                   WHEN 3 THEN replace(text, ' ', E'\t')   -- tabs between words
+                   WHEN 4 THEN replace(text, ' ', chr(11)) -- vertical tab \\x0B
+                   WHEN 5 THEN E'\n' || text || E'\r'      -- edge newline/CR
+                   ELSE text
+                 END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{src}/documents.parquet')
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """)
+    else:
+        con.execute(f"""
+        COPY (
+          SELECT l_orderkey,
+                 CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_partkey END AS l_partkey,
+                 CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_suppkey END AS l_suppkey,
+                 l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+                 l_returnflag, l_linestatus, l_shipdate
+          FROM read_parquet('{src}/lineitem.parquet')
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """)
+        con.execute(f"""
+        COPY (
+          SELECT event_id, ts, user_id, event_type,
+                 CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS value,
+                 CASE WHEN event_id % 71 = 0 THEN NULL ELSE props END AS props
+          FROM read_parquet('{src}/events.parquet')
+        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
+        """)
+    print(f"wrote {dst} ({variant} variant)")
 
 
 if __name__ == "__main__":
