@@ -432,10 +432,12 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       doc_id,
-      round(CAST(len(dw) AS DOUBLE) / n, 4) AS ttr,
-      round(CAST(list_max(list_transform(dw,
+      CASE WHEN n = 0 THEN NULL
+           ELSE round(CAST(len(dw) AS DOUBLE) / n, 4) END AS ttr,
+      CASE WHEN n = 0 THEN NULL
+           ELSE round(CAST(list_max(list_transform(dw,
                    d -> len(list_filter(words, x -> x = d)))) AS DOUBLE) / n, 4)
-        AS top_word_frac,
+           END AS top_word_frac,
       CASE WHEN n >= 2
            THEN round(CAST(list_max(list_transform(list_distinct(grams),
                         g -> len(list_filter(grams, x -> x = g)))) AS DOUBLE)
@@ -484,10 +486,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_d = F.col("n").cast("double")
+    # when-guards, not bare division: ANSI Spark raises DIVIDE_BY_ZERO even
+    # for doubles, so an empty document (n = 0) must short-circuit to NULL
+    # before the ratio — pinned identically in the oracle's CASE.
     return d.select(
         "doc_id",
-        F.round(F.size(dw).cast("double") / n_d, 4).alias("ttr"),
-        F.round(top_word.cast("double") / n_d, 4).alias("top_word_frac"),
+        F.when(F.col("n") > 0, F.round(F.size(dw).cast("double") / n_d, 4)).alias(
+            "ttr"
+        ),
+        F.when(
+            F.col("n") > 0, F.round(top_word.cast("double") / n_d, 4)
+        ).alias("top_word_frac"),
         F.when(
             F.col("n") >= 2,
             F.round(top_gram.cast("double") / (n_d - 1), 4),
@@ -504,18 +513,29 @@ from e2e_etl_pipeline_spark.queries.llm import _STOPWORD_SQL  # noqa: E402
 from e2e_etl_pipeline_spark.registry import ORACLES  # noqa: E402
 
 ORACLES["q_training_pipeline"] = f"""
-    WITH feats AS (
+    WITH qtoks AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    feats AS (
+      -- CASE guards mirror the engine's coalesce defaults for degenerate
+      -- docs (see q_text_quality's oracle).
       SELECT
         doc_id, lang, text,
         CAST(length(text) AS DOUBLE) AS n_chars,
-        CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
-             w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
-          / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))                               AS sw,
-        CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
-          / length(text)                                               AS pr,
-        CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''), w -> length(w))) AS DOUBLE)
-          / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))                               AS mwl
-      FROM documents
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(w, t -> lower(t) IN {_STOPWORD_SQL}))
+                       AS DOUBLE) / len(w) END AS sw,
+        CASE WHEN length(text) = 0 THEN 1.0
+             ELSE CAST(length(text) - length(regexp_replace(text,
+                       '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                  / length(text) END AS pr,
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                  / len(w) END AS mwl
+      FROM qtoks
     ),
     scored AS (
       SELECT doc_id, lang, text,

@@ -451,18 +451,30 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_text_quality",
     oracle=f"""
-    WITH feats AS (
+    WITH toks AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> '') AS w
+      FROM documents
+    ),
+    feats AS (
+      -- CASE guards mirror the engine's coalesce defaults for degenerate
+      -- docs (no words -> sw 0 / mwl 0; empty text -> pr 1): a bare 0/0
+      -- here is NaN in DuckDB but DIVIDE_BY_ZERO in ANSI Spark.
       SELECT
         doc_id,
         CAST(length(text) AS DOUBLE) AS n_chars,
-        CAST(len(list_filter(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
-             w -> lower(w) IN {_STOPWORD_SQL})) AS DOUBLE)
-          / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))                               AS sw,
-        CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
-          / length(text)                                               AS pr,
-        CAST(list_sum(list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''), w -> length(w))) AS DOUBLE)
-          / len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''))                               AS mwl
-      FROM documents
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(w, t -> lower(t) IN {_STOPWORD_SQL}))
+                       AS DOUBLE) / len(w) END AS sw,
+        CASE WHEN length(text) = 0 THEN 1.0
+             ELSE CAST(length(text) - length(regexp_replace(text,
+                       '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                  / length(text) END AS pr,
+        CASE WHEN len(w) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+                  / len(w) END AS mwl
+      FROM toks
     )
     SELECT
       doc_id,

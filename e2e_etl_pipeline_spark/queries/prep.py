@@ -357,8 +357,11 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     starts AS (
+      -- generate_series(1, 0) is empty: a document with no tokens yields
+      -- ZERO chunks (pinned with the engine, which would otherwise crash
+      -- on element_at into an empty array under ANSI).
       SELECT doc_id, w, len(w) AS n_words,
-             unnest(generate_series(1, greatest(len(w), 1), 40)) AS start
+             unnest(generate_series(1, len(w), 40)) AS start
       FROM toks
     )
     SELECT
@@ -386,12 +389,16 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(r"filter(split(text, '\\s+'), t -> t != '')").alias("w"),
     ).withColumn("n_words", F.size("w"))
-    starts = toks.select(
+    # Filter empty docs BEFORE the sequence: they emit zero chunks (the
+    # oracle's generate_series(1, 0) is empty, but Spark's sequence throws
+    # "illegal boundaries" for 1..0 with a positive step — it cannot
+    # express the empty range). Also keeps element_at in-bounds under ANSI.
+    starts = toks.where(F.col("n_words") > 0).select(
         "doc_id",
         "w",
         "n_words",
         F.explode(
-            F.sequence(F.lit(1), F.greatest(F.col("n_words"), F.lit(1)), F.lit(40))
+            F.sequence(F.lit(1), F.col("n_words"), F.lit(40))
         ).alias("start"),
     )
     return starts.select(

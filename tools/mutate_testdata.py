@@ -11,13 +11,19 @@ this class exposed four real parity splits in round 3 (NOT IN vs
 anti-join NULL-key semantics, json_valid(NULL), last(ignorenulls) tearing
 a (ts, value) pair, engine-native avg() rounding-boundary flips).
 
+Variant "edge": empty / single-char / whitespace-only / exact-duplicate
+documents — this class exposed two ANSI-mode crashes (sequence over an
+empty token list, DIVIDE_BY_ZERO on a 0-token ratio: ANSI Spark raises
+even for double division) and one NaN-vs-coalesce split in the quality
+formula.
+
 Usage:
-    python tools/mutate_testdata.py [whitespace|nulls] [src_sf_dir] [dst_dir]
+    python tools/mutate_testdata.py [whitespace|nulls|edge] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls
-variant 228/228 (tolerance mode — NULL injection shifts float values onto
-different rounding boundaries run-to-run, parity is the claim).
+and edge variants 228/228 (tolerance mode — value injection shifts floats
+onto different rounding boundaries run-to-run, parity is the claim).
 """
 
 from __future__ import annotations
@@ -31,13 +37,15 @@ import duckdb
 
 def main() -> None:
     args = sys.argv[1:]
-    variant = args[0] if args and args[0] in ("whitespace", "nulls") else "whitespace"
-    rest = args[1:] if args and args[0] in ("whitespace", "nulls") else args
+    variants = ("whitespace", "nulls", "edge")
+    variant = args[0] if args and args[0] in variants else "whitespace"
+    rest = args[1:] if args and args[0] in variants else args
     src = rest[0] if rest else "/root/testdata/sf0.001"
     dst = rest[1] if len(rest) > 1 else f"/tmp/sf_{variant}"
     keep = {
         "whitespace": ("documents.parquet",),
         "nulls": ("lineitem.parquet", "events.parquet"),
+        "edge": ("documents.parquet",),
     }[variant]
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
@@ -56,6 +64,23 @@ def main() -> None:
                    WHEN 3 THEN replace(text, ' ', E'\t')   -- tabs between words
                    WHEN 4 THEN replace(text, ' ', chr(11)) -- vertical tab \\x0B
                    WHEN 5 THEN E'\n' || text || E'\r'      -- edge newline/CR
+                   ELSE text
+                 END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{src}/documents.parquet')
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """)
+    elif variant == "edge":
+        con.execute(f"""
+        COPY (
+          SELECT doc_id,
+                 CASE doc_id % 11
+                   WHEN 0 THEN ''        -- empty doc
+                   WHEN 1 THEN 'x'       -- single char
+                   WHEN 2 THEN '   '     -- whitespace-only
+                   WHEN 3 THEN (SELECT text
+                                FROM read_parquet('{src}/documents.parquet')
+                                WHERE doc_id = 7)  -- exact duplicate
                    ELSE text
                  END AS text,
                  lang, source, n_chars
