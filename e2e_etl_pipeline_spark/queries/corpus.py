@@ -525,14 +525,14 @@ ORACLES["q_training_pipeline"] = f"""
       SELECT
         doc_id, lang, text,
         CAST(length(text) AS DOUBLE) AS n_chars,
-        CASE WHEN len(w) = 0 THEN 0.0
+        CASE WHEN w IS NULL OR len(w) = 0 THEN 0.0
              ELSE CAST(len(list_filter(w, t -> lower(t) IN {_STOPWORD_SQL}))
                        AS DOUBLE) / len(w) END AS sw,
-        CASE WHEN length(text) = 0 THEN 1.0
+        CASE WHEN text IS NULL OR length(text) = 0 THEN 1.0
              ELSE CAST(length(text) - length(regexp_replace(text,
                        '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                   / length(text) END AS pr,
-        CASE WHEN len(w) = 0 THEN 0.0
+        CASE WHEN w IS NULL OR len(w) = 0 THEN 0.0
              ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
                   / len(w) END AS mwl
       FROM qtoks

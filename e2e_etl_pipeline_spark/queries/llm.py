@@ -354,15 +354,17 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN: equi-join on (table, bucket) replaces the
     cross join — the plan that survives a 100×-corpus scale-up. Recall vs
     the exact baseline is asserted in tests/test_llm_ops.py (≥0.7 at these
-    parameters; measured 0.92 on this corpus).
+    parameters; measured 0.79–0.84 on this corpus).
 
-    Parameter sizing: n_planes ≈ log2(corpus / target_bucket_size) — 4
-    planes → 16 buckets is right for 500 vectors (~31/bucket); a 10^9
-    corpus wants ~25 planes for the same bucket size. More tables buy
-    recall linearly in cost; more planes buy selectivity exponentially."""
+    Parameter sizing: n_planes ≈ log2(corpus / target_bucket_size) — 6
+    planes → 64 buckets keeps ~8 vectors/bucket at 500 vectors; a 10^9
+    corpus wants ~27 planes for the same bucket size. More tables buy
+    recall roughly linearly in cost; more planes buy selectivity
+    exponentially (at 4 planes/16 buckets the per-query candidate union
+    approaches the whole corpus — recall 0.95 but no longer ANN)."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 20)
-    return sim.lsh_bucketed_topk(em, queries, k=10, n_planes=4, n_tables=16)
+    return sim.lsh_bucketed_topk(em, queries, k=10, n_planes=6, n_tables=32)
 
 
 # ---------------------------------------------------------------------------
@@ -464,14 +466,14 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         doc_id,
         CAST(length(text) AS DOUBLE) AS n_chars,
-        CASE WHEN len(w) = 0 THEN 0.0
+        CASE WHEN w IS NULL OR len(w) = 0 THEN 0.0
              ELSE CAST(len(list_filter(w, t -> lower(t) IN {_STOPWORD_SQL}))
                        AS DOUBLE) / len(w) END AS sw,
-        CASE WHEN length(text) = 0 THEN 1.0
+        CASE WHEN text IS NULL OR length(text) = 0 THEN 1.0
              ELSE CAST(length(text) - length(regexp_replace(text,
                        '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
                   / length(text) END AS pr,
-        CASE WHEN len(w) = 0 THEN 0.0
+        CASE WHEN w IS NULL OR len(w) = 0 THEN 0.0
              ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
                   / len(w) END AS mwl
       FROM toks

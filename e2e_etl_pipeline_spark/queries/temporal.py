@@ -63,10 +63,14 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OLDER purchase than last_purchase_ts. The struct is non-null for
     # every purchase row, so the latest purchase wins as a unit (its value
     # may legitimately be NULL, exactly as ASOF JOIN returns it).
+    # ts.isNotNull(): a NULL-ts purchase can never satisfy the oracle's
+    # ASOF predicate (c.ts >= NULL), so it must not enter the carry-forward
+    # either — without the guard its struct is non-null and last() would
+    # surface a purchase ASOF JOIN cannot match.
     tagged = ev.withColumn(
         "p",
         F.when(
-            F.col("event_type") == "purchase",
+            (F.col("event_type") == "purchase") & F.col("ts").isNotNull(),
             F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
         ),
     )
@@ -1364,15 +1368,17 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1
     ),
     stats AS (
-      SELECT CAST(sum(day_value) AS DOUBLE) / count(day_value) AS overall
+      SELECT CAST(sum(day_value) AS DOUBLE) / NULLIF(count(day_value), 0)
+               AS overall
       FROM daily
     )
     SELECT CAST(isodow(day) AS INTEGER)                 AS dow,
            count(*)                                     AS n_days,
-           round(CAST(sum(day_value) AS DOUBLE) / count(day_value), 2)
+           round(CAST(sum(day_value) AS DOUBLE) / NULLIF(count(day_value), 0), 2)
                                                         AS avg_value,
-           round((CAST(sum(day_value) AS DOUBLE) / count(day_value))
-                 / (SELECT overall FROM stats), 4)      AS seasonality_idx
+           round((CAST(sum(day_value) AS DOUBLE) / NULLIF(count(day_value), 0))
+                 / NULLIF((SELECT overall FROM stats), 0), 4)
+                                                        AS seasonality_idx
     FROM daily GROUP BY 1
     """,
 )
@@ -1394,10 +1400,18 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.sum(F.col("value").cast("decimal(14,2)")).alias("day_value")
     )
+    # NULLIF divisors (both engines): ANSI Spark raises DIVIDE_BY_ZERO even
+    # for doubles, and exact daily sums of signed values can cancel the
+    # overall mean to exactly 0 — x / NULL is NULL, never an error.
     stats = daily.agg(
-        (F.sum("day_value").cast("double") / F.count("day_value")).alias("overall")
+        (
+            F.sum("day_value").cast("double")
+            / F.nullif(F.count("day_value"), F.lit(0))
+        ).alias("overall")
     )
-    avg_val = F.sum("day_value").cast("double") / F.count("day_value")
+    avg_val = F.sum("day_value").cast("double") / F.nullif(
+        F.count("day_value"), F.lit(0)
+    )
     # ISO dow: Spark dayofweek is Sun=1..Sat=7 → ((dow + 5) % 7) + 1.
     iso_dow = ((F.dayofweek("day") + 5) % 7 + 1).cast("int")
     return (
@@ -1406,7 +1420,9 @@ def q_seasonality_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_days"),
             F.round(avg_val, 2).alias("avg_value"),
-            F.round(avg_val / F.first("overall"), 4).alias("seasonality_idx"),
+            F.round(
+                avg_val / F.nullif(F.first("overall"), F.lit(0.0)), 4
+            ).alias("seasonality_idx"),
         )
     )
 

@@ -47,13 +47,15 @@ def test_simhash_hamming(near_dup_docs, spark):
 def test_lsh_recall_vs_brute_force(spark, sf_dir):
     # 20 queries × top-5 = 100 truth pairs (5 queries was too noisy to bound
     # meaningfully). Parameters match the registered q_similarity_lsh key:
-    # 4 planes ≈ log2(500/31) for this corpus, 16 tables. Measured 0.92.
+    # 6 planes → 64 buckets (~8 vectors each — genuinely selective, unlike
+    # 16 buckets whose candidate union approaches the corpus), 32 tables.
+    # Measured 0.79 (sf0.01) / 0.84 (sf0.001).
     from e2e_etl_pipeline_spark.catalog import load_table
 
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 20)
     exact = sim.brute_force_topk(em, queries, k=5)
-    approx = sim.lsh_bucketed_topk(em, queries, k=5, n_planes=4, n_tables=16)
+    approx = sim.lsh_bucketed_topk(em, queries, k=5, n_planes=6, n_tables=32)
     exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
     recall = len(exact_set & approx_set) / len(exact_set)

@@ -17,13 +17,23 @@ empty token list, DIVIDE_BY_ZERO on a 0-token ratio: ANSI Spark raises
 even for double division) and one NaN-vs-coalesce split in the quality
 formula.
 
+Variant "values": zero / negated o_totalprice, l_quantity,
+l_extendedprice and events.value, plus epoch / DST-gap / year-boundary
+timestamps — probes divide-by-zero guards (signed sums can cancel a mean
+to exactly 0) and UTC calendar pinning.
+
+All mutations use ``SELECT * REPLACE`` so a driver-side schema change
+(added or reordered columns — the repo's documented regeneration gotcha)
+flows through untouched instead of erroring or silently dropping columns.
+
 Usage:
-    python tools/mutate_testdata.py [whitespace|nulls|edge] [src] [dst]
+    python tools/mutate_testdata.py [whitespace|nulls|edge|values] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
-Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls
-and edge variants 228/228 (tolerance mode — value injection shifts floats
-onto different rounding boundaries run-to-run, parity is the claim).
+Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
+edge, and values variants 228/228 (tolerance mode — value injection
+shifts floats onto different rounding boundaries run-to-run, parity is
+the claim).
 """
 
 from __future__ import annotations
@@ -34,78 +44,80 @@ import sys
 
 import duckdb
 
+# variant -> {table_file: REPLACE clause}
+MUTATIONS: dict[str, dict[str, str]] = {
+    "whitespace": {
+        "documents.parquet": """* REPLACE (
+            CASE doc_id % 7
+              WHEN 0 THEN ' ' || text                 -- leading space
+              WHEN 1 THEN text || E'\t'               -- trailing tab
+              WHEN 2 THEN replace(text, ' ', '  ')    -- doubled spaces
+              WHEN 3 THEN replace(text, ' ', E'\t')   -- tabs between words
+              WHEN 4 THEN replace(text, ' ', chr(11)) -- vertical tab \\x0B
+              WHEN 5 THEN E'\n' || text || E'\r'      -- edge newline/CR
+              ELSE text
+            END AS text)""",
+    },
+    "edge": {
+        "documents.parquet": """* REPLACE (
+            CASE doc_id % 11
+              WHEN 0 THEN ''        -- empty doc
+              WHEN 1 THEN 'x'       -- single char
+              WHEN 2 THEN '   '     -- whitespace-only
+              WHEN 3 THEN (SELECT text FROM src_table WHERE doc_id = 7)
+              ELSE text
+            END AS text)""",
+    },
+    "nulls": {
+        "lineitem.parquet": """* REPLACE (
+            CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_partkey END AS l_partkey,
+            CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_suppkey END AS l_suppkey)""",
+        "events.parquet": """* REPLACE (
+            CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS value,
+            CASE WHEN event_id % 71 = 0 THEN NULL ELSE props END AS props)""",
+    },
+    "values": {
+        "orders.parquet": """* REPLACE (
+            CASE o_orderkey % 101 WHEN 0 THEN 0.0 WHEN 1 THEN -o_totalprice
+                 ELSE o_totalprice END AS o_totalprice)""",
+        "lineitem.parquet": """* REPLACE (
+            CASE l_orderkey % 103 WHEN 0 THEN 0.0 ELSE l_quantity END AS l_quantity,
+            CASE l_orderkey % 107 WHEN 0 THEN 0.0 ELSE l_extendedprice END
+              AS l_extendedprice)""",
+        "events.parquet": """* REPLACE (
+            CASE event_id % 113
+              WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'        -- epoch
+              WHEN 1 THEN TIMESTAMP '2027-03-14 02:30:00'        -- US DST gap
+              WHEN 2 THEN TIMESTAMP '2026-12-31 23:59:59.999999' -- year edge
+              ELSE ts END AS ts,
+            CASE event_id % 127 WHEN 0 THEN 0.0 WHEN 1 THEN -value
+                 ELSE value END AS value)""",
+    },
+}
+
 
 def main() -> None:
     args = sys.argv[1:]
-    variants = ("whitespace", "nulls", "edge")
-    variant = args[0] if args and args[0] in variants else "whitespace"
-    rest = args[1:] if args and args[0] in variants else args
+    variant = args[0] if args and args[0] in MUTATIONS else "whitespace"
+    rest = args[1:] if args and args[0] in MUTATIONS else args
     src = rest[0] if rest else "/root/testdata/sf0.001"
     dst = rest[1] if len(rest) > 1 else f"/tmp/sf_{variant}"
-    keep = {
-        "whitespace": ("documents.parquet",),
-        "nulls": ("lineitem.parquet", "events.parquet"),
-        "edge": ("documents.parquet",),
-    }[variant]
+    mutations = MUTATIONS[variant]
     shutil.rmtree(dst, ignore_errors=True)
     os.makedirs(dst)
-    for f in os.listdir(src):
-        if f not in keep:
-            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
     con = duckdb.connect()
-    if variant == "whitespace":
-        con.execute(f"""
-        COPY (
-          SELECT doc_id,
-                 CASE doc_id % 7
-                   WHEN 0 THEN ' ' || text                 -- leading space
-                   WHEN 1 THEN text || E'\t'               -- trailing tab
-                   WHEN 2 THEN replace(text, ' ', '  ')    -- doubled spaces
-                   WHEN 3 THEN replace(text, ' ', E'\t')   -- tabs between words
-                   WHEN 4 THEN replace(text, ' ', chr(11)) -- vertical tab \\x0B
-                   WHEN 5 THEN E'\n' || text || E'\r'      -- edge newline/CR
-                   ELSE text
-                 END AS text,
-                 lang, source, n_chars
-          FROM read_parquet('{src}/documents.parquet')
-        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
-        """)
-    elif variant == "edge":
-        con.execute(f"""
-        COPY (
-          SELECT doc_id,
-                 CASE doc_id % 11
-                   WHEN 0 THEN ''        -- empty doc
-                   WHEN 1 THEN 'x'       -- single char
-                   WHEN 2 THEN '   '     -- whitespace-only
-                   WHEN 3 THEN (SELECT text
-                                FROM read_parquet('{src}/documents.parquet')
-                                WHERE doc_id = 7)  -- exact duplicate
-                   ELSE text
-                 END AS text,
-                 lang, source, n_chars
-          FROM read_parquet('{src}/documents.parquet')
-        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
-        """)
-    else:
-        con.execute(f"""
-        COPY (
-          SELECT l_orderkey,
-                 CASE WHEN l_orderkey % 97 = 0 THEN NULL ELSE l_partkey END AS l_partkey,
-                 CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_suppkey END AS l_suppkey,
-                 l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
-                 l_returnflag, l_linestatus, l_shipdate
-          FROM read_parquet('{src}/lineitem.parquet')
-        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
-        """)
-        con.execute(f"""
-        COPY (
-          SELECT event_id, ts, user_id, event_type,
-                 CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS value,
-                 CASE WHEN event_id % 71 = 0 THEN NULL ELSE props END AS props
-          FROM read_parquet('{src}/events.parquet')
-        ) TO '{dst}/events.parquet' (FORMAT PARQUET)
-        """)
+    for f in os.listdir(src):
+        if f not in mutations:
+            shutil.copy(os.path.join(src, f), os.path.join(dst, f))
+            continue
+        con.execute(
+            f"CREATE OR REPLACE VIEW src_table AS "
+            f"SELECT * FROM read_parquet('{src}/{f}')"
+        )
+        con.execute(
+            f"COPY (SELECT {mutations[f]} FROM src_table) "
+            f"TO '{dst}/{f}' (FORMAT PARQUET)"
+        )
     print(f"wrote {dst} ({variant} variant)")
 
 
