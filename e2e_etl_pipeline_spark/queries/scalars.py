@@ -282,7 +282,8 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(floor(l_extendedprice) AS BIGINT)  AS price_floor,
       CAST(ceil(l_extendedprice) AS BIGINT)   AS price_ceil,
       l_orderkey % 7                          AS key_mod,
-      round(sqrt(l_quantity), 6)              AS qty_sqrt,
+      CASE WHEN l_quantity >= 0
+           THEN round(sqrt(l_quantity), 6) END AS qty_sqrt,
       round(pow(l_quantity, 2), 2)            AS qty_sq
     FROM lineitem
     """,
@@ -299,7 +300,11 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
         (F.col("l_orderkey") % 7).alias("key_mod"),
-        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        # Domain guard pinned on both sides: Spark sqrt(-x) is NaN while
+        # DuckDB raises — negative input yields NULL in both engines.
+        F.when(
+            F.col("l_quantity") >= 0, F.round(F.sqrt("l_quantity"), 6)
+        ).alias("qty_sqrt"),
         F.round(F.pow("l_quantity", 2), 2).alias("qty_sq"),
     )
 

@@ -81,14 +81,23 @@ MUTATIONS: dict[str, dict[str, str]] = {
             CASE o_orderkey % 101 WHEN 0 THEN 0.0 WHEN 1 THEN -o_totalprice
                  ELSE o_totalprice END AS o_totalprice)""",
         "lineitem.parquet": """* REPLACE (
-            CASE l_orderkey % 103 WHEN 0 THEN 0.0 ELSE l_quantity END AS l_quantity,
-            CASE l_orderkey % 107 WHEN 0 THEN 0.0 ELSE l_extendedprice END
-              AS l_extendedprice)""",
+            CASE l_orderkey % 103 WHEN 0 THEN 0.0 WHEN 1 THEN -l_quantity
+                 ELSE l_quantity END AS l_quantity,
+            CASE l_orderkey % 107 WHEN 0 THEN 0.0 WHEN 1 THEN -l_extendedprice
+                 ELSE l_extendedprice END AS l_extendedprice)""",
+        # + to_microseconds(event_id) keeps every injected timestamp UNIQUE
+        # per row: collapsing many events onto one literal would create
+        # duplicate (user_id, ts) pairs, breaking the per-user-unique-ts
+        # invariant q_join_asof/q_scd2 tie-determinism relies on and making
+        # the fuzz gate partitioning-dependent.
         "events.parquet": """* REPLACE (
             CASE event_id % 113
-              WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'        -- epoch
-              WHEN 1 THEN TIMESTAMP '2027-03-14 02:30:00'        -- US DST gap
-              WHEN 2 THEN TIMESTAMP '2026-12-31 23:59:59.999999' -- year edge
+              WHEN 0 THEN TIMESTAMP '1970-01-01 00:00:00'
+                          + to_microseconds(event_id)        -- near epoch
+              WHEN 1 THEN TIMESTAMP '2027-03-14 02:30:00'
+                          + to_microseconds(event_id)        -- US DST gap
+              WHEN 2 THEN TIMESTAMP '2026-12-31 23:59:00'
+                          + to_microseconds(event_id)        -- year edge
               ELSE ts END AS ts,
             CASE event_id % 127 WHEN 0 THEN 0.0 WHEN 1 THEN -value
                  ELSE value END AS value)""",
