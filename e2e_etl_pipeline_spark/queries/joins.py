@@ -417,3 +417,73 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "q_join_bloom",
+    oracle="""
+    SELECT
+      count(*) AS n_lines,
+      CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+        AS urgent_revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semi-join reduction: a selective dimension-side
+    predicate (1 of 5 priorities) is compiled into a bloom filter that
+    pre-filters the fact scan BEFORE the shuffle, so ~80% of lineitem rows
+    never enter the exchange. Catalyst's InjectRuntimeFilter does the
+    rewrite; the query only states the join (tests/test_plans.py asserts
+    ``might_contain`` lands in the optimized plan).
+
+    Scale: at 100 TB this is the difference between shuffling the full
+    fact table and shuffling only the matching ~20% — the bloom filter
+    itself is a few MB broadcast to every scan task. The thresholds are
+    lowered here because the local testdata is below the defaults
+    (creation side < 10 MB is already true; the 10 GB application-side
+    floor only makes sense on a real cluster); production keeps the
+    defaults so tiny joins skip the extra aggregate. Money math runs in
+    DECIMAL until the final round (registry hash-stability rules).
+    """
+    prev = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    # The optimizer reads these confs at action time, so the query must
+    # EXECUTE (localCheckpoint below) before they are restored.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        # localCheckpoint executes under the scoped confs.
+        out = bloom_join_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return out
+
+
+def bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The un-checkpointed q_join_bloom plan (tests assert ``might_contain``
+    lands in its optimized plan under the scoped confs)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    revenue = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return l.join(o, l.l_orderkey == o.o_orderkey).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(revenue), 2).cast("double").alias("urgent_revenue"),
+    )

@@ -338,6 +338,52 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS total
+    FROM orders
+    """,
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + schema'd source (Spark 4's built-in XML data source —
+    no external package): write orders as ``<order>`` elements, read back
+    with an explicit schema, prove the round-trip lossless against the
+    parquet original. Completes the format matrix (parquet / CSV / ORC /
+    JSON / text / XML) for the feeds that still arrive as XML.
+
+    Doubles travel as shortest-round-trip decimal strings (Java
+    ``Double.toString``), so the raw value survives text serialization
+    bit-exactly; the final round(2) mirrors q_orc_roundtrip. Scale: like
+    the other format conversions this is shuffle-free — one task per
+    partition — and the explicit read schema skips the inference pass
+    (a full extra scan at 100 TB).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _tmpdir("xml")
+    try:
+        o.write.mode("overwrite").format("xml").option("rowTag", "order").save(path)
+        schema = T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_orderpriority", T.StringType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+            ]
+        )
+        back = (
+            spark.read.schema(schema).format("xml").option("rowTag", "order").load(path)
+        )
+        return back.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("total"),
+        ).localCheckpoint()  # materialize before the temp dir is removed
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q_compact_files",
     oracle="""
     SELECT 'fragmented' AS stage, 64 AS n_files,

@@ -263,3 +263,50 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(o.groupBy("o_custkey"))
         .applyInPandas(merge, "c_custkey long, n_orders long, spend double")
     )
+
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT
+      doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(length(text)
+           - length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')) AS BIGINT)
+        AS n_ws
+    FROM documents
+    """,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the zero-copy sibling of mapInPandas — batches arrive
+    as ``pyarrow.RecordBatch`` and never materialize a pandas object, so
+    string-heavy transforms skip the Arrow→pandas conversion entirely
+    (the dominant per-batch cost for wide text columns).
+
+    Per document: code-point count and whitespace-char count, both via
+    vectorized ``pyarrow.compute`` kernels (utf8_length /
+    count_substring_regex over the engine's pinned ``[ \\t\\n\\f\\r]``
+    whitespace class — testing.py parity note). NULL text propagates as
+    NULL through both engines. Scale: partition-parallel, shuffle-free;
+    Arrow batch size bounds memory per task.
+    """
+    import pyarrow as pa  # noqa: F401 (typed signature below)
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def stats(batches: "Iterator[pa.RecordBatch]") -> "Iterator[pa.RecordBatch]":
+        for batch in batches:
+            text = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(
+                        pc.count_substring_regex(text, "[ \t\n\f\r]"), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_chars", "n_ws"],
+            )
+
+    return docs.mapInArrow(stats, "doc_id long, n_chars long, n_ws long")

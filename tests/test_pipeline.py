@@ -177,3 +177,43 @@ def test_targeted_delete_touches_only_stat_affected_files(spark, sf_dir, tmp_pat
             spark.read.parquet(*untouched).where(F.col("user_id").isin(victims))
         ).count()
         assert leaked == 0
+
+
+def test_xml_roundtrip_escapes_markup(spark, tmp_path):
+    """XML-significant characters in string values (&, <, >, quotes) must
+    survive the write→read cycle via entity escaping."""
+    src = spark.createDataFrame(
+        [(1, 'a & b < c > "d"'), (2, "]]> & <tag attr='x'/>"), (3, None)],
+        "id long, s string",
+    )
+    path = str(tmp_path / "xml_escape")
+    src.write.format("xml").option("rowTag", "row").save(path)
+    back = (
+        spark.read.schema("id long, s string")
+        .format("xml")
+        .option("rowTag", "row")
+        .load(path)
+    )
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == {1: 'a & b < c > "d"', 2: "]]> & <tag attr='x'/>", 3: None}
+
+
+def test_map_in_arrow_null_text(spark):
+    """NULL text must propagate to NULL counters (not 0) through the Arrow
+    kernels, matching SQL length() semantics."""
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "a b", "en", "s", 3), (2, None, "en", "s", 0)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["doc_id"]: (r["n_chars"], r["n_ws"])
+            for r in QUERIES["q_map_in_arrow"](spark, d).collect()
+        }
+    assert rows == {1: (3, 1), 2: (None, None)}

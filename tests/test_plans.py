@@ -329,3 +329,32 @@ def test_dpp_injects_partition_pruning_subquery(spark, sf_dir, tmp_path):
     ).where(F.col("event_type").isin("click", "purchase"))
     j = fact.join(F.broadcast(dim), "event_type").groupBy("event_type").count()
     assert "dynamicpruning" in _plan(j)
+
+
+def test_bloom_join_injects_runtime_filter(spark, sf_dir):
+    """Under the scoped thresholds, InjectRuntimeFilter must compile the
+    selective orders predicate into a bloom filter probed by the lineitem
+    side (might_contain in the optimized plan) — the semi-join reduction
+    that keeps ~80% of the fact table out of the shuffle at scale."""
+    from e2e_etl_pipeline_spark.queries.joins import bloom_join_frame
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    try:
+        df = bloom_join_frame(spark, sf_dir)
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+        assert "might_contain" in optimized
+        assert "bloom_filter_agg" in optimized
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
