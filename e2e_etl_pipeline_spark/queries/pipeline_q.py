@@ -384,12 +384,68 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_metadata_columns",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(1 AS BIGINT)              AS n_files,
+      count(*)                       AS n_rows,
+      CAST(count(*) - 1 AS BIGINT)   AS max_row_index
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (``_metadata.file_path`` /
+    ``row_index``) — the provenance surface a lakehouse needs for
+    row-level lineage, debugging bad files, and building deletion vectors.
+    Events are repartitioned by the partition key before a partitioned
+    write, so each event_type lands in exactly ONE file; the read-back
+    aggregates per-file row counts and the max row index purely from
+    metadata columns, which the oracle restates from the source table.
+
+    Scale: _metadata is populated by the scan from the file footer/row
+    position — no extra I/O; per-file aggregation shuffles one row per
+    (file, type), never the payload.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    path = _tmpdir("meta")
+    try:
+        ev.repartition("event_type").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+        back = spark.read.parquet(path).select(
+            "event_type",
+            F.col("_metadata.file_path").alias("fp"),
+            F.col("_metadata.row_index").alias("ri"),
+        )
+        per_file = back.groupBy("event_type", "fp").agg(
+            F.count(F.lit(1)).alias("rows_in_file"),
+            F.max("ri").alias("max_ri"),
+        )
+        return (
+            per_file.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("rows_in_file").alias("n_rows"),
+                F.max("max_ri").alias("max_row_index"),
+            )
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
     "q_compact_files",
     oracle="""
-    SELECT 'fragmented' AS stage, 64 AS n_files,
+    SELECT 'fragmented' AS stage,
+           CAST(least(64, (SELECT count(*) FROM orders)) AS INTEGER) AS n_files,
            (SELECT count(*) FROM orders) AS n_rows
     UNION ALL
-    SELECT 'compacted', 4, (SELECT count(*) FROM orders)
+    SELECT 'compacted',
+           CAST(least(4, (SELECT count(*) FROM orders)) AS INTEGER),
+           (SELECT count(*) FROM orders)
     """,
 )
 def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -400,6 +456,11 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 4 right-sized files; the audit reports file count and row count
     per stage, and the oracle pins both (rows preserved, exact target
     counts — a silent row drop or rogue extra file fails the gate).
+    File counts are DATA files — distinct ``_metadata.file_path`` over the
+    read-back — because Spark writes one empty schema-only file when a
+    write's first partition is empty (seen under the sparse fuzz variant:
+    41 rows over 64 round-robin shards → 41 data files + 1 empty). Empty
+    shards write nothing, so the pinned counts are least(shards, rows).
 
     The shard counts are fixed so the result is SF-stable; production
     sizing replaces the constant with ceil(input_bytes / target_bytes)
@@ -409,23 +470,25 @@ def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition-predicate (only partitions whose small-file count
     crosses a threshold rewrite), which is exactly how OPTIMIZE works in
     table formats."""
-    import os
-
     o = load_table(spark, sf_dir, "orders")
     frag_path, comp_path = _tmpdir("frag"), _tmpdir("comp")
 
-    def parquet_files(path: str) -> int:
-        return sum(f.endswith(".parquet") for f in os.listdir(path))
+    def data_files_and_rows(df: DataFrame) -> tuple[int, int]:
+        nf, nr = df.agg(
+            F.countDistinct(F.col("_metadata.file_path")).alias("nf"),
+            F.count(F.lit(1)).alias("nr"),
+        ).first()
+        return nf, nr
 
     try:
         o.repartition(64).write.mode("overwrite").parquet(frag_path)
         frag = spark.read.parquet(frag_path)
-        n_frag_files, n_frag_rows = parquet_files(frag_path), frag.count()
+        n_frag_files, n_frag_rows = data_files_and_rows(frag)
         frag.repartition(4).write.mode("overwrite").parquet(comp_path)
         comp = spark.read.parquet(comp_path)
         rows = [
             ("fragmented", n_frag_files, n_frag_rows),
-            ("compacted", parquet_files(comp_path), comp.count()),
+            ("compacted", *data_files_and_rows(comp)),
         ]
         from e2e_etl_pipeline_spark.catalog import inline_frame
 

@@ -948,10 +948,10 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-proportion z-test between the even/odd user cohorts on
     high-value purchase conversion (value > 100; pooled standard error) —
-    the experiment-readout primitive every growth pipeline runs. The
-    value floor keeps both proportions strictly inside (0, 1) at every
-    test SF, so the pooled variance never degenerates to zero (ANSI
-    divide-by-zero).
+    the experiment-readout primitive every growth pipeline runs. A
+    degenerate pooled variance (conversion rate exactly 0 or 1, seen
+    under the sparse fuzz variant) yields a NULL z-score in both engines
+    (try_divide ≡ DuckDB's NULL-on-zero double division).
 
     Scale: one per-user aggregate (shuffle on user_id), then arithmetic
     on a 2-row frame; the z statistic is a closed form over exact integer
@@ -986,11 +986,16 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(conv_a, 6).alias("conv_a"),
         F.round(conv_b, 6).alias("conv_b"),
         F.round(
-            (conv_a - conv_b)
-            / F.sqrt(
-                pooled
-                * (F.lit(1.0) - pooled)
-                * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            # try_divide: a degenerate pooled variance (0 or 1 conversion
+            # rate, possible under decimated data) yields NULL, matching
+            # DuckDB's NULL-on-zero-division double semantics.
+            F.try_divide(
+                conv_a - conv_b,
+                F.sqrt(
+                    pooled
+                    * (F.lit(1.0) - pooled)
+                    * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+                ),
             ),
             4,
         ).alias("z_score"),

@@ -274,23 +274,31 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(round(sum(CASE WHEN event_type = 'click'
-                                 THEN CAST(value AS DECIMAL(14,2))
-                                 ELSE CAST(0 AS DECIMAL(14,2)) END), 2)
-                  AS DOUBLE)                       AS clicks,
-             CAST(round(sum(CASE WHEN event_type = 'purchase'
-                                 THEN CAST(value AS DECIMAL(14,2))
-                                 ELSE CAST(0 AS DECIMAL(14,2)) END), 2)
-                  AS DOUBLE)                       AS purchases
+             sum(CASE WHEN event_type = 'click'
+                      THEN CAST(value AS DECIMAL(14,2))
+                      ELSE CAST(0 AS DECIMAL(14,2)) END) AS clicks,
+             sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(value AS DECIMAL(14,2))
+                      ELSE CAST(0 AS DECIMAL(14,2)) END) AS purchases
       FROM events GROUP BY 1
+    ),
+    win AS (
+      SELECT day,
+             count(*)                     OVER w AS n,
+             sum(clicks)                  OVER w AS sx,
+             sum(purchases)               OVER w AS sy,
+             sum(clicks * purchases)      OVER w AS sxy,
+             sum(clicks * clicks)         OVER w AS sxx,
+             sum(purchases * purchases)   OVER w AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
     SELECT day,
-           round(corr(clicks, purchases) OVER (
-             ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+           round(CAST(7 * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(7 * sxx - sx * sx AS DOUBLE)
+                               * CAST(7 * syy - sy * sy AS DOUBLE)), 0), 4)
              AS corr_7d
-    FROM daily
-    QUALIFY count(*) OVER (
-      ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) = 7
+    FROM win WHERE n = 7
     """,
 )
 def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -298,36 +306,42 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     value series — the co-movement monitor that flags when two metrics
     decouple (a point correlation can't show when it broke).
 
-    Scale: the corpus reduces once to |days| rows with both series as
-    DECIMAL-exact columns; the windowed corr runs post-reduction over
-    identical doubles in both engines, and rows without a full 7-day
-    frame are dropped on both sides (QUALIFY ≡ the count filter)."""
+    Computed from exact-DECIMAL sufficient statistics (windowed sums) with
+    one closed-form double expression at the end, not engine-native
+    corr(): (a) sums of decimals are order-independent, so segment-tree
+    (DuckDB) vs sliding-frame (Spark) evaluation can't split a bit;
+    (b) a zero-variance frame (e.g. a 7-day window with no clicks, seen
+    under the sparse fuzz variant) yields NULL via try_divide ≡ DuckDB's
+    NULL-on-zero double division — Spark's ANSI corr() raises instead.
+
+    Scale: the corpus reduces once to |days| rows; the window runs
+    post-reduction. Rows without a full 7-day frame drop on both sides."""
     ev = load_table(spark, sf_dir, "events")
     dec = F.col("value").cast("decimal(14,2)")
     zero = F.lit(0).cast("decimal(14,2)")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
-        F.round(
-            F.sum(F.when(F.col("event_type") == "click", dec).otherwise(zero)),
-            2,
-        )
-        .cast("double")
-        .alias("clicks"),
-        F.round(
-            F.sum(
-                F.when(F.col("event_type") == "purchase", dec).otherwise(zero)
-            ),
-            2,
-        )
-        .cast("double")
-        .alias("purchases"),
+        F.sum(F.when(F.col("event_type") == "click", dec).otherwise(zero)).alias(
+            "clicks"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", dec).otherwise(zero)
+        ).alias("purchases"),
     )
     w = Window.orderBy("day").rowsBetween(-6, 0)
-    return (
-        daily.select(
-            "day",
-            F.round(F.corr("clicks", "purchases").over(w), 4).alias("corr_7d"),
-            F.count(F.lit(1)).over(w).alias("_n"),
-        )
-        .where(F.col("_n") == 7)
-        .drop("_n")
+    c, p = F.col("clicks"), F.col("purchases")
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(c).over(w).alias("sx"),
+        F.sum(p).over(w).alias("sy"),
+        F.sum(c * p).over(w).alias("sxy"),
+        F.sum(c * c).over(w).alias("sxx"),
+        F.sum(p * p).over(w).alias("syy"),
+    ).where(F.col("n") == 7)
+    num = (F.lit(7) * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = (F.lit(7) * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    deny = (F.lit(7) * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return win.select(
+        "day",
+        F.round(F.try_divide(num, F.sqrt(denx * deny)), 4).alias("corr_7d"),
     )

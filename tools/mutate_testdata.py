@@ -22,6 +22,16 @@ l_extendedprice and events.value, plus epoch / DST-gap / year-boundary
 timestamps — probes divide-by-zero guards (signed sums can cancel a mean
 to exactly 0) and UTC calendar pinning.
 
+Variant "sparse": every fact table decimated 20-40× (dims untouched) —
+probes empty intermediate slices a small regenerated SF could produce:
+empty language slices, empty join/filter results feeding aggregates,
+near-empty graphs for the iterative keys, fewer vectors than ANN/k-means
+parameters assume. First run exposed three real defects (all fixed):
+ANSI corr()/z-test divide-by-zero on zero-variance frames (q_rolling_corr
+rewritten to exact-DECIMAL sufficient statistics, q_abtest to try_divide)
+and q_compact_files counting Spark's empty schema-only file as a fragment
+when rows < shards.
+
 All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 (added or reordered columns — the repo's documented regeneration gotcha)
 flows through untouched instead of erroring or silently dropping columns.
@@ -102,6 +112,16 @@ MUTATIONS: dict[str, dict[str, str]] = {
             CASE event_id % 127 WHEN 0 THEN 0.0 WHEN 1 THEN -value
                  ELSE value END AS value)""",
     },
+    # Full SELECTs (decimation needs WHERE, not REPLACE); modulo keeps the
+    # surviving key sets deterministic and referentially plausible.
+    "sparse": {
+        "documents.parquet": "SELECT * FROM src_table WHERE doc_id % 29 = 0",
+        "embeddings.parquet": "SELECT * FROM src_table WHERE vec_id % 31 = 0",
+        "events.parquet": "SELECT * FROM src_table WHERE event_id % 23 = 0",
+        "orders.parquet": "SELECT * FROM src_table WHERE o_orderkey % 37 = 0",
+        "lineitem.parquet": "SELECT * FROM src_table WHERE l_orderkey % 41 = 0",
+        "customer.parquet": "SELECT * FROM src_table WHERE c_custkey % 13 = 0",
+    },
 }
 
 
@@ -123,10 +143,12 @@ def main() -> None:
             f"CREATE OR REPLACE VIEW src_table AS "
             f"SELECT * FROM read_parquet('{src}/{f}')"
         )
-        con.execute(
-            f"COPY (SELECT {mutations[f]} FROM src_table) "
-            f"TO '{dst}/{f}' (FORMAT PARQUET)"
+        clause = mutations[f]
+        query = (
+            clause if clause.lstrip().upper().startswith("SELECT")
+            else f"SELECT {clause} FROM src_table"
         )
+        con.execute(f"COPY ({query}) TO '{dst}/{f}' (FORMAT PARQUET)")
     print(f"wrote {dst} ({variant} variant)")
 
 
