@@ -798,3 +798,122 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_sql_ddl",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                  AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,2))), 2) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-first workflow end-to-end: CREATE TEMPORARY VIEW over the
+    source, CTAS (CREATE TABLE ... USING PARQUET LOCATION ... AS SELECT)
+    into a managed location, then a plain SQL aggregate over the created
+    table — the catalog surface (DDL + table-as-query-result) an analyst
+    uses instead of the DataFrame API. The table name is session-unique
+    and dropped afterwards, so repeated runs never collide.
+
+    Scale: CTAS is a distributed write like any other (no driver
+    materialization); the follow-up aggregate reads the table's parquet
+    with full pushdown, exactly as if it had been written by a pipeline."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    tbl = f"ddl_{uuid.uuid4().hex[:8]}"
+    path = _tmpdir("ddl")
+    try:
+        spark.sql(
+            f"""
+            CREATE TABLE {tbl} USING PARQUET LOCATION '{path}' AS
+            SELECT o_orderkey, o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(14,2)) AS price
+            FROM orders_src WHERE o_orderstatus = 'F'
+            """
+        )
+        return spark.sql(
+            f"""
+            SELECT o_orderpriority,
+                   count(*)                              AS n_orders,
+                   CAST(round(sum(price), 2) AS DOUBLE)  AS total
+            FROM {tbl} GROUP BY o_orderpriority
+            """
+        ).localCheckpoint()  # materialize before DROP + dir removal
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_cache_reuse",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(14,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    overall AS (
+      SELECT CAST(sum(spend) AS DOUBLE) / count(*) AS avg_spend
+      FROM per_cust
+    )
+    SELECT p.o_custkey,
+           p.n_orders,
+           CAST(round(p.spend, 2) AS DOUBLE)                    AS spend,
+           round(CAST(p.spend AS DOUBLE) / o.avg_spend, 4)      AS vs_avg
+    FROM per_cust p CROSS JOIN overall o
+    WHERE CAST(p.spend AS DOUBLE) > 2 * o.avg_spend
+    """,
+)
+def q_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cache reuse: one expensive per-customer aggregate is
+    ``cache()``d and consumed by TWO downstream branches (a global
+    average and a per-row comparison against it) — the shared-CTE
+    pattern where recomputing the base would double the scan+shuffle.
+    tests/test_plans.py asserts the second consumer reads
+    InMemoryTableScan, not the parquet again.
+
+    Scale: the cached frame is |customers| rows of three narrow columns
+    (the reduction runs BEFORE the cache, so the raw fact table is never
+    pinned); division happens on identical doubles derived from exact
+    DECIMAL sums in both engines, and the 2× filter keeps the output a
+    short, deterministic set."""
+    out, base = cache_reuse_frames(spark, sf_dir)
+    try:
+        return out.localCheckpoint()  # materialize while the cache is live
+    finally:
+        base.unpersist()
+
+
+def cache_reuse_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The un-checkpointed q_cache_reuse plan plus its cached base (the
+    plan test asserts InMemoryTableScan on the second consumer; callers
+    must unpersist the base)."""
+    o = load_table(spark, sf_dir, "orders")
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("spend"),
+        )
+        .cache()
+    )
+    overall = base.agg(
+        (F.sum("spend").cast("double") / F.count(F.lit(1))).alias("avg_spend")
+    )
+    spend_d = F.col("spend").cast("double")
+    out = (
+        base.crossJoin(F.broadcast(overall))
+        .where(spend_d > 2 * F.col("avg_spend"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("spend", 2).cast("double").alias("spend"),
+            F.round(spend_d / F.col("avg_spend"), 4).alias("vs_avg"),
+        )
+    )
+    return out, base

@@ -321,3 +321,53 @@ def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(sink)
+
+
+@register(
+    "q_stream_python_source",
+    oracle="""
+    WITH offers AS (
+      SELECT CAST(p.range AS INTEGER)            AS page,
+             p.range * 100 + i.range             AS offer_id
+      FROM range(0, 10) p CROSS JOIN range(0, 100) i
+    )
+    SELECT page,
+           count(*)                              AS n_offers,
+           CAST(sum(offer_id % 20000 + 3000) AS BIGINT) AS sum_salary
+    FROM offers GROUP BY page
+    """,
+)
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The paginated acquisition as a STREAMING Python Data Source
+    (sources/synthetic_ds.SyntheticOffersStreamReader): readStream over
+    the custom source under Trigger.availableNow, drained into a memory
+    sink, then aggregated per page. This is the reference's incremental
+    re-scrape loop (new pages between polls, extract_data.py:108-146)
+    with exactly-once offsets instead of a driver-side browser loop;
+    content is offset-deterministic, so the batch oracle reproduces it.
+
+    Scale: each micro-batch's pages read partition-parallel; offsets are
+    checkpointable JSON, so a real connector restarts where it stopped."""
+    pin_utc(spark)
+    from e2e_etl_pipeline_spark.sources.synthetic_ds import register_source
+
+    register_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_offers")
+        .option("npages", 10)
+        .option("per_page", 100)
+        .load()
+    )
+    sink = f"pysrc_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_offers"),
+        F.sum(F.col("offer_id") % 20000 + 3000).alias("sum_salary"),
+    )

@@ -21,7 +21,12 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class PagePartition(InputPartition):
@@ -46,8 +51,40 @@ class SyntheticOffersReader(DataSourceReader):
             yield (p, offer_id, title, salary_raw)
 
 
+class SyntheticOffersStreamReader(DataSourceStreamReader):
+    """The same paginated acquisition as an UNBOUNDED source: each
+    micro-batch advances the page offset, which is exactly the
+    reference's incremental re-scrape loop (new pages appear between
+    polls; extract_data.py:108-146) under Structured Streaming's
+    offset/commit contract — restart-safe because offsets are
+    checkpoint-persisted JSON, and replayable because page content is a
+    pure function of the offset range."""
+
+    def __init__(self, options: dict) -> None:
+        self.npages = int(options.get("npages", 10))
+        self.per_page = int(options.get("per_page", 100))
+
+    def initialOffset(self) -> dict:
+        return {"page": 0}
+
+    def latestOffset(self) -> dict:
+        return {"page": self.npages}
+
+    def partitions(self, start: dict, end: dict) -> list[PagePartition]:
+        return [PagePartition(p) for p in range(start["page"], end["page"])]
+
+    def read(self, partition: PagePartition) -> Iterator[tuple]:
+        yield from SyntheticOffersReader(
+            {"npages": self.npages, "per_page": self.per_page}
+        ).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: pages are synthesized, not consumed
+
+
 class SyntheticOffersDataSource(DataSource):
-    """``spark.read.format("synthetic_offers").option("npages", N)``."""
+    """``spark.read.format("synthetic_offers").option("npages", N)`` —
+    also usable with ``spark.readStream`` (streamReader below)."""
 
     @classmethod
     def name(cls) -> str:
@@ -58,6 +95,9 @@ class SyntheticOffersDataSource(DataSource):
 
     def reader(self, schema) -> SyntheticOffersReader:  # noqa: ANN001
         return SyntheticOffersReader(self.options)
+
+    def streamReader(self, schema) -> SyntheticOffersStreamReader:  # noqa: ANN001
+        return SyntheticOffersStreamReader(self.options)
 
 
 def register_source(spark) -> None:  # noqa: ANN001
