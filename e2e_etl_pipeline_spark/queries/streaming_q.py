@@ -371,3 +371,53 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_offers"),
         F.sum(F.col("offer_id") % 20000 + 3000).alias("sum_salary"),
     )
+
+
+@register(
+    "q_stream_restart",
+    oracle="""
+    SELECT event_type, count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across restarts: the SAME availableNow query runs
+    TWICE over one checkpoint into a foreachBatch parquet target. The
+    second start recovers the committed offsets, finds no new input, and
+    appends nothing — so the target's per-type counts equal a single
+    batch pass (the oracle). A sink that double-counted on restart (the
+    classic at-least-once bug) fails the hash compare.
+
+    Scale: this is the recovery contract a 100 TB ingest relies on —
+    offsets commit per micro-batch, foreachBatch is the restartable sink
+    (memory sinks cannot recover), and replay cost after a crash is one
+    micro-batch, not the stream."""
+    import shutil
+    import tempfile
+
+    pin_utc(spark)
+    chk = tempfile.mkdtemp(prefix="e2e_spark_chk_")
+    target = tempfile.mkdtemp(prefix="e2e_spark_tgt_")
+    try:
+        stream = read_events_stream(spark, sf_dir).select("event_id", "event_type")
+
+        def sink(batch: DataFrame, _epoch: int) -> None:
+            batch.write.mode("append").parquet(target)
+
+        for _restart in range(2):
+            q = (
+                stream.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return (
+            spark.read.parquet(target)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .localCheckpoint()  # materialize before the temp dirs go
+        )
+    finally:
+        shutil.rmtree(chk, ignore_errors=True)
+        shutil.rmtree(target, ignore_errors=True)
