@@ -922,3 +922,272 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated min decorrelated to an agg join).
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q2",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    rsupply AS (
+      SELECT l_partkey, l_suppkey, cost, s_acctbal, s_name, n_name
+      FROM supply
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 2
+    ),
+    mincost AS (
+      SELECT l_partkey, min(cost) AS min_cost
+      FROM rsupply
+      GROUP BY l_partkey
+    )
+    SELECT
+      s_acctbal, s_name, n_name, p_partkey, p_type,
+      CAST(cost AS DOUBLE) AS supplycost
+    FROM part
+    JOIN rsupply ON p_partkey = rsupply.l_partkey
+    JOIN mincost ON rsupply.l_partkey = mincost.l_partkey
+             AND cost = min_cost
+    WHERE p_size BETWEEN 10 AND 19 AND p_type = 'LARGE'
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, l_suppkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: no partsupp table, so the supply relation is the
+    distinct (part, supplier) pairs observed in lineitem with supplycost =
+    the minimum extended price that supplier ever charged for that part;
+    region scope R2 stands in for EUROPE). The spec's correlated
+    `ps_supplycost = (SELECT min ...)` is decorrelated into a per-part min
+    aggregate joined back on l_partkey — no per-row subquery. The min/
+    equality compare runs on EXACT decimal, so both engines elect the same
+    winners; the LIMIT rides a unique total order (pair-grain rows plus
+    (partkey, suppkey) tiebreak). Scale: supply reduces the fact table to
+    pair grain BEFORE any dimension join; nation broadcasts; the region
+    filter prunes suppliers ahead of the join, and the final part filter
+    (size+type, pushed to the scan) keeps the mincost join tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec_price()).alias("cost")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    rsupply = (
+        supply.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", "l_suppkey", "cost", "s_acctbal", "s_name", "n_name")
+    )
+    mincost = rsupply.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 19) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_type")
+    )
+    return (
+        p.join(rsupply, F.col("p_partkey") == rsupply["l_partkey"])
+        .join(
+            mincost,
+            (rsupply["l_partkey"] == mincost["l_partkey"])
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_type",
+            F.col("cost").cast("double").alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", rsupply["l_suppkey"]
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important parts: value share above a global-fraction threshold.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+    WITH val AS (
+      SELECT l_partkey, sum({_REVENUE_SQL}) AS value_d
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_regionkey = 0
+      GROUP BY l_partkey
+    )
+    SELECT
+      l_partkey,
+      CAST(round(value_d, 2) AS DOUBLE) AS part_value
+    FROM val
+    WHERE value_d * 1000 > (SELECT sum(value_d) FROM val)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: no partsupp, so "stock value" is discounted
+    revenue per part shipped by region-0 suppliers — GERMANY's stand-in is
+    a whole region to keep the slice non-trivial at small SF). The spec
+    shape survives intact: one per-part aggregate, one scalar global sum,
+    a fraction threshold. The threshold compare is divisionless
+    (value * 1000 > total) in EXACT decimal so the boundary row set is
+    bit-identical across engines. Scale: the global total is a 1-row
+    broadcast back onto the per-part frame (never a window); the fact
+    shuffle carries (partkey, decimal) cells only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    val = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_revenue()).alias("value_d"))
+    )
+    total = F.broadcast(val.agg(F.sum("value_d").alias("total_d")))
+    return (
+        val.crossJoin(total)
+        .filter(F.col("value_d") * 1000 > F.col("total_d"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_d"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — supplier diversity per part attribute, excluding flagged suppliers.
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#4'
+      AND p_type NOT IN ('PROMO', 'ECONOMY')
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: the supply relation is distinct lineitem
+    (part, supplier) pairs; the spec's `s_comment LIKE '%Complaints%'`
+    exclusion — column absent — becomes "suppliers in arrears"
+    (s_acctbal < 0)). Shape intact: attribute-sliced distinct-supplier
+    counts with a NOT-IN supplier blacklist, rewritten as a broadcast
+    anti-join (s_suppkey is non-null, so anti == NOT IN — the NULL-FK
+    trap documented in the verify skill does not apply). Scale: the pair
+    dedup is the only fact-table shuffle; part attributes join at pair
+    grain, and the blacklist is O(suppliers) broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").isin("PROMO", "ECONOMY"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — dominant suppliers of a part family (nested semi-join chain).
+# --------------------------------------------------------------------------
+@register(
+    "q_tpch_q20",
+    oracle="""
+    WITH red_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+    ),
+    qty AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq
+      FROM lineitem
+      JOIN red_parts ON p_partkey = l_partkey
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate <  TIMESTAMP '1999-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    thresh AS (
+      SELECT l_partkey, sum(sq) AS total_q FROM qty GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM qty
+        JOIN thresh USING (l_partkey)
+        WHERE sq * 2 > total_q
+      )
+      AND s_nationkey IN (
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+      )
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: no partsupp/availqty, so "holds excess stock"
+    becomes "shipped more than HALF the 1998 quantity of some red part";
+    'red%' stands in for 'forest%', region 1 for CANADA). The nested
+    IN-subquery chain of the spec is preserved as two semi joins: supplier
+    ⋉ dominant-shippers ⋉ region-1 nations. The dominance compare is
+    divisionless (sq * 2 > total_q) on EXACT decimal. Scale: the fact
+    table reduces to (supplier, part) grain behind a scan-pushed date
+    filter and a broadcast part-family probe; the per-part total is a
+    second small agg on the already-reduced frame, joined back on its own
+    partitioning key."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    qty = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("sq"))
+    )
+    thresh = qty.groupBy("l_partkey").agg(F.sum("sq").alias("total_q"))
+    dominant = (
+        qty.join(thresh, "l_partkey")
+        .filter(F.col("sq") * 2 > F.col("total_q"))
+        .select("l_suppkey")
+    )
+    n1 = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 1)
+        .select("n_nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "semi")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"), "semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

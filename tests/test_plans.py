@@ -377,3 +377,29 @@ def test_cache_reuse_second_consumer_reads_cache(spark, sf_dir):
         assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
     finally:
         base.unpersist()
+
+
+def test_tpch_q20_reduces_fact_before_semi_chain(spark, sf_dir):
+    """Q20's nested-IN chain must plan as semi joins over an already-
+    aggregated (supplier, part) frame: the date filter reaches the
+    lineitem scan, the part-family probe broadcasts, and no join carries
+    raw fact rows to the supplier side."""
+    plan = _formatted(spark, "q_tpch_q20", sf_dir)
+    assert "LeftSemi" in plan
+    pushed = plan.split("PushedFilters:")
+    joined = " ".join(seg.split("\n")[0] for seg in pushed[1:])
+    assert "l_shipdate" in joined
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_decorrelates_min_cost(spark, sf_dir):
+    """Q2's correlated min must plan as an aggregate joined back (no
+    per-row subquery / nested loop); part's size+type predicates push to
+    its scan."""
+    plan = _formatted(spark, "q_tpch_q2", sf_dir)
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pushed = plan.split("PushedFilters:")
+    joined = " ".join(seg.split("\n")[0] for seg in pushed[1:])
+    assert "p_size" in joined and "p_type" in joined
