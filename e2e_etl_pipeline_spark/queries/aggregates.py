@@ -103,6 +103,43 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_distinct_bound",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)    AS exact_parts,
+           count(*)                     AS n_rows,
+           TRUE                         AS within_10pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for approx_count_distinct: emits
+    the EXACT per-group distinct count (SQL-reproducible) plus a boolean
+    asserting the HLL++ estimate at rsd=0.02 landed within 10% of it
+    (~5σ — chosen so a per-round testdata regeneration at any cardinality
+    cannot flip it by bad luck; pytest separately asserts the tighter 6%
+    on current data). The raw estimate itself stays OUT of the output —
+    sketches are engine-specific, so it can never hash-match an oracle —
+    but the bound column fails the driver's exact compare if the sketch
+    ever degrades. Companion rows-only key q_agg_approx_distinct carries
+    the estimates themselves."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            * 10
+            <= F.countDistinct("l_partkey")
+        ).alias("within_10pct"),
+    )
+
+
+@register(
     "q_agg_having",
     oracle="""
     SELECT l_suppkey, count(*) AS n_items, round(sum(l_quantity), 2) AS total_qty

@@ -1136,6 +1136,47 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hll_rollup_bound",
+    oracle="""
+    SELECT n_regionkey,
+           count(DISTINCT c_custkey)   AS exact_customers,
+           count(DISTINCT c_nationkey) AS n_nations,
+           TRUE                        AS within_10pct
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+    """,
+)
+def q_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the mergeable-HLL rollup
+    (q_hll_sketch): per-region exact distinct customers plus a boolean
+    asserting the sketch-union estimate landed within 10% of exact
+    (~6 sigma at the default lgK=12's 1.6% relative std error — chosen so
+    a regenerated testdata at any cardinality cannot flip it; pytest
+    separately asserts the tighter 2% on current data). Sketches are
+    built per nation and unioned to region grain exactly as in the
+    rows-only key; only scalar exacts and the bound reach the output, so
+    the driver's hash compare verifies the sketch path end to end."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "c_nationkey")
+        .agg(
+            F.hll_sketch_agg("c_custkey").alias("sk"),
+            F.countDistinct("c_custkey").alias("exact_nation"),
+        )
+    )
+    est = F.hll_sketch_estimate(F.hll_union_agg("sk"))
+    exact = F.sum("exact_nation")
+    return per_nation.groupBy("n_regionkey").agg(
+        exact.alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_nations"),
+        (F.abs(est - exact) * 10 <= exact).alias("within_10pct"),
+    )
+
+
+@register(
     "q_winsorize",
     oracle="""
     WITH cuts AS (

@@ -156,6 +156,35 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_percentile_bound",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n_rows,
+           TRUE     AS within_band
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for approx_percentile: the
+    sketch guarantees rank error <= 1/accuracy (= 0.001 at accuracy
+    1000), so the approximate median MUST lie between the exact p45 and
+    p55 — a 50x-margin band that no legitimate input shape can violate.
+    The boolean (not the engine-specific sketch value) goes to the
+    driver, so a sketch regression fails the exact hash compare.
+    Companion rows-only key q_agg_approx_percentile carries the raw
+    estimate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    apx = F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000))
+    lo = F.percentile("l_extendedprice", F.lit(0.45))
+    hi = F.percentile("l_extendedprice", F.lit(0.55))
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        ((apx >= lo) & (apx <= hi)).alias("within_band"),
+    )
+
+
+@register(
     "q_apply_in_pandas",
     oracle="""
     SELECT
