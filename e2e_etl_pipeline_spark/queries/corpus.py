@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.operators.dedup import _words
+from e2e_etl_pipeline_spark.operators.sketches import misra_gries_candidates
 from e2e_etl_pipeline_spark.registry import register
 
 VOCAB_SIZE = 200
@@ -981,4 +982,60 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd, 4).alias("share_before"),
         F.round(wd, 4).alias("mix_weight"),
         F.round(wd / sd, 4).alias("boost"),
+    )
+
+
+HH_K = 32  # Misra-Gries counter budget -> heavy-hitter threshold n/32
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS n_occ FROM tok GROUP BY token),
+    tot AS (SELECT sum(n_occ) AS total FROM counts)
+    SELECT token, n_occ
+    FROM counts, tot
+    WHERE n_occ * {HH_K} > total
+    ORDER BY n_occ DESC, token
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens exceeding 1/32 of the corpus, found sketch-first: a
+    Misra-Gries summary (operators/sketches.py) reduces each partition to
+    <= 32 counters in one pass, the tiny candidate union is exact-counted
+    via a broadcast semi join, and the n/32 threshold compares exact
+    integers — so the OUTPUT is exact (hence the DuckDB oracle) even
+    though a lossy sketch did the pruning; MG's superset guarantee means
+    no false negatives, and the exact recount kills false positives.
+
+    Scale: this is the n-gram/URL-cardinality path where q_vocab_topk's
+    full (token, count) shuffle stops fitting — MG shuffles <= 32 rows
+    per partition regardless of vocabulary size; the exact pass groups
+    only candidate tokens (<= 32 x partitions). The corpus total rides a
+    shuffle-free count pass. Threshold compare is divisionless integer
+    math, bit-identical across engines."""
+    tokens = _tokens(spark, sf_dir)
+    cand = (
+        misra_gries_candidates(tokens, "token", HH_K)
+        .select("item")
+        .distinct()
+    )
+    counted = (
+        tokens.join(
+            F.broadcast(cand), tokens["token"] == F.col("item"), "semi"
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    total = F.broadcast(tokens.agg(F.count(F.lit(1)).alias("total")))
+    return (
+        counted.crossJoin(total)
+        .filter(F.col("n_occ") * HH_K > F.col("total"))
+        .select("token", "n_occ")
+        .orderBy(F.desc("n_occ"), "token")
     )

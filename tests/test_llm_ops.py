@@ -313,3 +313,43 @@ def test_incremental_dedup_drops_recrawls_keeps_fresh(spark, sf_dir):
     # Every verbatim re-crawl must be dropped; every revision must survive.
     assert rows and all(r.source == "fresh" for r in rows)
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_misra_gries_superset_guarantee(spark):
+    """MG candidates must contain every item with freq > n/k even when the
+    vocabulary exceeds the counter budget (decrement path), and emit at
+    most k rows per partition."""
+    from e2e_etl_pipeline_spark.operators.sketches import misra_gries_candidates
+
+    # 400 x 'hot', 10 each of 60 cold items -> n = 1000, vocab 61 > k = 5
+    rows = [("hot",)] * 400 + [(f"cold{i}",) for i in range(60) for _ in range(10)]
+    df = spark.createDataFrame(rows, "token string").repartition(4)
+    cands = misra_gries_candidates(df, "token", 5)
+    items = {r.item for r in cands.collect()}
+    assert "hot" in items  # freq 0.4 > 1/5
+    per_part = (
+        cands.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= 5 for r in per_part)
+
+
+def test_heavy_hitters_matches_bruteforce(spark, sf_dir):
+    """The sketch-pruned q_heavy_hitters result must equal the exact
+    brute-force heavy-hitter set (superset guarantee + exact recount)."""
+    from e2e_etl_pipeline_spark.queries.corpus import HH_K, _tokens
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    got = {(r.token, r.n_occ) for r in QUERIES["q_heavy_hitters"](spark, sf_dir).collect()}
+    tok = _tokens(spark, sf_dir)
+    total = tok.count()
+    brute = {
+        (r.token, r.n_occ)
+        for r in tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") * HH_K > total)
+        .collect()
+    }
+    assert got == brute
