@@ -702,3 +702,52 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p90_disc"),
     )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH m AS (
+      SELECT p_partkey,
+             CAST(p_retailprice AS DECIMAL(12,2)) AS price,
+             count(*) AS n_ship
+      FROM part JOIN lineitem ON l_partkey = p_partkey
+      GROUP BY p_partkey, p_retailprice
+    )
+    SELECT p_partkey, CAST(price AS DOUBLE) AS price, n_ship
+    FROM m a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m b
+      WHERE b.price <= a.price AND b.n_ship >= a.n_ship
+        AND (b.price < a.price OR b.n_ship > a.n_ship)
+    )
+    ORDER BY price, p_partkey
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: cheapest-for-their-popularity (minimize
+    retail price, maximize times shipped). The oracle states the textbook
+    NOT EXISTS dominance predicate; the engine computes the identical set
+    via operators/skyline.py — per-partition local skyline prune
+    (mapInPandas, no shuffle) then a broadcast anti-join over the tiny
+    candidate union, exploiting skyline(S) = skyline(union of partition
+    skylines). Comparisons run on exact DECIMAL/integer so both engines
+    elect the same frontier. Scale: the O(n^2) self-join the oracle
+    implies never materializes — each partition ships only its local
+    frontier (~log-size for random data)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").cast("decimal(12,2)").alias("price")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    m = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "price")
+        .agg(F.count(F.lit(1)).alias("n_ship"))
+    )
+    from e2e_etl_pipeline_spark.operators.skyline import skyline
+
+    return (
+        skyline(m, minimize=["price"], maximize=["n_ship"])
+        .select("p_partkey", F.col("price").cast("double").alias("price"), "n_ship")
+        .orderBy("price", "p_partkey")
+    )

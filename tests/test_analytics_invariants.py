@@ -96,3 +96,28 @@ def test_ols_matches_numpy_polyfit(spark, sf_dir):
         assert abs(rows[flag].slope - slope) < 1e-2
         assert abs(rows[flag].intercept - intercept) < 1e-1
         assert 0.0 <= rows[flag].r2 <= 1.0
+
+
+def test_skyline_operator_matches_bruteforce(spark):
+    """skyline() must equal the O(n^2) dominance definition, retain tied
+    duplicate points, and work in 3 dimensions."""
+    import itertools
+    import random
+
+    from e2e_etl_pipeline_spark.operators.skyline import skyline
+
+    rng = random.Random(7)
+    pts = [(i, rng.randint(0, 20), rng.randint(0, 20), rng.randint(0, 20))
+           for i in range(200)]
+    pts += [(900, 0, 0, 20), (901, 0, 0, 20)]  # tied optimal duplicates
+    df = spark.createDataFrame(pts, "id long, x long, y long, z long").repartition(5)
+    got = {r.id for r in skyline(df, minimize=["x", "y"], maximize=["z"]).collect()}
+
+    def dominated(a, b):  # b dominates a
+        at_least = b[1] <= a[1] and b[2] <= a[2] and b[3] >= a[3]
+        strict = b[1] < a[1] or b[2] < a[2] or b[3] > a[3]
+        return at_least and strict
+
+    brute = {a[0] for a in pts if not any(dominated(a, b) for b in pts)}
+    assert got == brute
+    assert {900, 901} <= got
