@@ -347,3 +347,47 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     word — the UDTF shape (array → explode)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@register(
+    "q_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^https?://([^/?#]+)', 1)  AS host,
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1)    AS lang_param,
+           regexp_extract(regexp_extract(url, '^https?://([^/?#]+)', 1),
+                          '([^.]+)$', 1)                  AS tld
+    FROM u
+    """,
+)
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — the first step of every web-corpus pipeline
+    (domain-level dedup/filtering/licensing). Testdata sources are plain
+    labels, so well-formed URLs are constructed from (source, doc_id,
+    lang) then parsed back with Spark's parse_url (HOST / PATH / QUERY
+    param — JVM built-ins, codegen'd) plus substring_index for the TLD;
+    the oracle re-derives each component with plain regexes, so the
+    compare proves parse_url's semantics on this URL shape rather than
+    assuming them. Scale: stateless column expressions, partition-parallel,
+    nothing shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&v=2"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.substring_index(host, ".", -1).alias("tld"),
+    )
