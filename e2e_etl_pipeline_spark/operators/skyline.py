@@ -78,7 +78,10 @@ def skyline(df: DataFrame, minimize: Sequence[str], maximize: Sequence[str]) -> 
                 keep.append(idx)
         yield pdf.loc[keep]
 
-    candidates = df.mapInPandas(local_prune, schema=df.schema)
+    # Both sides of the anti-join consume the candidates; localCheckpoint
+    # materializes the (tiny) frontier union once so the expensive upstream
+    # scan/aggregate does not run twice — same pattern as q_ntile_bins.
+    candidates = df.mapInPandas(local_prune, schema=df.schema).localCheckpoint()
     a, b = candidates.alias("a"), candidates.alias("b")
     return (
         a.join(

@@ -75,6 +75,19 @@ SHOWCASE = [
                    "vector; per-iteration state is |nodes| rows, and "
                    "localCheckpoint truncation keeps the plan this size "
                    "at any iteration count"),
+    ("q_heavy_hitters", "Misra-Gries pruning: the mapInPandas summary "
+                        "emits <= 32 rows per partition, so the exact "
+                        "recount groups a broadcast-semi-joined sliver "
+                        "of the token stream — never the full "
+                        "vocabulary"),
+    ("q_skyline", "per-partition local frontier (mapInPandas, no "
+                  "exchange) then a broadcast anti-join on the pure "
+                  "column dominance predicate — the O(n^2) self-join "
+                  "the NOT EXISTS oracle implies never materializes"),
+    ("q_tpch_q2", "correlated min decorrelated: pair-grain aggregate of "
+                  "the fact table feeds both the candidate and min-cost "
+                  "sides; part's size+type predicates push to its scan; "
+                  "nation broadcasts"),
 ]
 
 
