@@ -917,3 +917,39 @@ def cache_reuse_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
         )
     )
     return out, base
+
+
+@register(
+    "q_medallion",
+    oracle="""
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM (SELECT DISTINCT * FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def q_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze→silver→gold in one plan: bronze is the raw feed plus a
+    deterministic replay slice (event_id % 10 == 0 re-appended — the
+    at-least-once delivery duplicates every ingest layer must absorb),
+    silver removes exact-duplicate rows, gold is the hourly per-type
+    rollup. The oracle aggregates DISTINCT source rows directly, so the
+    gate proves the dedup layer exactly cancels the replay.
+
+    Scale: full-row distinct is correct here because events are narrow
+    (6 scalar columns); for wide payloads dedup on a 128-bit digest of
+    the row instead (q_dedup_exact128 pattern) so bodies never shuffle.
+    Replay-union then distinct is one exchange on all columns; gold
+    re-aggregates with map-side partials on the hour/type keys."""
+    ev = load_table(spark, sf_dir, "events")
+    replay = ev.filter(F.col("event_id") % 10 == 0)
+    bronze = ev.unionByName(replay)
+    silver = bronze.distinct()
+    return silver.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

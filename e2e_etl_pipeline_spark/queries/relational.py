@@ -362,6 +362,44 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rich.exceptAll(urgent).distinct()
 
 
+@register(
+    "q_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — true multiset difference: a customer with 5 open
+    orders and 2 urgent ones survives with multiplicity 3, which the
+    DISTINCT variant (q_except) cannot express. The driver's hash is
+    multiplicity-sensitive, so this checks bag semantics exactly.
+    Scale: Spark plans exceptAll as a counted aggregate + generate
+    (one shuffle on the key), never a row-by-row pairing."""
+    o = load_table(spark, sf_dir, "orders")
+    open_o = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return open_o.exceptAll(urgent)
+
+
+@register(
+    "q_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (min of per-side
+    multiplicities per key), the bag-semantics sibling of q_intersect."""
+    o = load_table(spark, sf_dir, "orders")
+    open_o = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return open_o.intersectAll(urgent)
+
+
 # --------------------------------------------------------------------------
 # B.1 JSON column parse (events.props holds JSON-in-string, e.g. '{"k": 87}')
 # --------------------------------------------------------------------------
