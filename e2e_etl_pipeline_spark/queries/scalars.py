@@ -391,3 +391,32 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.substring_index(host, ".", -1).alias("tld"),
     )
+
+
+@register(
+    "q_explode_outer",
+    oracle="""
+    WITH arrs AS (
+      SELECT doc_id,
+             list_filter(list_filter(regexp_split_to_array(text,
+                           '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''),
+                         t -> length(t) > 8) AS longtoks
+      FROM documents
+    )
+    SELECT doc_id, unnest(longtoks) AS token FROM arrs WHERE len(longtoks) > 0
+    UNION ALL
+    SELECT doc_id, NULL AS token FROM arrs WHERE len(longtoks) = 0
+    """,
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer: generator with LEFT-OUTER semantics — documents whose
+    long-token array is EMPTY survive as a NULL row instead of vanishing
+    (the inner explode of q_explode would drop them, silently losing
+    documents from any downstream per-doc accounting). The oracle states
+    the same semantics as unnest-over-nonempty UNION ALL the empty set."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.filter(F.split("text", "[ \t\n\x0B\f\r]+"), lambda t: t != ""),
+        lambda t: F.length(t) > 8,
+    )
+    return d.select("doc_id", F.explode_outer(toks).alias("token"))

@@ -22,6 +22,12 @@ l_extendedprice and events.value, plus epoch / DST-gap / year-boundary
 timestamps — probes divide-by-zero guards (signed sums can cancel a mean
 to exactly 0) and UTC calendar pinning.
 
+Variant "unicode": NFC/NFD-split accents, Turkish dotted capital I,
+CJK without spaces, ZWJ emoji, RTL scripts, ligature/sharp-s/full-width
+forms, and NBSP token glue appended/injected into documents.text — probes
+the utf8proc (DuckDB) vs JVM/Python Unicode semantics the text family
+depends on. First run: 249/249 bit-exact, no divergence.
+
 Variant "sparse": every fact table decimated 20-40× (dims untouched) —
 probes empty intermediate slices a small regenerated SF could produce:
 empty language slices, empty join/filter results feeding aggregates,
@@ -37,7 +43,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [whitespace|nulls|edge|values] [src] [dst]
+    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -111,6 +117,25 @@ MUTATIONS: dict[str, dict[str, str]] = {
               ELSE ts END AS ts,
             CASE event_id % 127 WHEN 0 THEN 0.0 WHEN 1 THEN -value
                  ELSE value END AS value)""",
+    },
+    # Non-ASCII text shapes: NFC/NFD split accents, Turkish dotted capital I
+    # (utf8proc vs java.lang/Python lower() divergence risk), CJK with no
+    # internal spaces, ZWJ emoji, RTL scripts, ligature/sharp-s/full-width
+    # forms, and NBSP (NOT in the pinned [ \t\n\x0B\f\r] whitespace class,
+    # so it must glue tokens identically in both engines).
+    "unicode": {
+        "documents.parquet": """* REPLACE (
+            CASE doc_id % 13
+              WHEN 0 THEN text || ' café'                 -- NFC precomposed
+              WHEN 1 THEN text || ' caf' || 'e' || chr(769)    -- NFD decomposed
+              WHEN 2 THEN text || ' İstanbul'             -- dotted capital I
+              WHEN 3 THEN text || ' 東京都データ' -- CJK
+              WHEN 4 THEN text || ' \U0001F469‍\U0001F680' -- ZWJ emoji
+              WHEN 5 THEN text || ' שלום'  -- RTL Hebrew
+              WHEN 6 THEN text || ' ﬃ ß ＡＢ' -- ligature/ß/fullwidth
+              WHEN 7 THEN replace(text, ' ', chr(160))         -- NBSP glue
+              ELSE text
+            END AS text)""",
     },
     # Full SELECTs (decimation needs WHERE, not REPLACE); modulo keeps the
     # surviving key sets deterministic and referentially plausible.
