@@ -1039,3 +1039,89 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", "n_occ")
         .orderBy(F.desc("n_occ"), "token")
     )
+
+
+@register(
+    "q_web_curation",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source || '.example.com' AS domain,
+             CAST(round(
+               least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
+               + least((CASE WHEN text IS NULL OR len(list_filter(regexp_split_to_array(text,
+                     '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) = 0 THEN 0.0
+                   ELSE CAST(len(list_filter(list_filter(
+                         regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> ''),
+                         t -> lower(t) IN {_STOPWORD_SQL})) AS DOUBLE)
+                        / len(list_filter(regexp_split_to_array(text,
+                            '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) END) * 4.0,
+                 1.0) * 0.2
+               + greatest(1.0 - (CASE WHEN text IS NULL OR length(text) = 0 THEN 1.0
+                   ELSE CAST(length(text) - length(regexp_replace(text,
+                         '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                        / length(text) END) * 5.0, 0.0) * 0.2
+               + (CASE WHEN (CASE WHEN text IS NULL OR len(list_filter(regexp_split_to_array(
+                     text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) = 0 THEN 0.0
+                   ELSE CAST(list_sum(list_transform(list_filter(
+                         regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> ''), t -> length(t))) AS DOUBLE)
+                        / len(list_filter(regexp_split_to_array(text,
+                            '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) END)
+                     BETWEEN 2.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+             4) AS DECIMAL(8,4)) AS quality
+      FROM documents
+    ),
+    dom AS (
+      SELECT domain, count(*) AS n_docs, sum(quality) AS sum_q
+      FROM q GROUP BY domain
+    ),
+    tot AS (SELECT sum(sum_q) AS tq, sum(n_docs) AS td FROM dom)
+    SELECT domain, n_docs,
+           round(CAST(sum_q AS DOUBLE) / n_docs, 4) AS avg_quality
+    FROM dom, tot
+    WHERE sum_q * td >= tq * n_docs
+    ORDER BY domain
+    """,
+)
+def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation (the RefinedWeb/FineWeb shape): score every
+    document, roll quality up to its domain, keep domains whose mean
+    beats the corpus mean. The keep test is divisionless — sum_q·td ≥
+    tq·n_docs in exact DECIMAL/integer — so the boundary domain set is
+    bit-identical across engines; only the reported avg divides (identical
+    exact operands → identical double). Domains come from the same
+    constructed-URL parse as q_url_parse (parse_url HOST).
+
+    Scale: per-doc scoring is stateless column math; the rollup shuffles
+    |domains| decimal partials; the corpus total is a 1-row broadcast.
+    Document bodies never shuffle."""
+    from e2e_etl_pipeline_spark.functions import textstats as ts
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+    )
+    scored = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("domain"),
+        F.round(ts.quality_score("text"), 4).cast("decimal(8,4)").alias("quality"),
+    )
+    dom = scored.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("quality").alias("sum_q")
+    )
+    tot = F.broadcast(
+        dom.agg(F.sum("sum_q").alias("tq"), F.sum("n_docs").alias("td"))
+    )
+    return (
+        dom.crossJoin(tot)
+        .filter(F.col("sum_q") * F.col("td") >= F.col("tq") * F.col("n_docs"))
+        .select(
+            "domain",
+            "n_docs",
+            F.round(F.col("sum_q").cast("double") / F.col("n_docs"), 4).alias(
+                "avg_quality"
+            ),
+        )
+        .orderBy("domain")
+    )
