@@ -97,3 +97,51 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             yield out
 
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_off", T.LongType()),
+        T.StructField("frame_hex", T.StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, k: int = 4, width: int = 16) -> DataFrame:
+    """Evenly-spaced frame sampling over binary payloads via mapInPandas.
+
+    The "decode" is a deterministic byte-window read — frame i covers
+    ``width`` bytes at offset ``i * (n - width) // (k - 1)`` (one frame at
+    offset 0 when the payload is shorter than a frame) — so the output is
+    byte-exactly reproducible by any engine that can hex-render blobs
+    (frame_hex is the uppercase hex of the window — DuckDB cannot slice or
+    md5 BLOBs directly, but hex() + substr reproduces the same rendering),
+    which is what makes the plumbing oracle-checkable end to end
+    (queries/llm.py::q_multimodal_frames). A real sampler replaces the
+    window read with a container-aware keyframe decode (pyav/ffmpeg); the
+    Arrow batch contract, schema, and no-shuffle property stay identical.
+    NULL payloads are skipped, matching a decoder surfacing nothing.
+    """
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c.name: [] for c in FRAME_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                n = len(b)
+                if n < width:
+                    offsets = [0]
+                else:
+                    offsets = [i * (n - width) // (k - 1) for i in range(k)]
+                for i, off in enumerate(offsets):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_off"].append(off)
+                    rows["frame_hex"].append(b[off : off + width].hex().upper())
+            if rows["doc_id"]:
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_sample, schema=FRAME_SCHEMA)

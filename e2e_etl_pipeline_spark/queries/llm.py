@@ -942,3 +942,43 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         novel.join(survivors, ["digest", "doc_id"], "left_semi")
         .select("doc_id", "lang", "source", F.length("text").alias("n_chars"))
     )
+
+
+@register(
+    "q_multimodal_frames",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id, encode(text) AS payload,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id % 3 = 2 AND text IS NOT NULL
+    ),
+    idx AS (SELECT unnest([0, 1, 2, 3]) AS frame_idx),
+    frames AS (
+      SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             CAST((frame_idx * (n - 16)) // 3 AS BIGINT) AS frame_off,
+             payload
+      FROM media CROSS JOIN idx
+      WHERE n >= 16
+      UNION ALL
+      SELECT doc_id, 0, 0, payload FROM media WHERE n < 16
+    )
+    SELECT doc_id, frame_idx, frame_off,
+           substr(hex(payload), CAST(frame_off * 2 + 1 AS INTEGER), 32) AS frame_hex
+    FROM frames
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the video-typed binary payloads: 4 evenly-spaced
+    16-byte windows per payload, hex-rendered. The stub "decode" is a plain
+    byte-window read, so the DuckDB oracle reproduces every window from
+    hex(payload) — the one multimodal key where the mapInPandas plumbing is
+    hash-verified end to end, not just executed (companions:
+    q_multimodal_bytes plumbing aggregate, q_multimodal_features stub
+    decoder). Scale: payloads never shuffle — sampling runs where the
+    bytes sit; output is k small rows per document."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") % 3 == 2) & F.col("text").isNotNull()
+    )
+    media = mm.attach_fake_media(d)
+    return mm.sample_frames(media, k=4, width=16)
