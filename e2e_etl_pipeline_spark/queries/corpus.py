@@ -1125,3 +1125,60 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+@register(
+    "q_bpe_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    pairs AS (
+      SELECT substr(token, i, 2) AS pair, cnt
+      FROM counts, (SELECT unnest(generate_series(1, length(token) - 1)) AS i)
+      WHERE length(token) >= 2
+    )
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop: count adjacent character pairs across
+    the corpus weighted by word frequency, rank the top merge candidates.
+    This is the step a tokenizer-training pipeline runs repeatedly; here
+    it runs once over the word-frequency table (each next iteration would
+    rewrite the vocabulary with the winning merge and re-count).
+
+    Scale: pairs derive from the (token, count) VOCABULARY table, not the
+    corpus — the token aggregate is the only fact-scale shuffle (same
+    subtree q_vocab_topk uses); the pair explode multiplies |vocab| rows
+    by avg word length and reduces straight into a partial-agg'd top-k
+    (TakeOrderedAndProject). Unique total order under the LIMIT via the
+    (count desc, pair) tiebreak."""
+    counts = _tokens(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pairs = (
+        counts.filter(F.length("token") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(token) - 1),"
+                    " i -> substring(token, i, 2))"
+                )
+            ).alias("pair"),
+            "cnt",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )

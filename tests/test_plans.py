@@ -403,3 +403,13 @@ def test_tpch_q2_decorrelates_min_cost(spark, sf_dir):
     pushed = plan.split("PushedFilters:")
     joined = " ".join(seg.split("\n")[0] for seg in pushed[1:])
     assert "p_size" in joined and "p_type" in joined
+
+
+def test_heavy_hitters_prunes_via_sketch(spark, sf_dir):
+    """The exact recount must group only the broadcast-semi-joined candidate
+    sliver, never the raw vocabulary: MG summary (MapInPandas) feeds a
+    broadcast semi join ahead of the counting aggregate."""
+    plan = _formatted(spark, "q_heavy_hitters", sf_dir)
+    assert "MapInPandas" in plan
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
