@@ -218,3 +218,44 @@ def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sy - (num / denx) * sx) / n, 4).alias("intercept"),
         F.round((num * num) / (denx * deny), 4).alias("r2"),
     )
+
+
+@register(
+    "q_linear_score",
+    oracle="""
+    WITH w AS (
+      SELECT list_transform(generate_series(1, 64),
+               i -> CAST((i * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)
+             AS wv
+    )
+    SELECT vec_id,
+           round(list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * wv[i])), 4) AS score,
+           list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE) * wv[i])) > 0.0 AS keep
+    FROM embeddings CROSS JOIN w
+    """,
+)
+def q_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-a-trained-classifier scoring: a fixed 64-dim linear model
+    (weights derived deterministically from the dimension index — the
+    stand-in for fasttext-style quality-filter weights, which would ship
+    as a broadcast literal array exactly like this) dotted against every
+    embedding, with a keep/cull decision on the raw margin. No
+    transcendentals (a sigmoid would rank identically; exp() is not
+    correctly-rounded across libms, the dot product is IEEE-exact in
+    list order on both engines — same contract as q_similarity_topk).
+
+    Scale: stateless per-row fold over the vector column, weights are a
+    plan literal — zero shuffle, scales linearly with the scan."""
+    em = load_table(spark, sf_dir, "embeddings")
+    w = "transform(sequence(1, 64), i -> CAST((i * 2654435761L) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+    dot = F.expr(
+        "aggregate(zip_with(embedding, " + w + ","
+        " (x, wi) -> CAST(x AS DOUBLE) * wi), 0.0D, (acc, v) -> acc + v)"
+    )
+    return em.select(
+        "vec_id",
+        F.round(dot, 4).alias("score"),
+        (dot > 0.0).alias("keep"),
+    )
