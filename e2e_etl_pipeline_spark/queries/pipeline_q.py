@@ -9,6 +9,7 @@ round-trip invariant directly against the original table.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 import uuid
@@ -953,3 +954,71 @@ def q_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def wap_publish(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> DataFrame:
+    """Stage ``df`` under ``root/_stage``, audit it (row count matches the
+    input, ``key_col`` has no NULLs), then atomically rename to
+    ``root/live`` and return a reader over the published path. Raises
+    ValueError on audit failure, leaving nothing at the live path."""
+    expected = df.count()
+    stage, live = os.path.join(root, "_stage"), os.path.join(root, "live")
+    df.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    audit = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(key_col).isNull().cast("int")).alias("null_keys"),
+    ).collect()[0]
+    if audit.n != expected or audit.null_keys != 0:
+        raise ValueError(
+            f"WAP audit failed: staged n={audit.n} expected={expected}, "
+            f"null_keys={audit.null_keys} — not publishing"
+        )
+    os.rename(stage, live)  # atomic publish
+    return spark.read.parquet(live)
+
+
+@register(
+    "q_write_audit_publish",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                     AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                                                        AS total_value
+    FROM orders
+    WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (the Iceberg/Netflix WAP pattern): the curated
+    slice is staged to a non-live path, AUDITED against its invariants
+    (row count equals the source predicate's count; key column has no
+    NULLs), and only then atomically renamed into the live location —
+    consumers can never observe a half-written or invalid table. A failed
+    audit raises and leaves the live path untouched. The returned rollup
+    reads the PUBLISHED files, so the oracle verifies the whole
+    stage→audit→publish→consume loop.
+
+    Scale: rename-based publish is O(1) metadata on any real filesystem /
+    object-store table format; audits are aggregates over the staged
+    files only."""
+    o = load_table(spark, sf_dir, "orders")
+    curated = o.filter(F.col("o_totalprice") > 0)
+    root = _tmpdir("wap")
+    try:
+        published = wap_publish(spark, curated, root, key_col="o_orderkey")
+        return (
+            published.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2
+                )
+                .cast("double")
+                .alias("total_value"),
+            )
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

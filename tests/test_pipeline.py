@@ -217,3 +217,22 @@ def test_map_in_arrow_null_text(spark):
             for r in QUERIES["q_map_in_arrow"](spark, d).collect()
         }
     assert rows == {1: (3, 1), 2: (None, None)}
+
+
+def test_wap_audit_blocks_bad_publish(spark, tmp_path):
+    """A staged frame violating the key invariant must raise and leave the
+    live path absent (consumers can never see the bad table)."""
+    import os
+
+    import pytest
+
+    from e2e_etl_pipeline_spark.queries.pipeline_q import wap_publish
+
+    bad = spark.createDataFrame(
+        [(1, "x"), (None, "y")], "o_orderkey long, payload string"
+    )
+    root = str(tmp_path / "wap")
+    os.makedirs(root)
+    with pytest.raises(ValueError, match="audit failed"):
+        wap_publish(spark, bad, root, key_col="o_orderkey")
+    assert not os.path.exists(os.path.join(root, "live"))
