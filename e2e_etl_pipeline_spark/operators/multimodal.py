@@ -132,7 +132,7 @@ def sample_frames(media: DataFrame, k: int = 4, width: int = 16) -> DataFrame:
                     continue
                 b = bytes(payload)
                 n = len(b)
-                if n < width:
+                if n < width or k == 1:
                     offsets = [0]
                 else:
                     offsets = [i * (n - width) // (k - 1) for i in range(k)]

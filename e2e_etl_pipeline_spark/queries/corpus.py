@@ -654,7 +654,9 @@ def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.round(
             F.lit(1.0)
-            - F.countDistinct(F.xxhash64("text")).cast("double")
+            - F.countDistinct(
+                F.when(F.col("text").isNotNull(), F.xxhash64("text"))
+            ).cast("double")
             / F.count(F.lit(1)),
             4,
         ).alias("dup_ratio"),

@@ -268,7 +268,9 @@ def q_udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, word string")
     class SplitWords:
         def eval(self, text: str):
-            for i, w in enumerate((text or "").split(" ")):
+            if text is None:  # match unnest(NULL): no rows
+                return
+            for i, w in enumerate(text.split(" ")):
                 yield i, w
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)

@@ -258,7 +258,7 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.digest") == F.col("b.digest"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .where(F.col("a.text") == F.col("b.text"))
+        .where(F.col("a.text").eqNullSafe(F.col("b.text")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     return dd.dedup_corpus(d, dup_pairs).select("doc_id", "lang")
@@ -521,12 +521,13 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       doc_id,
+      CASE WHEN text IS NULL THEN NULL ELSE
       list_reduce(
         list_prepend(CAST(0 AS BIGINT),
           list_transform(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> ''),
                          w -> CAST(length(w) + ascii(w) AS BIGINT))),
         (acc, v) -> (acc * 31 + v) % 1000000007
-      ) AS fingerprint
+      ) END AS fingerprint
     FROM documents
     """,
 )
@@ -883,7 +884,9 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     not_in_corpus AS (
       SELECT b.* FROM batch b
-      WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM documents d WHERE d.text IS NOT DISTINCT FROM b.text
+      )
     ),
     first_wins AS (
       SELECT doc_id, text, lang, source,

@@ -967,7 +967,7 @@ def wap_publish(spark: SparkSession, df: DataFrame, root: str, key_col: str) -> 
     staged = spark.read.parquet(stage)
     audit = staged.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(key_col).isNull().cast("int")).alias("null_keys"),
+        F.count(F.when(F.col(key_col).isNull(), 1)).alias("null_keys"),
     ).collect()[0]
     if audit.n != expected or audit.null_keys != 0:
         raise ValueError(

@@ -405,7 +405,8 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, unnest(longtoks) AS token FROM arrs WHERE len(longtoks) > 0
     UNION ALL
-    SELECT doc_id, NULL AS token FROM arrs WHERE len(longtoks) = 0
+    SELECT doc_id, NULL AS token FROM arrs
+    WHERE len(longtoks) = 0 OR longtoks IS NULL
     """,
 )
 def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:

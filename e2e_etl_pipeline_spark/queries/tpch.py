@@ -1097,12 +1097,21 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusion — column absent — becomes "suppliers in arrears"
     (s_acctbal < 0)). Shape intact: attribute-sliced distinct-supplier
     counts with a NOT-IN supplier blacklist, rewritten as a broadcast
-    anti-join (s_suppkey is non-null, so anti == NOT IN — the NULL-FK
-    trap documented in the verify skill does not apply). Scale: the pair
+    anti-join over non-null left keys (NULL l_suppkey rows are filtered
+    first: NOT IN drops them via NULL comparison, anti-join would keep
+    them — the NULL-FK trap documented in the verify skill). Scale: the pair
     dedup is the only fact-table shuffle; part attributes join at pair
     grain, and the blacklist is O(suppliers) broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # NOT IN semantics: a NULL l_suppkey makes the oracle predicate NULL
+    # (row dropped), while left_anti would KEEP a NULL-key row — filter
+    # NULLs first so both engines agree even if a regenerated testdata
+    # nulls fact FKs (the nulls fuzz variant does exactly that).
+    ps = (
+        li.filter(F.col("l_suppkey").isNotNull())
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#4")
         & (~F.col("p_type").isin("PROMO", "ECONOMY"))

@@ -100,11 +100,13 @@ def q_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.IntegerType())
     def n_words(texts: pd.Series) -> pd.Series:
-        return texts.str.split(" ").str.len().astype("int32")
+        # nullable Int32: a NULL text must surface as NULL, not crash the
+        # int cast (plain int32 raises on the NaN a None produces)
+        return texts.str.split(" ").str.len().astype("Int32")
 
     @F.pandas_udf(T.IntegerType())
     def n_chars(texts: pd.Series) -> pd.Series:
-        return texts.str.len().astype("int32")
+        return texts.str.len().astype("Int32")
 
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", n_words("text").alias("n_words"), n_chars("text").alias("n_chars"))

@@ -91,6 +91,8 @@ MUTATIONS: dict[str, dict[str, str]] = {
         "events.parquet": """* REPLACE (
             CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS value,
             CASE WHEN event_id % 71 = 0 THEN NULL ELSE props END AS props)""",
+        "documents.parquet": """* REPLACE (
+            CASE WHEN doc_id % 61 = 0 THEN NULL ELSE text END AS text)""",
     },
     "values": {
         "orders.parquet": """* REPLACE (
