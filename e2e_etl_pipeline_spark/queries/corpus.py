@@ -510,43 +510,14 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Imported HERE, after this module's @register calls: importing llm earlier
 # would register its (round-1-driver-green) keys ahead of this module's
 # never-driver-checked ones — see the registration-order note in __init__.py.
-from e2e_etl_pipeline_spark.queries.llm import _STOPWORD_SQL  # noqa: E402
+from e2e_etl_pipeline_spark.queries.llm import (  # noqa: E402
+    _STOPWORD_SQL,
+    quality_scored_cte,
+)
 from e2e_etl_pipeline_spark.registry import ORACLES  # noqa: E402
 
 ORACLES["q_training_pipeline"] = f"""
-    WITH qtoks AS (
-      SELECT doc_id, lang, text,
-             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                         x -> x <> '') AS w
-      FROM documents
-    ),
-    feats AS (
-      -- CASE guards mirror the engine's coalesce defaults for degenerate
-      -- docs (see q_text_quality's oracle).
-      SELECT
-        doc_id, lang, text,
-        CAST(length(text) AS DOUBLE) AS n_chars,
-        CASE WHEN w IS NULL OR len(w) = 0 THEN 0.0
-             ELSE CAST(len(list_filter(w, t -> lower(t) IN {_STOPWORD_SQL}))
-                       AS DOUBLE) / len(w) END AS sw,
-        CASE WHEN text IS NULL OR length(text) = 0 THEN 1.0
-             ELSE CAST(length(text) - length(regexp_replace(text,
-                       '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
-                  / length(text) END AS pr,
-        CASE WHEN w IS NULL OR len(w) = 0 THEN 0.0
-             ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
-                  / len(w) END AS mwl
-      FROM qtoks
-    ),
-    scored AS (
-      SELECT doc_id, lang, text,
-        round(least(n_chars / 400.0, 1.0) * 0.4
-              + least(sw * 4.0, 1.0) * 0.2
-              + greatest(1.0 - pr * 5.0, 0.0) * 0.2
-              + (CASE WHEN mwl >= 2.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-              4) AS quality
-      FROM feats
-    ),
+    WITH {quality_scored_cte('doc_id, lang, text')},
     qual AS (SELECT * FROM scored WHERE quality >= 0.5),
     deduped AS (
       SELECT doc_id, lang, text, quality FROM (
@@ -1046,33 +1017,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_web_curation",
     oracle=f"""
-    WITH q AS (
-      SELECT doc_id, source || '.example.com' AS domain,
-             CAST(round(
-               least(CAST(length(text) AS DOUBLE) / 400.0, 1.0) * 0.4
-               + least((CASE WHEN text IS NULL OR len(list_filter(regexp_split_to_array(text,
-                     '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) = 0 THEN 0.0
-                   ELSE CAST(len(list_filter(list_filter(
-                         regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                         x -> x <> ''),
-                         t -> lower(t) IN {_STOPWORD_SQL})) AS DOUBLE)
-                        / len(list_filter(regexp_split_to_array(text,
-                            '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) END) * 4.0,
-                 1.0) * 0.2
-               + greatest(1.0 - (CASE WHEN text IS NULL OR length(text) = 0 THEN 1.0
-                   ELSE CAST(length(text) - length(regexp_replace(text,
-                         '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
-                        / length(text) END) * 5.0, 0.0) * 0.2
-               + (CASE WHEN (CASE WHEN text IS NULL OR len(list_filter(regexp_split_to_array(
-                     text, '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) = 0 THEN 0.0
-                   ELSE CAST(list_sum(list_transform(list_filter(
-                         regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                         x -> x <> ''), t -> length(t))) AS DOUBLE)
-                        / len(list_filter(regexp_split_to_array(text,
-                            '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) END)
-                     BETWEEN 2.0 AND 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-             4) AS DECIMAL(8,4)) AS quality
-      FROM documents
+    WITH {quality_scored_cte('doc_id, source')},
+    q AS (
+      SELECT source || '.example.com' AS domain,
+             CAST(quality AS DECIMAL(8,4)) AS quality
+      FROM scored
     ),
     dom AS (
       SELECT domain, count(*) AS n_docs, sum(quality) AS sum_q

@@ -26,6 +26,50 @@ from e2e_etl_pipeline_spark.registry import register
 _STOPWORD_SQL = "(" + ", ".join(f"'{w}'" for w in ts.EN_STOPWORDS) + ")"
 
 
+def quality_scored_cte(cols: str) -> str:
+    """The ONE DuckDB rendering of functions/textstats.quality_score.
+
+    Returns the CTE chain ``qtoks, qfeats, scored`` where ``scored`` has
+    ``{cols}`` (plain document column names, passed through) plus
+    ``quality``. Every quality-scoring oracle composes this fragment —
+    q_text_quality, q_training_pipeline, q_web_curation — so a change to
+    the formula, the pinned whitespace class, or the degenerate-document
+    CASE guards edits exactly one place. The guards mirror the engine's
+    coalesce defaults (no words -> sw/mwl 0; NULL/empty text -> pr 1): a
+    bare 0/0 is NaN in DuckDB but DIVIDE_BY_ZERO in ANSI Spark."""
+    return f"""qtoks AS (
+      SELECT {cols}, text AS _qtext,
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         x -> x <> '') AS _w
+      FROM documents
+    ),
+    qfeats AS (
+      SELECT {cols},
+        CAST(length(_qtext) AS DOUBLE) AS _n_chars,
+        CASE WHEN _w IS NULL OR len(_w) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(_w, t -> lower(t) IN {_STOPWORD_SQL}))
+                       AS DOUBLE) / len(_w) END AS _sw,
+        CASE WHEN _qtext IS NULL OR length(_qtext) = 0 THEN 1.0
+             ELSE CAST(length(_qtext) - length(regexp_replace(_qtext,
+                       '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
+                  / length(_qtext) END AS _pr,
+        CASE WHEN _w IS NULL OR len(_w) = 0 THEN 0.0
+             ELSE CAST(list_sum(list_transform(_w, t -> length(t))) AS DOUBLE)
+                  / len(_w) END AS _mwl
+      FROM qtoks
+    ),
+    scored AS (
+      SELECT {cols},
+        round(least(_n_chars / 400.0, 1.0) * 0.4
+              + least(_sw * 4.0, 1.0) * 0.2
+              + greatest(1.0 - _pr * 5.0, 0.0) * 0.2
+              + (CASE WHEN _mwl >= 2.0 AND _mwl <= 10.0 THEN 1.0 ELSE 0.0 END)
+                * 0.2,
+              4) AS quality
+      FROM qfeats
+    )"""
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -453,39 +497,8 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_text_quality",
     oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, text,
-             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
-                         x -> x <> '') AS w
-      FROM documents
-    ),
-    feats AS (
-      -- CASE guards mirror the engine's coalesce defaults for degenerate
-      -- docs (no words -> sw 0 / mwl 0; empty text -> pr 1): a bare 0/0
-      -- here is NaN in DuckDB but DIVIDE_BY_ZERO in ANSI Spark.
-      SELECT
-        doc_id,
-        CAST(length(text) AS DOUBLE) AS n_chars,
-        CASE WHEN w IS NULL OR len(w) = 0 THEN 0.0
-             ELSE CAST(len(list_filter(w, t -> lower(t) IN {_STOPWORD_SQL}))
-                       AS DOUBLE) / len(w) END AS sw,
-        CASE WHEN text IS NULL OR length(text) = 0 THEN 1.0
-             ELSE CAST(length(text) - length(regexp_replace(text,
-                       '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE)
-                  / length(text) END AS pr,
-        CASE WHEN w IS NULL OR len(w) = 0 THEN 0.0
-             ELSE CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
-                  / len(w) END AS mwl
-      FROM toks
-    )
-    SELECT
-      doc_id,
-      round(least(n_chars / 400.0, 1.0) * 0.4
-            + least(sw * 4.0, 1.0) * 0.2
-            + greatest(1.0 - pr * 5.0, 0.0) * 0.2
-            + (CASE WHEN mwl >= 2.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-            4) AS quality
-    FROM feats
+    WITH {quality_scored_cte('doc_id')}
+    SELECT doc_id, quality FROM scored
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
