@@ -16,7 +16,7 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -44,14 +44,25 @@ def content_digest(col: Column | str, bits: int = 64) -> Column:
 
 
 def dedup_exact_first_wins(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
-    """Keep exactly one row per key: the one with the smallest order_col.
+    """Keep exactly one row per key: the first under (order_col NULLS LAST,
+    remaining columns) — a total order, so ties on order_col and NULL keys
+    or NULL order values still yield exactly one survivor per key group
+    (the previous min+semi-join formulation dropped all-NULL-order groups
+    — NULL never equi-joins — and kept BOTH rows of an order tie).
 
     Deterministic (unlike dropDuplicates, whose survivor depends on
-    partitioning). Implemented as min-order join-back so the aggregate side
-    carries only (key, min) — not full payload rows — through the shuffle.
+    partitioning). One shuffle on the keys; at very hot keys prefer a
+    min_by(struct(...)) aggregate, which map-side combines.
     """
-    winners = df.groupBy(*key_cols).agg(F.min(order_col).alias(order_col))
-    return df.join(winners, key_cols + [order_col], "left_semi")
+    tiebreak = [c for c in df.columns if c not in key_cols and c != order_col]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(order_col).asc_nulls_last(), *tiebreak
+    )
+    return (
+        df.withColumn("_fw_rn", F.row_number().over(w))
+        .where(F.col("_fw_rn") == 1)
+        .drop("_fw_rn")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +122,12 @@ def lsh_candidate_pairs(
     are tiny for non-duplicate data, so the pair explosion is bounded by the
     true near-duplicate clusters, not by corpus size.
     """
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); a floor split would silently create extra short "
+            "bands with far looser matching probability"
+        )
     rows_per_band = num_hashes // bands
     banded = (
         signatures.withColumn("band_id", (F.col("hash_id") / rows_per_band).cast("int"))

@@ -81,9 +81,16 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     controls parallelism; payload bytes never cross a shuffle.
     """
 
+    _NULL_FEATURES = {"fake_width": None, "fake_height": None, "byte_sum_mod": None}
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(lambda p: decode_media_stub(bytes(p) if p is not None else b""))
+            # NULL payload -> NULL features (a real decoder surfaces NULLs
+            # for undecodable input; fabricating 64x64 dims for a missing
+            # payload would be phantom media)
+            feats = pdf["payload"].map(
+                lambda p: decode_media_stub(bytes(p)) if p is not None else _NULL_FEATURES
+            )
             out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -20,7 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from e2e_etl_pipeline_spark.functions.vectors import cosine_similarity, dot, l2_norm
+from e2e_etl_pipeline_spark.functions.vectors import dot, l2_norm
 
 
 def with_vector_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
@@ -29,10 +29,21 @@ def with_vector_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 
 def _cosine_from_norms(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Column:
-    prods = F.zip_with(a_vec, b_vec, lambda x, y: x.cast("double") * y.cast("double"))
-    dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    """cosine via vectors.dot, reusing precomputed norms (cheaper than
+    cosine_similarity, which would re-derive both norms per pair)."""
     return F.when((a_norm == 0) | (b_norm == 0), F.lit(None).cast("double")).otherwise(
-        dot / (a_norm * b_norm)
+        dot(a_vec, b_vec) / (a_norm * b_norm)
+    )
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k epilogue: deterministic per-query ranking (cosine desc,
+    neighbor_id tiebreak), rank filter, 4-dp rounding."""
+    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
     )
 
 
@@ -70,12 +81,7 @@ def brute_force_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
@@ -116,10 +122,12 @@ def ivf_topk(
     candidates on centroid_id: the scored set is |corpus| × n_probe /
     n_centroids in expectation, not the cross product.
     """
+    # first n BY ID (not id < n, which yields zero centroids when ids
+    # don't start at 0 — e.g. a decimated or re-keyed corpus)
     cents = F.broadcast(
-        corpus.where(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec")
-        )
+        corpus.orderBy(F.col(id_col))
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec"))
     )
 
     def assign(df: DataFrame, prefix: str, probes: int) -> DataFrame:
@@ -140,8 +148,15 @@ def ivf_topk(
             )
         )
         if probes == 1:
+            # tie-break must MATCH the window path below (cscore desc,
+            # centroid_id asc): max of (cscore, -id) picks the smallest id
+            # on a score tie, so a corpus vector tied between cells lands
+            # in the cell its identical query twin probes first.
             return scored.groupBy(f"{prefix}_id").agg(
-                F.max_by("centroid_id", F.struct("cscore", "centroid_id")).alias("centroid_id"),
+                F.max_by(
+                    "centroid_id",
+                    F.struct(F.col("cscore"), (-F.col("centroid_id")).alias("nid")),
+                ).alias("centroid_id"),
                 F.first(f"{prefix}_vec").alias(f"{prefix}_vec"),
                 F.first(f"{prefix}_norm").alias(f"{prefix}_norm"),
             )
@@ -169,12 +184,7 @@ def ivf_topk(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_bucketed_topk(
@@ -183,7 +193,7 @@ def lsh_bucketed_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int = 64,
+    dim: int | None = None,
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
@@ -195,6 +205,14 @@ def lsh_bucketed_topk(
     |corpus|/256 — the join output is linear in corpus size for spread-out
     data. Recall grows with n_tables.
     """
+    if dim is None:
+        # derive from the data: a wrong literal dim makes zip_with pad with
+        # NULLs, every plane dot go NULL, and every vector land in bucket 0
+        # of every table — a silent full cross join instead of LSH.
+        row = corpus.select(F.size(vec_col)).first()
+        if row is None:
+            raise ValueError("lsh_bucketed_topk: empty corpus, cannot infer dim")
+        dim = row[0]
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
 
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:
@@ -233,9 +251,4 @@ def lsh_bucketed_topk(
             F.col("query_vec"), F.col("neighbor_vec"), F.col("query_norm"), F.col("neighbor_norm")
         ).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
-    )
+    return _rank_topk(scored, k)

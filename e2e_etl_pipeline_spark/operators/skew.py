@@ -1,13 +1,16 @@
 """Skew-mitigation operators.
 
 AQE's skew-join splitting handles most skew automatically
-(session.py enables it), but heavily-skewed AGGREGATION keys still funnel
-into one reducer when a handful of keys dominate. Salting splits each hot
-key across N sub-keys for the first (partial) aggregate, then combines the
-N partials — two small shuffles instead of one skewed one.
-
-Correct only for algebraic aggregates (sum/count/min/max, and avg as
-sum+count); the public helper keeps to those.
+(session.py enables it). For aggregation, note the honest scoping: with
+algebraic aggregates (sum/count/min/max) Spark's map-side partial
+aggregation already bounds what any reducer receives (≤ one partial row
+per key per map task), so salting buys little there — it exists for the
+cases partials DON'T compress: per-key state that grows with rows
+(collect_list/set, exact distinct sets, percentile buffers) or any
+pipeline stage where partial aggregation is unavailable. The helper
+demonstrates the two-stage shape on algebraic sums because those are
+oracle-checkable; swap the partial for the state-heavy aggregate to get
+the real benefit.
 """
 
 from __future__ import annotations

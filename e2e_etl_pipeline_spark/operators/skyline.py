@@ -60,6 +60,17 @@ def skyline(df: DataFrame, minimize: Sequence[str], maximize: Sequence[str]) -> 
         if not chunks:
             return
         pdf = pd.concat(chunks, ignore_index=True)
+        # Rows with a NULL objective are incomparable: SQL NULL comparison
+        # semantics (the oracle's NOT EXISTS and the global anti-join) keep
+        # them and never let them dominate. Pass them through unpruned —
+        # the arithmetic below would raise on None.
+        null_mask = pdf[dims].isna().any(axis=1)
+        null_rows = pdf[null_mask]
+        pdf = pdf[~null_mask].reset_index(drop=True)
+        if pdf.empty:
+            if len(null_rows):
+                yield null_rows
+            return
         # orient every dimension as "smaller is better", sort by the first,
         # then single-pass prune with a running frontier list.
         work = pdf.assign(**{c: pdf[c] * sign[c] for c in dims})
@@ -76,7 +87,8 @@ def skyline(df: DataFrame, minimize: Sequence[str], maximize: Sequence[str]) -> 
             if not dominated:
                 frontier.append(vec)
                 keep.append(idx)
-        yield pdf.loc[keep]
+        out = pdf.loc[keep]
+        yield pd.concat([out, null_rows], ignore_index=True) if len(null_rows) else out
 
     # Both sides of the anti-join consume the candidates; localCheckpoint
     # materializes the (tiny) frontier union once so the expensive upstream

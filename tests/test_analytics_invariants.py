@@ -121,3 +121,14 @@ def test_skyline_operator_matches_bruteforce(spark):
     brute = {a[0] for a in pts if not any(dominated(a, b) for b in pts)}
     assert got == brute
     assert {900, 901} <= got
+
+
+def test_skyline_retains_incomparable_null_rows(spark):
+    """SQL NULL-comparison semantics: a row with a NULL objective is
+    incomparable — it stays in the result and never dominates others."""
+    from e2e_etl_pipeline_spark.operators.skyline import skyline
+
+    pts = [(1, 5, 5), (2, 1, 9), (3, None, 4), (4, 6, 4)]
+    df = spark.createDataFrame(pts, "id long, x long, y long").repartition(2)
+    got = {r.id for r in skyline(df, minimize=["x"], maximize=["y"]).collect()}
+    assert got == {2, 3}  # 2 dominates 1 and 4; NULL row 3 is incomparable
