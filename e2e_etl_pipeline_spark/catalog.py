@@ -101,6 +101,12 @@ def inline_frame(spark: SparkSession, rows: list[dict], columns: list[str]) -> D
     """
     from pyspark.sql import functions as F
 
+    if not rows:
+        # inline(array()) of zero structs is array<null> and raises a
+        # confusing DATATYPE_MISMATCH; callers with a legitimately-empty
+        # literal set must build a typed empty frame instead
+        # (spark.createDataFrame([], schema) — see acquire.fetched_documents).
+        raise ValueError("inline_frame requires at least one row")
     structs = [F.struct(*[F.lit(r[c]).alias(c) for c in columns]) for r in rows]
     return spark.range(1).select(F.inline(F.array(*structs)))
 

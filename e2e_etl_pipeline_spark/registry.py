@@ -16,8 +16,10 @@ Hash-stability rules enforced across the codebase (SURVEY.md §7 watch list):
     Serialize sets/arrays to strings (array_join / array_to_string) instead.
 
 Registration order matters: the external driver verifies keys in registration
-order under a budget, so queries/__init__.py imports modules with the least
-driver-verified keys first (see that module's docstring).
+order under a budget. Since round 3 the order is pinned at KEY granularity by
+queries/_order_r{N}.py (queries/__init__.py rebuilds the dicts after import —
+module import order no longer affects it); regenerate with tools/gen_order.py
+at each round start per CLAUDE.md.
 """
 
 from __future__ import annotations
@@ -54,6 +56,7 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
 
         shipped.__name__ = fn.__name__
         shipped.__doc__ = fn.__doc__
+        shipped.__query_key__ = key  # type: ignore[attr-defined]
         QUERIES[key] = shipped
         if oracle is not None:
             ORACLES[key] = textwrap.dedent(oracle).strip()

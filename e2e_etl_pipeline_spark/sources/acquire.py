@@ -77,5 +77,9 @@ def fetched_documents(
     # JVM-side literal frame (catalog.inline_frame): a pickled-RDD
     # createDataFrame costs a Python-worker round-trip on every downstream
     # job. Cast doc_id up to the schema's long.
+    if not rows:
+        # no targets / every fetch empty: a typed empty frame with the
+        # declared contract schema, not an inline_frame crash
+        return spark.createDataFrame([], ACQUIRE_SCHEMA)
     df = inline_frame(spark, rows, cols)
     return df.withColumn("doc_id", df["doc_id"].cast("long"))

@@ -20,6 +20,16 @@ exercises every branch in ``tests/test_acquire_selenium.py``, and
 import-try when the package exists. Acquisition stays driver-side by
 design (SURVEY.md §3.2): the WebDriver process boundary must never sit
 inside a cluster-side operator.
+
+Relationship to sources/selenium_fetcher.py (deliberate, not drift): that
+module is the REFERENCE-FAITHFUL artifact shape — each loop emits ONE
+merged HTML document (the A28 single-file raw artifact the transform
+stage reads whole), with the reference's exact stale-round accounting.
+THIS module is the engine-native shape — one row PER offer fragment with
+running doc_ids, feeding acquire.fetched_documents row-wise so fragments
+parallelize downstream without a re-explode. Pick by output contract;
+behavior changes to either loop must be checked against the shared
+reference citations above.
 """
 
 from __future__ import annotations

@@ -16,6 +16,12 @@ Reference contracts:
     ``max_stale_rounds`` consecutive rounds with no progress — progress =
     the seen-count grew OR the max data-index grew; emit one merged
     ``<ul>`` with items ordered by integer data-index.
+
+Relationship to sources/selenium_fetch.py (deliberate, not drift): this
+module emits the reference-faithful MERGED single document per loop (the
+A28 raw artifact); selenium_fetch.py emits one row per fragment for the
+engine-native row-wise ingest. See that module's docstring for the
+contract comparison.
 """
 
 from __future__ import annotations
@@ -70,10 +76,14 @@ def scroll_harvest(
     def max_idx() -> int:
         return max((int(k) for k in seen), default=-1)
 
-    harvest()
+    # Baseline BEFORE any harvest: the reference counts the first
+    # contentful harvest as progress (extract_data.py:204-205), so the
+    # pre-loop state must be empty or round 1 always reads as stale and
+    # max_stale_rounds=1 would return without ever scrolling.
     stale_rounds = 0
-    last_count = len(seen)
-    last_max_idx = max_idx()
+    last_count = 0
+    last_max_idx = -1
+    harvest()
     for _ in range(max_rounds):
         harvest()
         progressed = len(seen) > last_count or max_idx() > last_max_idx

@@ -101,8 +101,11 @@ class SyntheticOffersDataSource(DataSource):
 
 
 def register_source(spark) -> None:  # noqa: ANN001
-    """Idempodently register the source on this session."""
-    try:
-        spark.dataSource.register(SyntheticOffersDataSource)
-    except Exception:  # already registered on this session
-        pass
+    """Idempotently register the source on this session.
+
+    spark.dataSource.register silently overwrites on re-register, so no
+    guard is needed for the repeat case; a genuine failure (pickling, an
+    older pyspark without the Python Data Source API) must propagate —
+    swallowing it would resurface later as an unrelated-looking
+    DATA_SOURCE_NOT_FOUND at load() time."""
+    spark.dataSource.register(SyntheticOffersDataSource)
