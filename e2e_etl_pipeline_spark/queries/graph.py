@@ -32,17 +32,36 @@ DAMPING = 0.85
 ITERATIONS = 10
 
 
-@register(
-    "q_pagerank",
-    oracle=f"""
-    WITH RECURSIVE
-    seq AS (
+# The ONE transition-sequence construction every graph key derives from:
+# per-user (prev_type -> event_type) adjacency via lag over (ts, event_id).
+# _SEQ_CTE is the oracle-side rendering; _transition_seq the Spark side.
+# A semantic change (ordering, NULL policy) must happen HERE, not in one
+# of the four consumers.
+_SEQ_CTE = """seq AS (
       SELECT
         event_type,
         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
           AS prev_type
       FROM events
-    ),
+    )"""
+
+
+def _transition_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, prev_type) rows with prev_type non-NULL — one row per
+    consecutive same-user event pair."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+
+
+
+@register(
+    "q_pagerank",
+    oracle=f"""
+    WITH RECURSIVE
+    {_SEQ_CTE},
     trans AS (
       SELECT prev_type AS src, event_type AS dst, count(*) AS n
       FROM seq WHERE prev_type IS NOT NULL
@@ -79,10 +98,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension — loop *setup*, not per-iteration work; the iteration itself
     is pure join+agg dataflow. Ranks round to 6dp at the end only."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).where(F.col("prev_type").isNotNull())
+    seq = _transition_seq(spark, sf_dir)
     trans = seq.groupBy(
         F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
     ).agg(F.count(F.lit(1)).alias("n"))
@@ -151,13 +167,7 @@ MAX_HOPS = 4
     "q_bfs_hops",
     oracle=f"""
     WITH RECURSIVE
-    seq AS (
-      SELECT
-        event_type,
-        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-          AS prev_type
-      FROM events
-    ),
+    {_SEQ_CTE},
     edges AS (
       SELECT DISTINCT prev_type AS src, event_type AS dst
       FROM seq WHERE prev_type IS NOT NULL
@@ -186,10 +196,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges never do. The driver-side ``min()`` is loop setup (seed choice),
     not per-iteration work."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).where(F.col("prev_type").isNotNull())
+    seq = _transition_seq(spark, sf_dir)
     edges = (
         seq.select(
             F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
@@ -216,12 +223,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BFS_RECURSIVE_SQL = f"""
     WITH RECURSIVE
-    seq AS (
-      SELECT event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
-      FROM events
-    ),
+    {_SEQ_CTE},
     edges AS (
       SELECT DISTINCT prev_type AS src, event_type AS dst
       FROM seq WHERE prev_type IS NOT NULL
@@ -258,13 +260,8 @@ def q_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_triangle_count",
-    oracle="""
-    WITH seq AS (
-      SELECT event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev_type
-      FROM events
-    ),
+    oracle=f"""
+    WITH {_SEQ_CTE},
     und AS (
       SELECT DISTINCT least(prev_type, event_type)    AS a,
                       greatest(prev_type, event_type) AS b
@@ -290,12 +287,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orient edges from lower- to higher-degree endpoints) bounds each
     join's fan-out by sqrt(|E|)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    ).where(
-        F.col("prev_type").isNotNull()
-        & (F.col("prev_type") != F.col("event_type"))
+    seq = _transition_seq(spark, sf_dir).where(
+        F.col("prev_type") != F.col("event_type")
     )
     und = (
         seq.select(

@@ -84,7 +84,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       user_id,
-      round(value, 2)                                   AS attr_value,
+      CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)      AS attr_value,
       CAST(ts AS TIMESTAMP)                             AS valid_from,
       CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
            AS TIMESTAMP)                                AS valid_to,
@@ -110,7 +110,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts")
     return p.select(
         "user_id",
-        F.round("value", 2).alias("attr_value"),
+        F.col("value").cast("decimal(12,2)").cast("double").alias("attr_value"),
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
         F.when(F.lead("ts").over(w).isNull(), F.lit(1))
@@ -577,17 +577,27 @@ def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
       SELECT event_type,
-             avg(value)         AS mu,
-             stddev_samp(value) AS sd
+             count(value) AS nv,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+             CAST(sum(CAST(value AS DECIMAL(18,6))
+                      * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS svv
       FROM events GROUP BY 1
-    )
+      HAVING count(value) >= 2
+    ),
+    derived AS (
+      SELECT event_type,
+             sv / nv AS mu,
+             sqrt(greatest((nv * svv - sv * sv) / (nv * (nv - 1.0)), 0.0)) AS sd
+      FROM stats
+    ),
+    usable AS (SELECT * FROM derived WHERE sd > 0)
     SELECT
       e.event_id,
       e.event_type,
       e.value,
-      round((e.value - s.mu) / s.sd, 4) AS z
-    FROM events e JOIN stats s USING (event_type)
-    WHERE abs((e.value - s.mu) / s.sd) >= 2
+      round((e.value - u.mu) / u.sd, 4) AS z
+    FROM events e JOIN usable u USING (event_type)
+    WHERE abs((e.value - u.mu) / u.sd) >= 2
     """,
 )
 def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -601,12 +611,38 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan's codegen stage.
     """
     ev = load_table(spark, sf_dir, "events")
-    stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    # Engine-native avg()/stddev_samp() accumulate doubles in partition
+    # order, so a |z| within FP noise of the 2.0 cutoff could flip row
+    # MEMBERSHIP between engines. Moments therefore accumulate EXACTLY in
+    # decimal; mu/sd derive closed-form from identical double operands
+    # (the q_corr_matrix / q_regression_ols discipline). Zero-variance
+    # groups are filtered BEFORE the division — ANSI Spark raises
+    # DIVIDE_BY_ZERO even for doubles.
+    dv = F.col("value").cast("decimal(18,6)")
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("value").alias("nv"),
+            F.sum(dv).cast("double").alias("sv"),
+            F.sum(dv * dv).cast("double").alias("svv"),
+        )
+        .where(F.col("nv") >= 2)
     )
+    nv = F.col("nv")
+    derived = stats.select(
+        "event_type",
+        (F.col("sv") / nv).alias("mu"),
+        F.sqrt(
+            F.greatest(
+                (nv * F.col("svv") - F.col("sv") * F.col("sv"))
+                / (nv * (nv - F.lit(1.0))),
+                F.lit(0.0),
+            )
+        ).alias("sd"),
+    ).where(F.col("sd") > 0)
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
-        ev.join(F.broadcast(stats), "event_type")
+        ev.join(F.broadcast(derived), "event_type")
         .where(F.abs(z) >= 2)
         .select("event_id", "event_type", "value", F.round(z, 4).alias("z"))
     )
@@ -715,7 +751,8 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flat AS (
       SELECT i AS dim,
              CAST(embedding[i] AS DECIMAL(12,6)) AS v
-      FROM embeddings, range(1, 65) t(i)
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) t
     )
     SELECT
       CAST(dim AS INTEGER) AS dim,
@@ -740,10 +777,11 @@ def q_embedding_dimstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal, and only the final mean/variance arithmetic runs in double
     with an identical expression tree in both dialects.
 
-    Scale: posexplode fans each vector into (dim, value) pairs — dim count
-    is fixed (64), so the shuffle is |corpus|·dims skinny rows feeding a
-    64-group partial agg; no window, no Python. At 100 TB this is one
-    map + one tiny-key reduce.
+    Scale: posexplode fans each vector into (dim, value) pairs — the dim
+    count comes from each row's actual array length (the oracle derives it
+    the same way, so a regenerated corpus with a different dimensionality
+    stays in parity), feeding a dims-group partial agg; no window, no
+    Python. At 100 TB this is one map + one tiny-key reduce.
     """
     em = load_table(spark, sf_dir, "embeddings")
     flat = em.select(F.posexplode("embedding").alias("pos", "raw"))
@@ -911,7 +949,9 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
       )
     )
-    SELECT x_col, y_col, round(num / sqrt(denx * deny), 4) AS corr_r
+    SELECT x_col, y_col,
+           CASE WHEN denx * deny <= 0.0 THEN NULL
+                ELSE round(num / sqrt(denx * deny), 4) END AS corr_r
     FROM (
       SELECT 'l_quantity' AS x_col, 'l_extendedprice' AS y_col,
              n*sqp - sq*sp AS num, n*sqq - sq*sq AS denx, n*spp - sp*sp AS deny
@@ -973,7 +1013,14 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.select(
                 F.lit(x).alias("x_col"),
                 F.lit(y).alias("y_col"),
-                F.round(num / F.sqrt(denx * deny), 4).alias("corr_r"),
+                # Zero (or FP-cancelled slightly-negative) variance means
+                # the correlation is undefined: pin it to NULL in BOTH
+                # dialects — DuckDB's sqrt RAISES on a negative double and
+                # ANSI Spark raises on the ensuing divide-by-zero, so the
+                # unguarded expression crashes one engine or the other.
+                F.when(denx * deny <= 0.0, F.lit(None).cast("double"))
+                .otherwise(F.round(num / F.sqrt(denx * deny), 4))
+                .alias("corr_r"),
             )
         )
     out = rows[0]
@@ -1189,9 +1236,11 @@ def q_hll_rollup_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       o.o_orderpriority,
       count(*)                                        AS n_orders,
-      round(avg(o.o_totalprice), 4)                   AS mean_raw,
-      round(avg(least(greatest(o.o_totalprice, c.p05), c.p95)), 4)
-                                                      AS mean_winsorized,
+      round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*), 4)                            AS mean_raw,
+      round(CAST(sum(CAST(least(greatest(o.o_totalprice, c.p05), c.p95)
+                          AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*), 4)                            AS mean_winsorized,
       round(any_value(c.p05), 4)                      AS p05,
       round(any_value(c.p95), 4)                      AS p95
     FROM orders o JOIN cuts c USING (o_orderpriority)
@@ -1218,10 +1267,20 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = o.join(F.broadcast(cuts), "o_orderpriority").withColumn(
         "w", F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
     )
+    # Means via exact decimal sums / count — engine-native avg() over
+    # doubles accumulates in partition order and can flip the 4th decimal
+    # between engines. The clamped value snaps to DECIMAL(18,6) per row
+    # (identical double operand -> identical decimal in both dialects)
+    # so the sum is exact.
+    n = F.count(F.lit(1))
     return clamped.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.avg("o_totalprice"), 4).alias("mean_raw"),
-        F.round(F.avg("w"), 4).alias("mean_winsorized"),
+        n.alias("n_orders"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast("double") / n, 4
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(18,6)")).cast("double") / n, 4
+        ).alias("mean_winsorized"),
         F.round(F.first("p05"), 4).alias("p05"),
         F.round(F.first("p95"), 4).alias("p95"),
     )
@@ -1460,7 +1519,9 @@ def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT h.c_mktsegment,
            count(*)                                         AS n_customers,
            count(*) FILTER (WHERE h.bal IS NULL)            AS n_imputed,
-           round(avg(coalesce(h.bal, m.seg_median)), 4)     AS avg_imputed_bal,
+           round(CAST(sum(CAST(coalesce(h.bal, m.seg_median)
+                               AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4)                             AS avg_imputed_bal,
            round(any_value(m.seg_median), 4)                AS seg_median
     FROM holey h JOIN med m USING (c_mktsegment)
     GROUP BY h.c_mktsegment
@@ -1492,9 +1553,15 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.count(F.when(F.col("bal").isNull(), 1)).alias("n_imputed"),
-        F.round(F.avg(F.coalesce("bal", "seg_median")), 4).alias(
-            "avg_imputed_bal"
-        ),
+        # exact-decimal sum / count, not engine-native avg() — see
+        # q_winsorize for the partition-order rounding-flip rationale
+        F.round(
+            F.sum(
+                F.coalesce("bal", "seg_median").cast("decimal(18,6)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_imputed_bal"),
         F.round(F.first("seg_median"), 4).alias("seg_median"),
     )
 

@@ -312,8 +312,8 @@ def q_topk_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
       count(*) AS n_orders,
-      CAST(round(min(o_totalprice), 2) AS DOUBLE) AS bucket_min,
-      CAST(round(max(o_totalprice), 2) AS DOUBLE) AS bucket_max
+      CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_min,
+      CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS bucket_max
     FROM orders
     GROUP BY 1
     """,
@@ -331,8 +331,15 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.min("o_totalprice"), 2).cast("double").alias("bucket_min"),
-            F.round(F.max("o_totalprice"), 2).cast("double").alias("bucket_max"),
+            # min/max in DECIMAL(12,2) (cast at source, the repo money
+            # discipline) — round() on an off-grid double differs between
+            # engines (DuckDB 1.0050000000000001 -> 1.0, Spark -> 1.01)
+            F.min(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("bucket_min"),
+            F.max(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("bucket_max"),
         )
     )
 
@@ -389,11 +396,13 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = s1 & (F.col("t_view") > F.col("t_signup"))
     s3 = s2 & (F.col("t_click") > F.col("t_view"))
     s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    # count(when(cond, 1)) == SQL's count FILTER: 0 on empty/all-NULL
+    # input, where sum(cast) would return NULL and split from the oracle.
     return per_user.agg(
-        F.sum(s1.cast("long")).alias("n_signup"),
-        F.sum(s2.cast("long")).alias("n_view"),
-        F.sum(s3.cast("long")).alias("n_click"),
-        F.sum(s4.cast("long")).alias("n_purchase"),
+        F.count(F.when(s1, 1)).alias("n_signup"),
+        F.count(F.when(s2, 1)).alias("n_view"),
+        F.count(F.when(s3, 1)).alias("n_click"),
+        F.count(F.when(s4, 1)).alias("n_purchase"),
     )
 
 
@@ -449,7 +458,7 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ordered AS (
       SELECT user_id, ts, event_id, event_type,
         CASE WHEN lag(ts) OVER w IS NULL
-               OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
              THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -580,6 +589,12 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg'd groupBy down to |event_type|² rows; the normalizing
     window runs on that tiny matrix, not the event stream. Ordering ties
     on ts are broken by event_id so the lag is deterministic.
+    
+    NOTE: the graph family (queries/graph.py) derives its edge lists from
+    the same per-user lag construction, factored there as _SEQ_CTE /
+    _transition_seq — a semantic change to transition ordering must be
+    mirrored in both places (this key additionally carries user_id and
+    row-normalized probabilities, so it keeps its own CTE text).
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -698,7 +713,12 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trunc(F.to_date("l_shipdate"), "month").alias("month")
         ).agg(F.sum(rev).alias("rev_d"), F.count(F.lit(1)).alias("n_items"))
 
-    base = partial(li.filter(F.col("l_shipdate") < cutoff))
+    # NULL shipdates must land in exactly ONE slice (base) — both
+    # comparisons are NULL for them, and dropping them from the partials
+    # would lose the oracle's NULL-month group.
+    base = partial(
+        li.filter((F.col("l_shipdate") < cutoff) | F.col("l_shipdate").isNull())
+    )
     delta = partial(li.filter(F.col("l_shipdate") >= cutoff))
     return (
         base.unionByName(delta)
