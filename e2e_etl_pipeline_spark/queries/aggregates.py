@@ -233,7 +233,8 @@ def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT
         user_id, event_id, event_type,
-        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts NULLS LAST, event_id) AS rn
       FROM events
     )
     WHERE rn = 1
@@ -244,7 +245,12 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     FIRST row per key under an explicit order — row_number over a window,
     never dropDuplicates (whose survivor is partitioning-dependent)."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST pinned on both sides: Spark ASC defaults to NULLS FIRST,
+    # DuckDB window ORDER BY to NULLS LAST — one NULL ts would flip the
+    # survivor between engines.
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     return (
         e.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

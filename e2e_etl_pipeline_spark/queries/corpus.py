@@ -361,7 +361,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries shingle strings only; the final window moves (doc_id, lang)).
     """
     from e2e_etl_pipeline_spark.functions import textstats as ts
-    from e2e_etl_pipeline_spark.operators.dedup import word_shingles
+    from e2e_etl_pipeline_spark.queries.llm import contaminated_ids
 
     d = load_table(spark, sf_dir, "documents")
     # Everything downstream needs of the body — quality score, token
@@ -388,16 +388,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # membership is defined on the corpus, not on what survived earlier
     # stages, so leakage can't sneak in via a low-quality eval twin.
     is_eval = F.col("doc_id") % 97 == 0
-    shingled = d.select(
-        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
-    )
-    eval_sh = shingled.where(is_eval).select("shingle").distinct()
-    contaminated = (
-        shingled.where(~is_eval)
-        .join(eval_sh, "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = contaminated_ids(d, is_eval)
     clean = (
         deduped.where(~is_eval)
         .join(contaminated, "doc_id", "left_anti")
@@ -510,10 +501,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Imported HERE, after this module's @register calls: importing llm earlier
 # would register its (round-1-driver-green) keys ahead of this module's
 # never-driver-checked ones — see the registration-order note in __init__.py.
-from e2e_etl_pipeline_spark.queries.llm import (  # noqa: E402
-    _STOPWORD_SQL,
-    quality_scored_cte,
-)
+from e2e_etl_pipeline_spark.queries.llm import quality_scored_cte  # noqa: E402
 from e2e_etl_pipeline_spark.registry import ORACLES  # noqa: E402
 
 ORACLES["q_training_pipeline"] = f"""
@@ -1050,12 +1038,13 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e2e_etl_pipeline_spark.functions import textstats as ts
 
     d = load_table(spark, sf_dir, "documents")
-    url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
-        F.col("doc_id").cast("string"),
-    )
     scored = d.select(
-        F.parse_url(url, F.lit("HOST")).alias("domain"),
+        # concat, not build-URL-then-parse_url: parse_url returns NULL for
+        # hostnames with underscores and RAISES on spaces, so a hostile
+        # regenerated source value would crash or silently diverge from the
+        # oracle's string concat (parse_url's surface lives in q_url_parse,
+        # which sanitizes its host first).
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
         F.round(ts.quality_score("text"), 4).cast("decimal(8,4)").alias("quality"),
     )
     dom = scored.groupBy("domain").agg(

@@ -36,7 +36,8 @@ def quality_scored_cte(cols: str) -> str:
     the formula, the pinned whitespace class, or the degenerate-document
     CASE guards edits exactly one place. The guards mirror the engine's
     coalesce defaults (no words -> sw/mwl 0; NULL/empty text -> pr 1): a
-    bare 0/0 is NaN in DuckDB but DIVIDE_BY_ZERO in ANSI Spark."""
+    bare 0/0 is NULL in DuckDB but raises DIVIDE_BY_ZERO in ANSI Spark,
+    and a NULL quality would diverge from the engine's defaults."""
     return f"""qtoks AS (
       SELECT {cols}, text AS _qtext,
              list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
@@ -68,6 +69,25 @@ def quality_scored_cte(cols: str) -> str:
               4) AS quality
       FROM qfeats
     )"""
+
+
+def contaminated_ids(documents: DataFrame, is_eval) -> DataFrame:  # noqa: ANN001
+    """doc_ids of NON-eval documents sharing a word-5-gram shingle with the
+    eval slice — the one decontamination construction both
+    q_decontaminate and q_training_pipeline consume (a change to the
+    shingle width or the overlap rule edits exactly one place)."""
+    from e2e_etl_pipeline_spark.operators.dedup import word_shingles
+
+    shingled = documents.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
+    )
+    eval_sh = shingled.where(is_eval).select("shingle").distinct()
+    return (
+        shingled.where(~is_eval)
+        .join(eval_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -260,8 +280,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
-    WHERE CAST(n_inter AS DOUBLE) /
-          CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE) >= 0.5
+    WHERE round(CAST(n_inter AS DOUBLE) /
+                CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) >= 0.5
     """,
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,20 +703,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unhinted (AQE broadcasts it while it fits; a 1000-doc eval set is
     a few MB of shingle hashes at any corpus scale).
     """
-    from e2e_etl_pipeline_spark.operators.dedup import word_shingles
-
     d = load_table(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % 97 == 0
-    shingled = d.select(
-        "doc_id", F.explode(word_shingles("text", 5)).alias("shingle")
-    )
-    eval_sh = shingled.where(is_eval).select("shingle").distinct()
-    contaminated = (
-        shingled.where(~is_eval)
-        .join(eval_sh, "shingle", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
+    contaminated = contaminated_ids(d, is_eval)
     return (
         d.where(~is_eval)
         .join(contaminated, "doc_id", "left_anti")

@@ -354,7 +354,8 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH u AS (
       SELECT doc_id,
-             'https://' || source || '.example.com/docs/' || doc_id
+             'https://' || regexp_replace(source, '[^A-Za-z0-9-]', '-', 'g')
+               || '.example.com/docs/' || doc_id
                || '?lang=' || lang || '&v=2' AS url
       FROM documents
     )
@@ -378,8 +379,12 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     assuming them. Scale: stateless column expressions, partition-parallel,
     nothing shuffles."""
     d = load_table(spark, sf_dir, "documents")
+    # sanitize the hostname label: parse_url returns NULL for hosts with
+    # underscores and raises INVALID_URL on spaces, so a regenerated
+    # source value outside [A-Za-z0-9-] would crash or diverge
+    host_label = F.regexp_replace(F.col("source"), "[^A-Za-z0-9-]", "-")
     url = F.concat(
-        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.lit("https://"), host_label, F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
         F.lit("&v=2"),
     )

@@ -78,11 +78,14 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       user_id,
       event_id,
-      lag(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
-      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+      lag(event_type)  OVER (PARTITION BY user_id
+                             ORDER BY ts NULLS LAST, event_id) AS prev_type,
+      lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY ts NULLS LAST, event_id) AS next_type,
       CAST(date_diff('second',
-                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-                     ts) AS BIGINT)                                      AS secs_since_prev
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts NULLS LAST, event_id),
+                     ts) AS BIGINT)                            AS secs_since_prev
     FROM events
     """,
 )
@@ -90,7 +93,11 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead — the reference's "did the scroll make progress?" test
     (A31, extract_data.py:234-237) is exactly a lag comparison."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST pinned (Spark ASC default is NULLS FIRST, DuckDB's window
+    # default NULLS LAST — one NULL ts would shift every neighbor pair)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), "event_id"
+    )
     prev_ts = F.lag("ts").over(w)
     return e.select(
         "user_id",
@@ -137,7 +144,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
       user_id,
       event_id,
       round(avg(value) OVER (
-        PARTITION BY user_id ORDER BY ts, event_id
+        PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
     FROM events
     """,
@@ -145,7 +152,11 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moving average over a 3-row sliding frame per user."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
+        .rowsBetween(-2, 0)
+    )
     return e.select(
         "user_id",
         "event_id",
@@ -197,7 +208,8 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
       user_id,
       event_id,
       count(*) OVER (
-        PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT) NULLS LAST
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
     FROM events
     """,
@@ -211,7 +223,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("long").asc_nulls_last())
         .rangeBetween(-3600, 0)
     )
     return e.select(
