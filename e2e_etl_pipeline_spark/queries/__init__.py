@@ -29,18 +29,16 @@ Module map (SURVEY.md §2 Part B):
 # Registration order == the order the external driver verifies keys under
 # its ~50-key budget. Rounds 1 and 2 each covered exactly the first 50
 # registered keys (disjoint windows thanks to the round-2 module rotation).
-# From round 3 on, ordering is pinned at KEY granularity by _order_r3
-# (generated from CORRECTNESS_r01+r02): never-driver-verified oracle-checked
-# keys first — with the 12 risk keys (fixed oracles + prior fails) leading —
-# then any key added after the list was generated, then driver-green keys,
-# then rows-only keys dead last (the driver can only record `no_oracle` for
-# them). Module import order below no longer affects driver ordering.
+# From round 3 on, ordering is pinned at KEY granularity by _order_r{N}
+# (generated from every CORRECTNESS_r*.json): unresolved fails lead, then
+# never-driver-verified oracle-checked keys, then any key added after the
+# list was generated, then driver-green keys, then rows-only keys dead last
+# (the driver can only record `no_oracle` for them). Module import order
+# below no longer affects driver ordering.
 #
-# Round-4 note: after the round-3 driver run lands, run
-#   PYTHONPATH=. python tools/gen_order.py r4 [just-fixed keys...]
-# (it folds in every CORRECTNESS_r*.json: unresolved fails lead, then
-# still-unverified, then green, then rows-only), point the import below at
-# _order_r4, and delete _order_r3.
+# Round-5 note: after the round-4 driver run lands, run
+#   PYTHONPATH=. python tools/gen_order.py r5 [just-fixed keys...]
+# point the import below at _order_r5, and delete _order_r4.
 from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     relational,
     scalars,
@@ -60,13 +58,13 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     llm,
 )
 from e2e_etl_pipeline_spark import registry as _registry
-from e2e_etl_pipeline_spark.queries import _order_r3
+from e2e_etl_pipeline_spark.queries import _order_r4
 
 
 def _reorder() -> None:
-    """Rebuild the registry dicts in the round-3 driver-verification order."""
-    known_first = [k for k in _order_r3.FIRST if k in _registry.QUERIES]
-    known_last = [k for k in _order_r3.LAST if k in _registry.QUERIES]
+    """Rebuild the registry dicts in the round-4 driver-verification order."""
+    known_first = [k for k in _order_r4.FIRST if k in _registry.QUERIES]
+    known_last = [k for k in _order_r4.LAST if k in _registry.QUERIES]
     listed = set(known_first) | set(known_last)
     new_oracle = [
         k for k in _registry.QUERIES if k not in listed and k in _registry.ORACLES
