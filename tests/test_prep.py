@@ -194,3 +194,54 @@ def test_packing_bins_sequential_and_bounded(spark, sf_dir):
         (F.col("lo") != 0) | (F.col("n_bins") != F.col("hi") + 1)
     )
     assert bad.count() == 0
+
+
+def test_distributed_ntile_matches_sql_ntile(spark):
+    """operators/ranks.py must reproduce SQL NTILE exactly — asc and desc
+    orders, a non-divisible n, chained calls, and n < k — on data spread
+    across many partitions."""
+    from pyspark.sql import Window
+
+    from e2e_etl_pipeline_spark.operators.ranks import (
+        distributed_ntile,
+        distributed_rank,
+    )
+
+    rows = [(i, (i * 37) % 101, (i * 53) % 97) for i in range(257)]
+    df = spark.createDataFrame(rows, "id long, a long, b long").repartition(16)
+
+    got = distributed_ntile(df, 7, [F.col("a"), F.col("id")], "q")
+    want = df.select(
+        "id", F.ntile(7).over(Window.orderBy("a", "id")).alias("q")
+    )
+    assert {(r.id, r.q) for r in got.select("id", "q").collect()} == {
+        (r.id, r.q) for r in want.collect()
+    }
+
+    got_desc = distributed_ntile(df, 5, [F.desc("b"), F.asc("id")], "q")
+    want_desc = df.select(
+        "id",
+        F.ntile(5).over(Window.orderBy(F.desc("b"), F.asc("id"))).alias("q"),
+    )
+    assert {(r.id, r.q) for r in got_desc.select("id", "q").collect()} == {
+        (r.id, r.q) for r in want_desc.collect()
+    }
+
+    # Chained calls keep earlier buckets intact.
+    chained = distributed_ntile(got, 4, [F.col("b"), F.col("id")], "q2")
+    assert set(chained.columns) == {"id", "a", "b", "q", "q2"}
+    assert chained.count() == 257
+
+    # n < k: every row gets its own bucket 1..n.
+    tiny = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    got_tiny = distributed_ntile(tiny, 10, [F.col("id")], "q")
+    assert sorted((r.id, r.q) for r in got_tiny.collect()) == [
+        (1, 1),
+        (2, 2),
+        (3, 3),
+    ]
+
+    # distributed_rank is a dense 1..n total order.
+    ranked = distributed_rank(df, [F.col("a"), F.col("id")], "rk")
+    rks = sorted(r.rk for r in ranked.select("rk").collect())
+    assert rks == list(range(1, 258))
