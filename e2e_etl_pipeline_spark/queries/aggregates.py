@@ -191,7 +191,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_orderstatus,
       o_orderpriority,
       count(*)                     AS n_orders,
-      round(sum(o_totalprice), 2)  AS total
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        AS total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -202,7 +203,9 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total"),
     )
 
 

@@ -40,7 +40,8 @@ ITERATIONS = 10
 _SEQ_CTE = """seq AS (
       SELECT
         event_type,
-        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS LAST, event_id)
           AS prev_type
       FROM events
     )"""
@@ -48,9 +49,16 @@ _SEQ_CTE = """seq AS (
 
 def _transition_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(event_type, prev_type) rows with prev_type non-NULL — one row per
-    consecutive same-user event pair."""
+    consecutive same-user event pair.
+
+    NULLS LAST is pinned explicitly: Spark ASC defaults to NULLS FIRST
+    while DuckDB windows default to NULLS LAST, so one NULL ts in a
+    regenerated testdata would otherwise diverge every graph key's edge
+    list (the round-3 windows.py/aggregates.py fix, applied here too)."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     return ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).where(F.col("prev_type").isNotNull())

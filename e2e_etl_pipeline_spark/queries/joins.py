@@ -25,7 +25,8 @@ from e2e_etl_pipeline_spark.registry import register
     SELECT
       c.c_mktsegment,
       count(*)                     AS n_orders,
-      round(sum(o.o_totalprice), 2) AS segment_revenue
+      CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                    AS segment_revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
@@ -42,7 +43,9 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("segment_revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("segment_revenue"),
         )
     )
 

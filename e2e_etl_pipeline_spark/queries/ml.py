@@ -223,33 +223,41 @@ def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_linear_score",
     oracle="""
-    WITH w AS (
-      SELECT list_transform(generate_series(1, 64),
-               i -> CAST((i * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)
-             AS wv
-    )
     SELECT vec_id,
-           round(list_sum(list_transform(range(1, 65),
-                 i -> CAST(embedding[i] AS DOUBLE) * wv[i])), 4) AS score,
-           list_sum(list_transform(range(1, 65),
-                 i -> CAST(embedding[i] AS DOUBLE) * wv[i])) > 0.0 AS keep
-    FROM embeddings CROSS JOIN w
+           round(list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * (CAST((i * 2654435761) % 1000 AS DOUBLE)
+                         / 1000.0 - 0.5))), 4) AS score,
+           list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * (CAST((i * 2654435761) % 1000 AS DOUBLE)
+                         / 1000.0 - 0.5))) > 0.0 AS keep
+    FROM embeddings
     """,
 )
 def q_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Apply-a-trained-classifier scoring: a fixed 64-dim linear model
-    (weights derived deterministically from the dimension index — the
-    stand-in for fasttext-style quality-filter weights, which would ship
-    as a broadcast literal array exactly like this) dotted against every
-    embedding, with a keep/cull decision on the raw margin. No
-    transcendentals (a sigmoid would rank identically; exp() is not
-    correctly-rounded across libms, the dot product is IEEE-exact in
-    list order on both engines — same contract as q_similarity_topk).
+    """Apply-a-trained-classifier scoring: a linear model whose weights
+    derive deterministically from the dimension index — the stand-in for
+    fasttext-style quality-filter weights, which would ship as a broadcast
+    literal array exactly like this — dotted against every embedding, with
+    a keep/cull decision on the raw margin. No transcendentals (a sigmoid
+    would rank identically; exp() is not correctly-rounded across libms,
+    the dot product is IEEE-exact in list order on both engines — same
+    contract as q_similarity_topk).
+
+    The weight vector's length derives from size(embedding) PER ROW on
+    both sides (round-4 ADVICE): a hard-coded 64 would NULL-pad Spark's
+    zip_with if a regenerated corpus changed dimensionality while DuckDB's
+    list_sum skipped the missing tail — a silent cross-engine divergence
+    instead of parity.
 
     Scale: stateless per-row fold over the vector column, weights are a
-    plan literal — zero shuffle, scales linearly with the scan."""
+    scan-stage expression — zero shuffle, scales linearly with the scan."""
     em = load_table(spark, sf_dir, "embeddings")
-    w = "transform(sequence(1, 64), i -> CAST((i * 2654435761L) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+    w = (
+        "transform(sequence(1, size(embedding)),"
+        " i -> CAST((i * 2654435761L) % 1000 AS DOUBLE) / 1000.0 - 0.5)"
+    )
     dot = F.expr(
         "aggregate(zip_with(embedding, " + w + ","
         " (x, wi) -> CAST(x AS DOUBLE) * wi), 0.0D, (acc, v) -> acc + v)"

@@ -125,7 +125,8 @@ def q_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(o_orderdate AS DATE)   AS order_day,
       count(*)                    AS n_orders,
-      round(sum(o_totalprice), 2) AS total
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        AS total
     FROM orders
     WHERE date_trunc('month', o_orderdate) =
           (SELECT max(date_trunc('month', o_orderdate)) FROM orders)
@@ -144,7 +145,9 @@ def q_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total"),
         )
     )
 
@@ -154,7 +157,8 @@ def q_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       count(*)                  AS n_rows,
-      round(sum(l_quantity), 2) AS total_qty,
+      CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+        AS total_qty,
       CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship,
       CAST(max(l_shipdate) AS TIMESTAMP) AS last_ship
     FROM lineitem
@@ -187,7 +191,9 @@ def q_layout_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return back.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_qty"),
             F.min("l_shipdate").alias("first_ship"),
             F.max("l_shipdate").alias("last_ship"),
         ).localCheckpoint()
@@ -616,7 +622,8 @@ def _zorder_code(cx, cy):
     oracle="""
     SELECT
       count(*)                    AS n_rows,
-      round(sum(o_totalprice), 2) AS total_price,
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        AS total_price,
       CAST(min(o_custkey) AS BIGINT) AS min_cust,
       CAST(max(o_custkey) AS BIGINT) AS max_cust
     FROM orders
@@ -676,7 +683,9 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return back.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_price"),
             F.min("o_custkey").cast("bigint").alias("min_cust"),
             F.max("o_custkey").cast("bigint").alias("max_cust"),
         ).localCheckpoint()
@@ -689,7 +698,8 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       count(*)                         AS n_rows,
-      round(sum(value), 2)             AS total_value,
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                       AS total_value,
       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events
     WHERE user_id NOT IN (1, 2, 3)
@@ -745,7 +755,9 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             final = final.unionByName(p)
         return final.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         ).localCheckpoint()
     finally:
@@ -758,7 +770,8 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       event_type,
       count(*)             AS n_events,
-      round(sum(value), 2) AS total_value
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+        AS total_value
     FROM events
     WHERE event_type IN ('click', 'purchase')
     GROUP BY event_type
@@ -795,7 +808,9 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = fact.join(F.broadcast(dim), "event_type")
         return joined.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
         ).localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -926,7 +941,7 @@ def cache_reuse_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
     SELECT event_type,
            CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
            count(*)             AS n_events,
-           round(sum(value), 2) AS sum_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM (SELECT DISTINCT * FROM events)
     GROUP BY 1, 2
     """,
@@ -952,7 +967,9 @@ def q_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 

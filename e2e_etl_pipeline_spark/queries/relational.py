@@ -201,7 +201,8 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ELSE 'small'
       END                         AS price_band,
       count(*)                    AS n_orders,
-      round(sum(o_totalprice), 2) AS total
+      CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                  AS total
     FROM orders
     GROUP BY 1
     """,
@@ -216,7 +217,9 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy(band.alias("price_band")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("total"),
     )
 
 
@@ -409,7 +412,8 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value,
       count(*)                                           AS n_events,
-      round(sum(value), 2)                               AS sum_value
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                                         AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -420,7 +424,9 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").try_cast("int")
     return e.groupBy(k.alias("k_value")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
     )
 
 

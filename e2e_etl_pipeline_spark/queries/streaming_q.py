@@ -31,7 +31,8 @@ from e2e_etl_pipeline_spark.streaming import windows as sw
       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
       event_type,
       count(*)                AS n_events,
-      round(sum(value), 2)    AS sum_value
+      CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                              AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -53,7 +54,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         value
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
     )
-    SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    SELECT window_start, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM slid
     GROUP BY window_start
     """,
@@ -191,7 +192,8 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c.c_mktsegment                 AS segment,
       count(*)                       AS n_events,
-      round(sum(e.value), 2)         AS sum_value
+      CAST(round(sum(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE)
+                                     AS sum_value
     FROM events e
     JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
@@ -218,7 +220,9 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
     )
     sink = f"en_{uuid.uuid4().hex[:8]}"

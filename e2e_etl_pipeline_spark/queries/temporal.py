@@ -74,9 +74,13 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
         ),
     )
+    # NULLS FIRST here is DELIBERATE (not the family's NULLS LAST pin): a
+    # NULL-ts click can never satisfy the oracle's ASOF predicate
+    # (c.ts >= p.ts is NULL), so it must sort BEFORE every purchase and
+    # receive no carry-forward — Spark's ASC default already does that.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy(F.asc_nulls_first("ts"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     enriched = (
@@ -461,17 +465,18 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
              THEN 1 ELSE 0 END AS is_new
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     ),
     islands AS (
       SELECT *,
-        sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        sum(is_new) OVER (PARTITION BY user_id
+                          ORDER BY ts NULLS LAST, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_no
       FROM ordered
     ),
     firsts AS (
       SELECT user_id, session_no,
-        first(event_type ORDER BY ts, event_id) AS first_touch
+        first(event_type ORDER BY ts NULLS LAST, event_id) AS first_touch
       FROM islands GROUP BY user_id, session_no
     )
     SELECT f.first_touch, count(*) AS n_purchases
@@ -494,7 +499,12 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical on any engine or partitioning.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last pins Spark's NULLS FIRST default to DuckDB's window
+    # default, so a NULL ts in regenerated testdata cannot diverge session
+    # boundaries (the round-3 windows.py fix, applied family-wide).
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     lagged = ev.withColumn(
         "is_new",
         F.when(
@@ -510,7 +520,9 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_no",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    w_sess = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    w_sess = Window.partitionBy("user_id", "session_no").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     touched = islands.withColumn(
         "first_touch", F.first("event_type").over(w_sess)
     )
@@ -563,7 +575,8 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT
         user_id,
         event_type,
-        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        lag(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS LAST, event_id)
           AS prev_type
       FROM events
     )
@@ -597,7 +610,9 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-normalized probabilities, so it keeps its own CTE text).
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).where(F.col("prev_type").isNotNull())
@@ -623,7 +638,8 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(value AS DECIMAL(12,2)) AS v,
              CAST(floor(epoch(ts)) AS BIGINT) AS t,
              lead(CAST(floor(epoch(ts)) AS BIGINT))
-               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nt
+               OVER (PARTITION BY user_id
+                     ORDER BY ts NULLS LAST, event_id) AS nt
       FROM events
     )
     SELECT user_id,
@@ -653,7 +669,9 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degenerate all-same-second users are dropped by the sum(dt) > 0 guard
     rather than dividing by zero."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     t = F.col("ts").cast("long")
     s = ev.select(
         "user_id",
@@ -1372,7 +1390,7 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(event_type, 1) OVER w AS e2,
              event_type                AS e3
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     )
     SELECT e1 || '>' || e2 || '>' || e3 AS path,
            count(*)                     AS n_paths
@@ -1392,7 +1410,9 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k (TakeOrderedAndProject); the LIMIT carries the (count, path)
     unique total order."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     seq = ev.select(
         F.lag("event_type", 2).over(w).alias("e1"),
         F.lag("event_type", 1).over(w).alias("e2"),
@@ -1688,13 +1708,13 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
           THEN 1 ELSE 0
         END AS is_new
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST)
     ),
     sess AS (
       SELECT
         user_id, ts, event_type,
         SUM(is_new) OVER (
-          PARTITION BY user_id ORDER BY ts
+          PARTITION BY user_id ORDER BY ts NULLS LAST
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_seq
       FROM marked
@@ -1731,7 +1751,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot diverge (same rule as q_join_asof).
     """
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # asc_nulls_last pins Spark's NULLS FIRST default to DuckDB's window
+    # default (family-wide rule; see q_attribution).
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"))
     gap = F.floor(F.col("ts").cast("double")) - F.floor(
         F.lag("ts").over(w).cast("double")
     )
@@ -1742,9 +1764,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = marked.withColumn(
         "session_seq",
         F.sum("is_new").over(
-            Window.partitionBy("user_id")
-            .orderBy("ts")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
     return sess.groupBy("user_id", "session_seq").agg(

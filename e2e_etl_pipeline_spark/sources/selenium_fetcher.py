@@ -76,14 +76,17 @@ def scroll_harvest(
     def max_idx() -> int:
         return max((int(k) for k in seen), default=-1)
 
-    # Baseline BEFORE any harvest: the reference counts the first
-    # contentful harvest as progress (extract_data.py:204-205), so the
-    # pre-loop state must be empty or round 1 always reads as stale and
-    # max_stale_rounds=1 would return without ever scrolling.
-    stale_rounds = 0
-    last_count = 0
-    last_max_idx = -1
     harvest()
+    # Baseline AFTER the initial harvest (extract_data.py:218-223:
+    # ``seen={}; _collect_visible_items(seen); last_count = len(seen);
+    # last_max_idx = max(...)``): loop round 1 counts as progress only if
+    # its own harvest adds items beyond the initial collect — the
+    # reference's exact stale-round accounting. Baselining at 0/-1 instead
+    # would grant every run one free round whenever the initial collect is
+    # non-empty, changing the harvested artifact under a tight stale budget.
+    stale_rounds = 0
+    last_count = len(seen)
+    last_max_idx = max_idx()
     for _ in range(max_rounds):
         harvest()
         progressed = len(seen) > last_count or max_idx() > last_max_idx

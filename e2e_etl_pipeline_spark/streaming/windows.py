@@ -23,7 +23,9 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -43,7 +45,9 @@ def sliding_agg(
         events.groupBy(F.window("ts", width, slide))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
     )

@@ -122,3 +122,14 @@ def test_selenium_fetcher_raises_cleanly_without_selenium():
 
     with pytest.raises(RuntimeError, match="optional selenium"):
         selenium_fetcher("jjit", "all-locations", "junior")
+
+
+def test_scroll_harvest_baselines_after_initial_harvest():
+    """Reference stale accounting (extract_data.py:218-223): the baseline
+    is taken AFTER the initial collect, so a page whose content never
+    changes trips a 1-round stale budget without a single scroll — the
+    initial harvest itself is not loop progress."""
+    page = FakeScrollingListing([[("0", "<li>a</li>")]])
+    html = scroll_harvest(page, max_stale_rounds=1)
+    assert html == "<ul><li>a</li></ul>"
+    assert page.scrolls == 0
