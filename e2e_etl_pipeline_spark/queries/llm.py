@@ -295,6 +295,75 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_minhash_accuracy_bound",
+    # Same exact-Jaccard CTE chain as q_dedup_jaccard (tokenization mirror
+    # of the engine's _words; max_df guard) — the oracle reproduces the
+    # pair count and asserts the estimator bound as a literal.
+    oracle="""
+    WITH raw_toks AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS token
+      FROM documents WHERE lang = 'de'
+    ),
+    toks AS (SELECT id, token FROM raw_toks WHERE token <> ''),
+    sizes AS (SELECT id, count(*) AS set_size FROM toks GROUP BY id),
+    keep AS (SELECT token FROM toks GROUP BY token HAVING count(*) <= 500),
+    jtoks AS (SELECT t.id, t.token FROM toks t JOIN keep USING (token)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM jtoks a JOIN jtoks b ON a.token = b.token AND a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.id = c.id_a
+      JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b
+    ),
+    exact AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE round(CAST(n_inter AS DOUBLE) /
+                  CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) >= 0.5
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           TRUE                     AS est_within_035
+    FROM exact
+    """,
+)
+def q_minhash_accuracy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the MinHash estimator behind
+    q_dedup_near (rows-only by design — xxhash64 signatures are
+    engine-specific): over the ORACLE-KNOWN exact-Jaccard ≥ 0.5 pair set
+    (the q_dedup_jaccard contract), estimate Jaccard from 32 minhashes at
+    shingle_size=1 — the SAME word-set measure the exact pairs use, so the
+    estimator and its target are directly comparable — and assert every
+    estimate lands within 0.35 of the exact value (σ = √(J(1−J)/32) ≤
+    0.088, so 0.35 ≈ 4σ — regeneration-safe; estimates move in 1/32 steps
+    so the boundary itself is never within FP noise). Empty pair set
+    degrades to TRUE on both engines (coalesce)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
+    exact = dd.token_jaccard_pairs(d, "doc_id", "text", max_df=500).where(
+        F.col("jaccard") >= 0.5
+    )
+    sigs = dd.minhash_signatures(
+        d, "doc_id", "text", num_hashes=32, shingle_size=1
+    )
+    est = dd.minhash_similarity(sigs, exact.select("id_a", "id_b"))
+    joined = exact.join(est, ["id_a", "id_b"], "left")
+    within = (
+        F.abs(F.coalesce(F.col("est_jaccard"), F.lit(0.0)) - F.col("jaccard"))
+        <= 0.35
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.bool_and(within), F.lit(True)).alias("est_within_035"),
+    )
+
+
+@register(
     "q_dedup_corpus",
     oracle="""
     WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
@@ -381,7 +450,7 @@ def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT query_id, neighbor_id,
-             list_sum(list_transform(range(1, 65),
+             list_sum(list_transform(range(1, len(qv) + 1),
                i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / (qn * cn) AS cosine
       FROM q CROSS JOIN c
       WHERE query_id != neighbor_id
@@ -429,6 +498,85 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 20)
     return sim.lsh_bucketed_topk(em, queries, k=10, n_planes=6, n_tables=32)
+
+
+@register(
+    "q_similarity_recall_bound",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / (qn * cn) AS cosine
+      FROM q CROSS JOIN c
+      WHERE query_id != neighbor_id
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+      )
+      WHERE rank <= 10
+    )
+    SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+           CAST(count(*) AS BIGINT)                 AS n_exact_pairs,
+           TRUE                                     AS lsh_recall_ok,
+           TRUE                                     AS ivf_recall_ok
+    FROM exact
+    """,
+)
+def q_similarity_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the two ANN scale paths
+    (q_similarity_lsh, q_similarity_ivf — rows-only by design, their
+    neighbor sets are parameter-specific): recomputes the EXACT top-10
+    baseline (SQL-reproducible — the oracle derives the same pair count),
+    intersects each ANN result with it in-plan, and emits booleans
+    asserting LSH recall ≥ 0.6 and IVF recall ≥ 0.5. The thresholds sit
+    far below the measured 0.79–0.84 so a per-round corpus regeneration
+    cannot flip them by re-draw luck; pytest keeps the tighter ≥ 0.7
+    assertions on current data (tests/test_llm_ops.py). Recall ratios
+    compare in integer math (hits·10 ≥ total·6) — no FP boundary.
+
+    Follows the q_approx_distinct_bound pattern: approximate outputs can
+    never hash-match an oracle, but their accuracy contract can."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 20)
+    exact = sim.brute_force_topk(em, queries, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = (
+        sim.lsh_bucketed_topk(em, queries, k=10, n_planes=6, n_tables=32)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_lsh", F.lit(1))
+    )
+    ivf = (
+        sim.ivf_topk(em, queries, k=10, n_centroids=16, n_probe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("in_ivf", F.lit(1))
+    )
+    joined = exact.join(lsh, ["query_id", "neighbor_id"], "left").join(
+        ivf, ["query_id", "neighbor_id"], "left"
+    )
+    hits_lsh = F.sum(F.coalesce(F.col("in_lsh"), F.lit(0)))
+    hits_ivf = F.sum(F.coalesce(F.col("in_ivf"), F.lit(0)))
+    total = F.count(F.lit(1))
+    return joined.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        total.alias("n_exact_pairs"),
+        (hits_lsh * 10 >= total * 6).alias("lsh_recall_ok"),
+        (hits_ivf * 2 >= total).alias("ivf_recall_ok"),
+    )
 
 
 # ---------------------------------------------------------------------------
