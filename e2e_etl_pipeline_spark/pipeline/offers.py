@@ -76,6 +76,12 @@ class _JJITParser(HTMLParser):
     def handle_starttag(self, tag, attrs):
         attrs = dict(attrs)
         if tag == "li" and "data-index" in attrs:
+            if self._in_li and self._cur is not None:
+                # Implied </li>: lxml's error recovery auto-closes an open
+                # <li> when a sibling <li> starts; without this an unclosed
+                # item would silently swallow its predecessor (leniency
+                # parity — tests/test_html_leniency.py).
+                self._finalize()
             self._in_li = True
             self._cur = {"offer_idx": int(attrs["data-index"]), "position_raw": "", "company_raw": ""}
             self._spans = []
@@ -99,14 +105,26 @@ class _JJITParser(HTMLParser):
         if tag in ("h3", "span", "p"):
             self._capture = None
         elif tag == "li" and self._in_li:
-            # 2 spans → "min–cur/period"; ≥3 → "min–max–cur/period".
-            # The en-dash joiner keeps adjacent numeric spans separate for the
-            # number regex (space-joined "11 000 12 000" would greedily match
-            # as ONE number because \d[\d\s]* eats interior spaces).
-            self._cur["salary_raw"] = "–".join(self._spans)
-            self.offers.append(self._cur)
-            self._in_li = False
-            self._cur = None
+            self._finalize()
+
+    def _finalize(self) -> None:
+        # 2 spans → "min–cur/period"; ≥3 → "min–max–cur/period".
+        # The en-dash joiner keeps adjacent numeric spans separate for the
+        # number regex (space-joined "11 000 12 000" would greedily match
+        # as ONE number because \d[\d\s]* eats interior spaces).
+        self._cur["salary_raw"] = "–".join(self._spans)
+        self.offers.append(self._cur)
+        self._in_li = False
+        self._cur = None
+        self._capture = None
+        self._spans = []
+
+    def close(self):
+        # Flush a truncated document's trailing unclosed <li> (lxml emits
+        # it too; HTMLParser just stops feeding events).
+        super().close()
+        if self._in_li and self._cur is not None:
+            self._finalize()
 
 
 class _PracujParser(HTMLParser):
@@ -139,13 +157,20 @@ class _PracujParser(HTMLParser):
             }
         elif self._cur is not None and dt in self._FIELDS:
             self._capture = self._FIELDS[dt]
+            self._capture_tag = tag
 
     def handle_data(self, data):
         if self._cur is not None and self._capture is not None:
             self._cur[self._capture] += data
 
     def handle_endtag(self, tag):
-        self._capture = None
+        # Only the CAPTURING element's own close ends capture: nested
+        # inline markup (<b>, <span>…) inside a field keeps contributing
+        # text, matching BeautifulSoup's get_text() over the selected node
+        # (previously any end tag truncated the field at the first nested
+        # close — tests/test_html_leniency.py).
+        if self._capture is not None and tag == getattr(self, "_capture_tag", None):
+            self._capture = None
         if tag == "html" and self._cur is not None:
             self.offers.append(self._cur)
             self._cur = None
