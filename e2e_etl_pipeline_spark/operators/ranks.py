@@ -41,14 +41,18 @@ _OFF = "__rank_off"
 OrderCol = Union[str, Column]
 
 
-def distributed_rank(
-    df: DataFrame, order_cols: Sequence[OrderCol], out_col: str
-) -> DataFrame:
-    """Exact ``row_number() OVER (ORDER BY order_cols)`` without a
-    single-partition sort. ``order_cols`` MUST be a unique total order
-    (include a tiebreak key) or ranks are nondeterministic across engines.
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: Sequence[OrderCol]
+) -> tuple[DataFrame, DataFrame, int]:
+    """Shared first half of both rank constructions: the frozen range
+    exchange plus each partition's cumulative row offset.
 
-    Returns ``df``'s columns plus ``out_col`` (long, 1-based).
+    Returns ``(ranged, off_df, n)`` — the checkpointed range-partitioned
+    frame (with ``_PID`` attached), the P-row broadcastable offset table,
+    and the total row count. The ``localCheckpoint`` freezes the SAMPLED
+    range boundaries: RangePartitioner reseeds per job, so without it the
+    count pass and the rank pass could see different partitionings and the
+    offsets would label the wrong rows.
     """
     spark = df.sparkSession
     n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
@@ -66,6 +70,23 @@ def distributed_rank(
         offsets.append((pid, acc))
         acc += cnt
     off_df = spark.createDataFrame(offsets or [(0, 0)], f"{_PID} int, {_OFF} long")
+    return ranged, off_df, acc
+
+
+def distributed_rank(
+    df: DataFrame, order_cols: Sequence[OrderCol], out_col: str
+) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY order_cols)`` without a
+    single-partition sort. ``order_cols`` MUST be a unique total order
+    (include a tiebreak key) or ranks are nondeterministic across engines,
+    and should pin null ordering explicitly (``asc_nulls_last`` /
+    ``desc_nulls_last``) whenever a key column is nullable: Spark's bare
+    ASC is NULLS FIRST while DuckDB windows default to NULLS LAST, so an
+    unpinned nullable key diverges the bucket assignment cross-engine.
+
+    Returns ``df``'s columns plus ``out_col`` (long, 1-based).
+    """
+    ranged, off_df, _ = _ranged_with_offsets(df, order_cols)
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     rank = (F.col(_OFF) + F.row_number().over(w)).alias(out_col)
     return ranged.join(F.broadcast(off_df), _PID).select(*df.columns, rank)
@@ -76,29 +97,15 @@ def distributed_ntile(
 ) -> DataFrame:
     """Exact ``NTILE(k) OVER (ORDER BY order_cols)`` without a
     single-partition sort; see module docstring for the construction.
-    ``order_cols`` MUST be a unique total order (include a tiebreak key).
+    ``order_cols`` MUST be a unique total order (include a tiebreak key)
+    and should pin null ordering explicitly on nullable keys (see
+    ``distributed_rank``).
 
     Returns ``df``'s columns plus ``out_col`` (int, 1..k). Calls are
     chainable — each re-ranges on its own key — so multi-score bucketing
     (e.g. RFM's three quintiles) needs no join-back.
     """
-    spark = df.sparkSession
-    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
-    ranged = (
-        df.repartitionByRange(n_part, *order_cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint()
-    )
-    part_counts = sorted(
-        (r[_PID], r.cnt)
-        for r in ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
-    n = sum(cnt for _, cnt in part_counts)
-    offsets, acc = [], 0
-    for pid, cnt in part_counts:
-        offsets.append((pid, acc))
-        acc += cnt
-    off_df = spark.createDataFrame(offsets or [(0, 0)], f"{_PID} int, {_OFF} long")
+    ranged, off_df, n = _ranged_with_offsets(df, order_cols)
 
     n_big = n % k
     # max(..., 1): when n == 0 there are no rows to evaluate the expression

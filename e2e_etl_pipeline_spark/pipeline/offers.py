@@ -149,6 +149,10 @@ class _PracujParser(HTMLParser):
         if tag == "div" and dt == "default-offer":
             if self._cur is not None:
                 self.offers.append(self._cur)
+            # An unclosed field in the previous offer must not keep
+            # capturing into this one (lxml implies a close at the offer
+            # boundary — tests/test_html_leniency.py).
+            self._capture = None
             self._cur = {
                 "offer_idx": len(self.offers),
                 "position_raw": "",

@@ -329,7 +329,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                   CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) >= 0.5
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           TRUE                     AS est_within_035
+           TRUE                     AS mean_err_ok,
+           TRUE                     AS max_err_ok
     FROM exact
     """,
 )
@@ -338,12 +339,19 @@ def q_minhash_accuracy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_near (rows-only by design — xxhash64 signatures are
     engine-specific): over the ORACLE-KNOWN exact-Jaccard ≥ 0.5 pair set
     (the q_dedup_jaccard contract), estimate Jaccard from 32 minhashes at
-    shingle_size=1 — the SAME word-set measure the exact pairs use, so the
-    estimator and its target are directly comparable — and assert every
-    estimate lands within 0.35 of the exact value (σ = √(J(1−J)/32) ≤
-    0.088, so 0.35 ≈ 4σ — regeneration-safe; estimates move in 1/32 steps
-    so the boundary itself is never within FP noise). Empty pair set
-    degrades to TRUE on both engines (coalesce)."""
+    shingle_size=1 — the SAME word-set measure the exact pairs use, so
+    estimator and target are directly comparable — and assert TWO
+    population-level bounds: mean |err| ≤ 0.12 (expected ≈ σ√(2/π) ≤
+    0.07 at k=32) and max |err| ≤ 0.5.
+
+    The max bound is sized for the MAXIMUM over the whole pair set, not
+    one pair: E[max over n] ≈ σ√(2 ln n) ≈ 0.31 at n≈1600 — a naive
+    per-pair 4σ (0.35) bound DID fail the unicode fuzz variant (measured
+    max 0.356 on correlated overlapping pairs). 0.5 leaves ≥ 2σ headroom
+    through n ≈ 10⁷ pairs. Comparisons run in scaled-integer math on the
+    4-dp-rounded operands (|est·10⁴ − j·10⁴| on longs) so no double
+    subtraction can flip a boundary. Empty pair set degrades to TRUE on
+    both engines (coalesce)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
     exact = dd.token_jaccard_pairs(d, "doc_id", "text", max_df=500).where(
         F.col("jaccard") >= 0.5
@@ -353,13 +361,16 @@ def q_minhash_accuracy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = dd.minhash_similarity(sigs, exact.select("id_a", "id_b"))
     joined = exact.join(est, ["id_a", "id_b"], "left")
-    within = (
-        F.abs(F.coalesce(F.col("est_jaccard"), F.lit(0.0)) - F.col("jaccard"))
-        <= 0.35
-    )
-    return joined.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.coalesce(F.bool_and(within), F.lit(True)).alias("est_within_035"),
+    est_i = F.round(
+        F.coalesce(F.col("est_jaccard"), F.lit(0.0)) * 10000
+    ).cast("long")
+    j_i = F.round(F.col("jaccard") * 10000).cast("long")
+    err_i = F.abs(est_i - j_i)
+    n = F.count(F.lit(1))
+    return joined.select(err_i.alias("err_i")).agg(
+        n.alias("n_pairs"),
+        (F.coalesce(F.sum("err_i"), F.lit(0)) <= n * 1200).alias("mean_err_ok"),
+        (F.coalesce(F.max("err_i"), F.lit(0)) <= 5000).alias("max_err_ok"),
     )
 
 
@@ -548,10 +559,20 @@ def q_similarity_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     assertions on current data (tests/test_llm_ops.py). Recall ratios
     compare in integer math (hits·10 ≥ total·6) — no FP boundary.
 
+    The contract binds only when the corpus is large enough for the fixed
+    ANN configuration to be meaningful (≥ 100 vectors): 16 IVF cells /
+    64 LSH buckets over a decimated handful of vectors are near-singleton
+    partitions whose recall legitimately collapses — a real deployment
+    brute-forces such corpora (the sparse fuzz variant, 17 vectors,
+    proved the unguarded bound flips). Below the floor both booleans
+    degrade to TRUE on both engines.
+
     Follows the q_approx_distinct_bound pattern: approximate outputs can
     never hash-match an oracle, but their accuracy contract can."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 20)
+    n_corpus = em.count()  # driver-side scalar, metadata-scale
+    big_enough = F.lit(n_corpus >= 100)
     exact = sim.brute_force_topk(em, queries, k=10).select(
         "query_id", "neighbor_id"
     )
@@ -574,8 +595,8 @@ def q_similarity_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.countDistinct("query_id").alias("n_queries"),
         total.alias("n_exact_pairs"),
-        (hits_lsh * 10 >= total * 6).alias("lsh_recall_ok"),
-        (hits_ivf * 2 >= total).alias("ivf_recall_ok"),
+        ((hits_lsh * 10 >= total * 6) | ~big_enough).alias("lsh_recall_ok"),
+        ((hits_ivf * 2 >= total) | ~big_enough).alias("ivf_recall_ok"),
     )
 
 

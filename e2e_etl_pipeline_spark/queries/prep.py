@@ -87,9 +87,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       user_id,
       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)      AS attr_value,
       CAST(ts AS TIMESTAMP)                             AS valid_from,
-      CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST)
            AS TIMESTAMP)                                AS valid_to,
-      CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST)
+                IS NULL
            THEN 1 ELSE 0 END                            AS is_current
     FROM purchases
     """,
@@ -108,7 +109,9 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
-    w = Window.partitionBy("user_id").orderBy("ts")
+    # asc_nulls_last pins Spark's NULLS FIRST default to DuckDB's window
+    # default (family-wide rule; see queries/temporal.py q_attribution).
+    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"))
     return p.select(
         "user_id",
         F.col("value").cast("decimal(12,2)").cast("double").alias("attr_value"),
@@ -516,7 +519,12 @@ def q_ntile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     binned = distributed_ntile(
-        o, 10, [F.col("o_totalprice"), F.col("o_orderkey")], "decile"
+        o,
+        10,
+        # nulls_last pins Spark's ASC default to the oracle window's DuckDB
+        # default, should a regenerated o_totalprice ever carry NULLs.
+        [F.asc_nulls_last("o_totalprice"), F.asc_nulls_last("o_orderkey")],
+        "decile",
     )
     return (
         binned.groupBy("decile")
@@ -1333,8 +1341,10 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = base
     for score, out in (("r", "r_q"), ("f", "f_q"), ("m", "m_q")):
+        # nulls_last: r (max date) and m (decimal sum) are NULL when every
+        # underlying value is NULL — pin to the oracle's DuckDB default.
         scored = distributed_ntile(
-            scored, 5, [F.col(score), F.col("c")], out
+            scored, 5, [F.asc_nulls_last(score), F.asc_nulls_last("c")], out
         )
     return scored.groupBy(
         (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
@@ -1389,7 +1399,9 @@ def q_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("s")
     )
     ranked = distributed_ntile(
-        spend, 10, [F.desc("s"), F.asc("c")], "decile"
+        # desc_nulls_last matches both Spark's DESC default and DuckDB's —
+        # pinned explicitly per the ranks.py null-ordering contract.
+        spend, 10, [F.desc_nulls_last("s"), F.asc_nulls_last("c")], "decile"
     ).select("s", "decile")
     agg = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -34,6 +34,7 @@ from e2e_etl_pipeline_spark.streaming import windows as sw
       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
                               AS sum_value
     FROM events
+    WHERE ts IS NOT NULL  -- window(ts) drops NULL event-time rows
     GROUP BY 1, 2
     """,
 )
@@ -53,6 +54,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
           AS window_start,
         value
       FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      WHERE ts IS NOT NULL  -- window(ts) drops NULL event-time rows
     )
     SELECT window_start, count(*) AS n_events, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
     FROM slid
@@ -77,6 +79,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
              THEN 1 ELSE 0 END AS is_new
       FROM events
+      WHERE ts IS NOT NULL  -- session_window(ts) drops NULL event-time rows
     ),
     islands AS (
       SELECT user_id, ts,
@@ -145,6 +148,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
       count(*)                                  AS n_events
     FROM events
+    WHERE ts IS NOT NULL  -- window(ts) drops NULL event-time rows
     GROUP BY 1
     """,
 )

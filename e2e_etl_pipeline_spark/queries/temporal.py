@@ -813,6 +813,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e,
              event_id
       FROM events
+      WHERE ts IS NOT NULL  -- an interval needs a start; NULL-ts rows
+                            -- would island differently per engine
     ),
     flagged AS (
       SELECT user_id, s, e,
@@ -857,7 +859,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     split an island (s > max(e) is false for equal starts since e ≥ s),
     so the event_id tiebreak only pins the window order, not the result."""
     ev = load_table(spark, sf_dir, "events")
-    iv = ev.select(
+    iv = ev.where(F.col("ts").isNotNull()).select(
         "user_id",
         F.col("ts").cast("long").alias("s"),
         (F.col("ts").cast("long") + 600).alias("e"),
@@ -1301,10 +1303,10 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH deltas AS (
       SELECT CAST(floor(epoch(ts)) AS BIGINT)       AS t, 1  AS d, event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT CAST(floor(epoch(ts)) AS BIGINT) + 600 AS t, -1 AS d, event_id
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     swept AS (
       SELECT t,
@@ -1341,7 +1343,10 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     within day(t) + total of all prior days. At corpora where a single
     day outgrows a partition, shard on the hour instead — same
     construction, one more digit in the shard key."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL-ts events carry no session placement: excluded on both sides
+    # (they would otherwise sort NULLS FIRST here vs NULLS LAST in DuckDB
+    # and fall out of the day-keyed carry join entirely).
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     opens = ev.select(
         F.col("ts").cast("long").alias("t"), F.lit(1).alias("d"), "event_id"
     )

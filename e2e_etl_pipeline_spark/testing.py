@@ -9,8 +9,25 @@ hash also matches; see the hash-stability rules in registry.py).
 
 from __future__ import annotations
 
+import datetime
+
 import numpy as np
 import pandas as pd
+
+
+def _canon_scalar(v):
+    """Object-cell canonicalization: NA scalars → None; date/datetime →
+    pd.Timestamp (normalized so both engines' temporal transport shapes
+    render identically). Containers pass through untouched."""
+    if isinstance(v, (list, tuple, np.ndarray, dict)):
+        return v
+    if pd.isna(v):
+        return None
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return pd.Timestamp(v)
+    if isinstance(v, datetime.datetime):
+        return pd.Timestamp(v)
+    return v
 
 
 def canonical(df: pd.DataFrame, strict_cells: bool = False) -> pd.DataFrame:
@@ -29,7 +46,16 @@ def canonical(df: pd.DataFrame, strict_cells: bool = False) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             if getattr(s.dt, "tz", None) is not None:
                 s = s.dt.tz_localize(None)
+            # Harmonize with the object/date path below: DuckDB returns a
+            # DATE column as datetime64 (NaT nulls) once it contains a
+            # NULL but as object(datetime.date) otherwise, while Spark
+            # always ships object(date/None) — one canonical shape
+            # (object of Timestamp-or-None) or the two engines' NULL
+            # renderings ("NaT" vs "None") split on transport dtype alone.
             s = s.astype("datetime64[us]")
+            s = s.map(lambda v: None if pd.isna(v) else pd.Timestamp(v)).astype(
+                object
+            )
         elif s.dtype == object:
             if strict_cells:
                 bad = s.map(lambda v: isinstance(v, (list, np.ndarray, dict))).any()
@@ -42,6 +68,13 @@ def canonical(df: pd.DataFrame, strict_cells: bool = False) -> pd.DataFrame:
                 s = s.map(
                     lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
                 )
+            # NA-scalar + date normalization (strict and lenient modes
+            # alike): NULL temporal cells arrive as None from Spark's
+            # toPandas but NaT from DuckDB's df(), and non-null dates as
+            # datetime.date vs (sometimes) Timestamp — pandas transport
+            # artifacts, not engine divergences; canonicalize to
+            # Timestamp-or-None so sort/compare/render agree.
+            s = s.map(_canon_scalar).astype(object)
         out[c] = s
     df = pd.DataFrame(out)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="last")

@@ -167,3 +167,18 @@ def test_lxml_cross_check():
     lis = tree.cssselect("li[data-index]") if hasattr(tree, "cssselect") else []
     got = _jjit(html)
     assert len(got) == len(lis) == 2
+
+
+def test_ppl_unclosed_field_does_not_leak_into_next_offer():
+    """A new offer div implies a close of any still-capturing field from
+    the previous offer (lxml block-boundary recovery) — cross-offer text
+    leakage would corrupt a neighbor's record, unlike the pinned
+    within-offer leak."""
+    html = (
+        "<div data-test='default-offer'>"
+        "<a data-test='link-offer-title'>Dev</div>leak"
+        "<div data-test='default-offer'>stray"
+        "<a data-test='link-offer-title'>Second</a></div></html>"
+    )
+    offers = _ppl(html)
+    assert [o["position_raw"] for o in offers] == ["Devleak", "Second"]

@@ -90,7 +90,13 @@ MUTATIONS: dict[str, dict[str, str]] = {
             CASE WHEN l_orderkey % 89 = 0 THEN NULL ELSE l_suppkey END AS l_suppkey)""",
         "events.parquet": """* REPLACE (
             CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS value,
-            CASE WHEN event_id % 71 = 0 THEN NULL ELSE props END AS props)""",
+            CASE WHEN event_id % 71 = 0 THEN NULL ELSE props END AS props,
+            -- NULL event-times probe the round-4 NULLS LAST pins and the
+            -- window()/session_window() NULL-drop mirroring; outputs must
+            -- not depend on order WITHIN a same-user NULL-ts tie group
+            -- (several collide at sf0.01 — lead/lag of a NULL-ts row is
+            -- NULL either way, which is what keeps parity order-free).
+            CASE WHEN event_id % 149 = 0 THEN NULL ELSE ts END AS ts)""",
         "documents.parquet": """* REPLACE (
             CASE WHEN doc_id % 61 = 0 THEN NULL ELSE text END AS text)""",
     },
