@@ -88,6 +88,17 @@ SHOWCASE = [
                   "the fact table feeds both the candidate and min-cost "
                   "sides; part's size+type predicates push to its scan; "
                   "nation broadcasts"),
+    ("q_rfm", "three chained distributed-exact NTILEs (operators/ranks.py): "
+              "the visible plan is the third — row_number partitioned by "
+              "the range-partition id, broadcast offset join, NO "
+              "SinglePartition anywhere; the first two sit behind the "
+              "helper's checkpoints with the same shape"),
+    ("q_concurrent_sessions", "day-sharded sweep line: the delta-stream "
+                              "running sum windows PER DAY (windowspec "
+                              "carries the day key); the only "
+                              "SinglePartition exchanges feed the "
+                              "|days|-row carry table and the final "
+                              "struct-max scalar"),
 ]
 
 
