@@ -142,6 +142,8 @@ class _PracujParser(HTMLParser):
         self.offers: list[dict] = []
         self._cur: dict | None = None
         self._capture: str | None = None
+        self._capture_tag: str | None = None
+        self._capture_depth = 0
 
     def handle_starttag(self, tag, attrs):
         attrs = dict(attrs)
@@ -162,6 +164,12 @@ class _PracujParser(HTMLParser):
         elif self._cur is not None and dt in self._FIELDS:
             self._capture = self._FIELDS[dt]
             self._capture_tag = tag
+            self._capture_depth = 0
+        elif self._capture is not None and tag == self._capture_tag:
+            # Same-name element nested INSIDE the capturing one (Pracuj
+            # salary nodes nest <span> in <span>): count depth so the
+            # nested close doesn't truncate the field.
+            self._capture_depth += 1
 
     def handle_data(self, data):
         if self._cur is not None and self._capture is not None:
@@ -169,12 +177,15 @@ class _PracujParser(HTMLParser):
 
     def handle_endtag(self, tag):
         # Only the CAPTURING element's own close ends capture: nested
-        # inline markup (<b>, <span>…) inside a field keeps contributing
-        # text, matching BeautifulSoup's get_text() over the selected node
-        # (previously any end tag truncated the field at the first nested
-        # close — tests/test_html_leniency.py).
+        # inline markup (<b>, nested <span>…) inside a field keeps
+        # contributing text, matching BeautifulSoup's get_text() over the
+        # selected node (previously any end tag truncated the field at the
+        # first nested close — tests/test_html_leniency.py).
         if self._capture is not None and tag == getattr(self, "_capture_tag", None):
-            self._capture = None
+            if self._capture_depth > 0:
+                self._capture_depth -= 1
+            else:
+                self._capture = None
         if tag == "html" and self._cur is not None:
             self.offers.append(self._cur)
             self._cur = None

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions.money import money_sum
 from e2e_etl_pipeline_spark.registry import register
 
 
@@ -203,9 +204,7 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("total"),
+        money_sum("o_totalprice").alias("total"),
     )
 
 

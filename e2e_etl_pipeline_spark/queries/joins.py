@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions.money import money_sum
 from e2e_etl_pipeline_spark.registry import register
 
 
@@ -43,9 +44,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("segment_revenue"),
+            money_sum("o_totalprice").alias("segment_revenue"),
         )
     )
 

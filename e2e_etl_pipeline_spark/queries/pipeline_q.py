@@ -20,6 +20,7 @@ from pyspark.sql import types as T
 
 from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.pipeline.offers import parse_offers
+from e2e_etl_pipeline_spark.functions.money import money_sum
 from e2e_etl_pipeline_spark.registry import register
 from e2e_etl_pipeline_spark.sources.raw_zone import read_latest, write_raw
 
@@ -145,9 +146,7 @@ def q_latest_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("total"),
+            money_sum("o_totalprice").alias("total"),
         )
     )
 
@@ -191,9 +190,7 @@ def q_layout_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return back.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("total_qty"),
+            money_sum("l_quantity").alias("total_qty"),
             F.min("l_shipdate").alias("first_ship"),
             F.max("l_shipdate").alias("last_ship"),
         ).localCheckpoint()
@@ -683,9 +680,7 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return back.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
             F.min("o_custkey").cast("bigint").alias("min_cust"),
             F.max("o_custkey").cast("bigint").alias("max_cust"),
         ).localCheckpoint()
@@ -755,9 +750,7 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             final = final.unionByName(p)
         return final.agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("total_value"),
+            money_sum("value").alias("total_value"),
             F.countDistinct("user_id").alias("n_users"),
         ).localCheckpoint()
     finally:
@@ -808,9 +801,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = fact.join(F.broadcast(dim), "event_type")
         return joined.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("total_value"),
+            money_sum("value").alias("total_value"),
         ).localCheckpoint()
     finally:
         shutil.rmtree(path, ignore_errors=True)
@@ -967,9 +958,7 @@ def q_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+        money_sum("value").alias("sum_value"),
     )
 
 

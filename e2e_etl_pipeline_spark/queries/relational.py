@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions.money import money_sum
 from e2e_etl_pipeline_spark.registry import register
 
 
@@ -217,9 +218,7 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy(band.alias("price_band")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("total"),
+        money_sum("o_totalprice").alias("total"),
     )
 
 
@@ -424,9 +423,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").try_cast("int")
     return e.groupBy(k.alias("k_value")).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-        .cast("double")
-        .alias("sum_value"),
+        money_sum("value").alias("sum_value"),
     )
 
 

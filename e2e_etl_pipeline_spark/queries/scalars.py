@@ -243,16 +243,21 @@ def q_map_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(dayofweek(ts) + 1 AS INTEGER)                     AS dow,
       CAST(hour(ts) AS INTEGER)                              AS hr,
       CAST(date_trunc('day', ts) AS TIMESTAMP)               AS day_start,
-      CAST(ts AS DATE)                                       AS event_date,
+      CAST(CAST(ts AS DATE) AS TIMESTAMP)                    AS event_date,
       CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since_jan1,
-      CAST(ts AS DATE) + 7                                   AS plus_week,
-      last_day(CAST(ts AS DATE))                             AS month_end
+      CAST(CAST(ts AS DATE) + 7 AS TIMESTAMP)                AS plus_week,
+      CAST(last_day(CAST(ts AS DATE)) AS TIMESTAMP)          AS month_end
     FROM events
     """,
 )
 def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A32 generalized: the date/time function family. DuckDB's dayofweek is
-    0=Sunday vs Spark's 1=Sunday — reconciled in the oracle."""
+    0=Sunday vs Spark's 1=Sunday — reconciled in the oracle. Date-valued
+    outputs are cast to TIMESTAMP on BOTH engines: a nullable DATE column
+    ships as object/None from Spark but datetime64/NaT from DuckDB once a
+    NULL appears, and while the local comparator normalizes that transport
+    split, the driver's exact hash may not — TIMESTAMP transports as
+    datetime64 on both sides unconditionally (registry hash rule)."""
     e = load_table(spark, sf_dir, "events")
     return e.select(
         "event_id",
@@ -262,12 +267,16 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek("ts").cast("int").alias("dow"),
         F.hour("ts").cast("int").alias("hr"),
         F.date_trunc("day", "ts").alias("day_start"),
-        F.col("ts").cast("date").alias("event_date"),
+        F.col("ts").cast("date").cast("timestamp").alias("event_date"),
         F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
         .cast("int")
         .alias("days_since_jan1"),
-        F.date_add(F.col("ts").cast("date"), 7).alias("plus_week"),
-        F.last_day(F.col("ts").cast("date")).alias("month_end"),
+        F.date_add(F.col("ts").cast("date"), 7)
+        .cast("timestamp")
+        .alias("plus_week"),
+        F.last_day(F.col("ts").cast("date"))
+        .cast("timestamp")
+        .alias("month_end"),
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table, read_events_stream
+from e2e_etl_pipeline_spark.functions.money import money_sum
 from e2e_etl_pipeline_spark.registry import register
 from e2e_etl_pipeline_spark.session import pin_utc
 from e2e_etl_pipeline_spark.streaming import windows as sw
@@ -224,9 +225,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
     )
     sink = f"en_{uuid.uuid4().hex[:8]}"

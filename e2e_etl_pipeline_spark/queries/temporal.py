@@ -542,7 +542,9 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     per_day AS (
       SELECT first_day AS day, count(*) AS new_users
-      FROM firsts GROUP BY first_day
+      FROM firsts
+      WHERE first_day IS NOT NULL  -- all-NULL-ts users have no first day
+      GROUP BY first_day
     )
     SELECT
       day,
@@ -563,7 +565,11 @@ def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
-    per_day = firsts.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    per_day = (
+        firsts.where(F.col("day").isNotNull())
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return per_day.withColumn("cum_users", F.sum("new_users").over(w))
 
@@ -908,18 +914,31 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
-               AS day_value
-      FROM events GROUP BY 1
+             sum(CAST(value AS DECIMAL(14,2))) AS dv
+      FROM events
+      WHERE ts IS NOT NULL  -- a NULL day is not a day in the series, and
+                            -- its window position is engine/plan-unstable
+      GROUP BY 1
     ),
     lagged AS (
-      SELECT day_value,
-             lag(day_value) OVER (ORDER BY day) AS prev_value
+      SELECT dv, lag(dv) OVER (ORDER BY day) AS pv
       FROM daily
+    ),
+    stats AS (
+      SELECT count(*) AS n,
+             CAST(sum(dv) AS DOUBLE)      AS sx,
+             CAST(sum(pv) AS DOUBLE)      AS sy,
+             CAST(sum(dv * pv) AS DOUBLE) AS sxy,
+             CAST(sum(dv * dv) AS DOUBLE) AS sxx,
+             CAST(sum(pv * pv) AS DOUBLE) AS syy
+      FROM lagged WHERE pv IS NOT NULL
     )
-    SELECT count(*)                          AS n_pairs,
-           round(corr(day_value, prev_value), 4) AS lag1_autocorr
-    FROM lagged WHERE prev_value IS NOT NULL
+    SELECT n AS n_pairs,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx)
+                               * (n * syy - sy * sy)), 0), 4)
+             AS lag1_autocorr
+    FROM stats
     """,
 )
 def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -927,23 +946,44 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     day's total predicts the next — the first diagnostic of any
     forecasting pipeline (white noise vs trend vs seasonality).
 
-    Scale: the corpus reduces to |days| rows in one grouped aggregate
-    (DECIMAL-exact so both engines see identical doubles); the lag window
-    and corr then run on that tiny series. The single-partition window is
-    safe exactly because it is post-reduction."""
+    Scale: the corpus reduces to |days| rows in one grouped aggregate;
+    the lag window runs on that tiny series. The single-partition window
+    is safe exactly because it is post-reduction.
+
+    Determinism: the correlation derives from exact-DECIMAL sufficient
+    statistics with one closed-form double expression (the q_corr_matrix /
+    q_rolling_corr discipline) — engine-native corr() merges doubles in
+    partition order and flipped a 4dp boundary under the NULL-ts fuzz.
+    NULL-ts rows are excluded on both sides: a NULL day is not part of
+    the series, and DuckDB's window placement of a NULL key turned out
+    to be plan-dependent (observed both first AND last)."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
-        F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
-        .cast("double")
-        .alias("day_value")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(14,2)")).alias("dv"))
     )
     w = Window.orderBy("day")
     lagged = daily.select(
-        "day_value", F.lag("day_value").over(w).alias("prev_value")
-    ).where(F.col("prev_value").isNotNull())
-    return lagged.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.round(F.corr("day_value", "prev_value"), 4).alias("lag1_autocorr"),
+        "dv", F.lag("dv").over(w).alias("pv")
+    ).where(F.col("pv").isNotNull())
+    stats = lagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dv").cast("double").alias("sx"),
+        F.sum("pv").cast("double").alias("sy"),
+        F.sum(F.col("dv") * F.col("pv")).cast("double").alias("sxy"),
+        F.sum(F.col("dv") * F.col("dv")).cast("double").alias("sxx"),
+        F.sum(F.col("pv") * F.col("pv")).cast("double").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return stats.select(
+        F.col("n").alias("n_pairs"),
+        F.round(F.try_divide(num, den), 4).alias("lag1_autocorr"),
     )
 
 
@@ -1104,7 +1144,10 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
              CAST(round(sum(CAST(value AS DECIMAL(14,2))), 2) AS DOUBLE)
                AS x
-      FROM events GROUP BY 1
+      FROM events
+      WHERE ts IS NOT NULL  -- NULL day: not in the series; window
+                            -- placement of a NULL key is plan-unstable
+      GROUP BY 1
     ),
     stats AS (SELECT avg(x) AS mu, count(*) AS n FROM daily),
     cusum AS (
@@ -1132,7 +1175,7 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ordered running sum evaluates left-to-right over the same day
     order in both engines, so the doubles agree bit-for-bit. LIMIT 1
     carries the (abs(c), day) total order."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
         F.round(F.sum(F.col("value").cast("decimal(14,2)")), 2)
         .cast("double")
@@ -1273,7 +1316,7 @@ def q_order_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_percentile_bands",
     oracle="""
-    SELECT CAST(date_trunc('day', ts) AS DATE)        AS day,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)   AS day,
            count(*)                                   AS n_events,
            round(quantile_cont(value, 0.1), 4)        AS p10,
            round(quantile_cont(value, 0.5), 4)        AS p50,
@@ -1288,9 +1331,13 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one grouped exact-percentile aggregate keyed by day; at
     billions of events per day the documented swap is approx_percentile's
-    mergeable t-digest (q_agg_approx_percentile), identical plan shape."""
+    mergeable t-digest (q_agg_approx_percentile), identical plan shape.
+    day is TIMESTAMP on both engines — nullable DATE transport shapes
+    split between engines (see q_date_funcs / the registry hash rule)."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy(F.to_date("ts").alias("day")).agg(
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.expr("percentile(value, 0.1)"), 4).alias("p10"),
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
@@ -1707,19 +1754,20 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT
         user_id, ts, event_type,
+        event_id,
         CASE
           WHEN lag(ts) OVER w IS NULL
             OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
           THEN 1 ELSE 0
         END AS is_new
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
     ),
     sess AS (
       SELECT
         user_id, ts, event_type,
         SUM(is_new) OVER (
-          PARTITION BY user_id ORDER BY ts NULLS LAST
+          PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_seq
       FROM marked
@@ -1755,10 +1803,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     before differencing so the two engines' sub-second representations
     cannot diverge (same rule as q_join_asof).
     """
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
     # asc_nulls_last pins Spark's NULLS FIRST default to DuckDB's window
-    # default (family-wide rule; see q_attribution).
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"))
+    # default (family-wide rule; see q_attribution). The event_id tiebreak
+    # matters exactly for NULL-ts TIE GROUPS: only the first row of the
+    # group inherits a non-NULL lag and joins the previous session, so an
+    # unpinned tie order made that session's n_event_types nondeterministic.
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     gap = F.floor(F.col("ts").cast("double")) - F.floor(
         F.lag("ts").over(w).cast("double")
     )

@@ -292,7 +292,10 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(CASE WHEN event_type = 'purchase'
                       THEN CAST(value AS DECIMAL(14,2))
                       ELSE CAST(0 AS DECIMAL(14,2)) END) AS purchases
-      FROM events GROUP BY 1
+      FROM events
+      WHERE ts IS NOT NULL  -- NULL day: not in the series; window
+                            -- placement of a NULL key is plan-unstable
+      GROUP BY 1
     ),
     win AS (
       SELECT day,
@@ -328,7 +331,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus reduces once to |days| rows; the window runs
     post-reduction. Rows without a full 7-day frame drop on both sides."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     dec = F.col("value").cast("decimal(14,2)")
     zero = F.lit(0).cast("decimal(14,2)")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(

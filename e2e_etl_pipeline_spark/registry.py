@@ -14,6 +14,16 @@ Hash-stability rules enforced across the codebase (SURVEY.md §7 watch list):
   * No array/map/struct OUTPUT columns in oracle-checked queries: the external
     canonicalizer sorts/hashes raw cells and dies on unhashable lists.
     Serialize sets/arrays to strings (array_join / array_to_string) instead.
+  * NULLABLE temporal outputs ship as TIMESTAMP, never DATE, on BOTH
+    dialects: a DATE column containing a NULL transports as datetime64/NaT
+    from DuckDB but object/None from Spark — the local comparator
+    normalizes that split, the driver's exact hash may not (round 4,
+    q_date_funcs / q_percentile_bands). Non-nullable DATE outputs are fine.
+  * Grouped money/value DOUBLE sums accumulate in DECIMAL(18,6) before the
+    2dp round on both dialects — double accumulation is partition-order
+    dependent at rounding boundaries. Integer-valued doubles (quantities)
+    and running sums over a pinned frame order are exempt (exact,
+    respectively order-identical).
 
 Registration order matters: the external driver verifies keys in registration
 order under a budget. Since round 3 the order is pinned at KEY granularity by

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from e2e_etl_pipeline_spark.functions.money import money_sum
+
 
 def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Per (tumbling window, event_type): count + value sum."""
@@ -23,9 +25,7 @@ def tumbling_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
         events.groupBy(F.window("ts", width), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -45,9 +45,7 @@ def sliding_agg(
         events.groupBy(F.window("ts", width, slide))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(F.col("window.start").alias("window_start"), "n_events", "sum_value")
     )

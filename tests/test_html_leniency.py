@@ -164,7 +164,10 @@ def test_lxml_cross_check():
 
     html = "<ul><li data-index='0'><h3>First</h3><li data-index='1'><h3>Second</h3></li></ul>"
     tree = lxml.html.fromstring(html)
-    lis = tree.cssselect("li[data-index]") if hasattr(tree, "cssselect") else []
+    # xpath, not cssselect: lxml elements always expose .cssselect but it
+    # raises ImportError at CALL time when the separate cssselect package
+    # is absent — xpath needs nothing extra.
+    lis = tree.xpath("//li[@data-index]")
     got = _jjit(html)
     assert len(got) == len(lis) == 2
 
@@ -182,3 +185,18 @@ def test_ppl_unclosed_field_does_not_leak_into_next_offer():
     )
     offers = _ppl(html)
     assert [o["position_raw"] for o in offers] == ["Devleak", "Second"]
+
+
+def test_ppl_same_tag_nested_inside_field_accumulates():
+    """Pracuj salary nodes nest <span> inside <span>; depth counting keeps
+    the outer capture open across the nested close (bs4 get_text parity —
+    without it the field truncated at the inner </span>)."""
+    html = (
+        "<div data-test='default-offer'>"
+        "<span data-test='offer-salary'>10 000 <span>–</span> 12 000 PLN</span>"
+        "<a data-test='link-offer-title'>Dev</a>"
+        "</div></html>"
+    )
+    o = _ppl(html)[0]
+    assert o["salary_raw"] == "10 000 – 12 000 PLN"
+    assert o["position_raw"] == "Dev"

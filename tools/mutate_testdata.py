@@ -94,8 +94,10 @@ MUTATIONS: dict[str, dict[str, str]] = {
             -- NULL event-times probe the round-4 NULLS LAST pins and the
             -- window()/session_window() NULL-drop mirroring; outputs must
             -- not depend on order WITHIN a same-user NULL-ts tie group
-            -- (several collide at sf0.01 — lead/lag of a NULL-ts row is
-            -- NULL either way, which is what keeps parity order-free).
+            -- (several collide at sf0.01). NOTE: the FIRST row of a tie
+            -- group inherits a non-NULL lag from the last real event, so
+            -- any ts-ordered lag/lead query needs an event_id tiebreak —
+            -- exactly the q_sessionize defect this leg caught in round 4.
             CASE WHEN event_id % 149 = 0 THEN NULL ELSE ts END AS ts)""",
         "documents.parquet": """* REPLACE (
             CASE WHEN doc_id % 61 = 0 THEN NULL ELSE text END AS text)""",
