@@ -28,7 +28,15 @@ from e2e_etl_pipeline_spark.registry import register
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ),
     purchases AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      -- Dedupe same-(user, ts) purchases to the max-event_id row: ASOF
+      -- picks ambiguously among equal keys, so the tie winner must be
+      -- pinned explicitly for cross-engine parity (ties fuzz variant).
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
     )
     SELECT
       c.event_id,
@@ -50,9 +58,14 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, sort once per user, and carry the last non-null purchase forward
     with last(ignorenulls) over an unbounded-preceding frame. One shuffle
     on user_id, linear scan per partition — the same shape Flink's
-    event-time join and pandas merge_asof use. Timestamps here are unique
-    per user (TESTDATA events are microsecond-random), so at-or-before
-    ties cannot diverge between engines.
+    event-time join and pandas merge_asof use.
+
+    Tie contract (ties fuzz variant — a regenerated testdata could drop
+    ts precision, as it already did once, nanos→micros): at a
+    click/purchase tie the purchase sorts FIRST (ASOF's >= includes it),
+    and among equal-(user, ts) purchases the max event_id wins — the
+    oracle dedupes to the same winner because ASOF itself is ambiguous
+    on equal keys.
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
@@ -76,11 +89,18 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NULLS FIRST here is DELIBERATE (not the family's NULLS LAST pin): a
     # NULL-ts click can never satisfy the oracle's ASOF predicate
-    # (c.ts >= p.ts is NULL), so it must sort BEFORE every purchase and
-    # receive no carry-forward — Spark's ASC default already does that.
+    # (c.ts >= NULL), so it must sort BEFORE every purchase and receive
+    # no carry-forward — Spark's ASC default already does that. Within a
+    # ts tie: purchases first (ASOF's >= lets a same-second click see the
+    # purchase), then event_id, so the LAST purchase of a tie group — the
+    # max event_id, the oracle's pinned winner — is what last() carries.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.asc_nulls_first("ts"))
+        .orderBy(
+            F.asc_nulls_first("ts"),
+            F.asc(F.col("p").isNull()),  # purchases before same-ts clicks
+            F.asc("event_id"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     enriched = (

@@ -38,12 +38,20 @@ rewritten to exact-DECIMAL sufficient statistics, q_abtest to try_divide)
 and q_compact_files counting Spark's empty schema-only file as a fragment
 when rows < shards.
 
+Variant "ties": events.ts floored to a 10-minute grid for 1-in-3 users
+and to whole seconds for the rest — breaks the per-user-unique-ts
+invariant (TESTDATA microsecond-random) that as-of joins, SCD2 and the
+lag/sessionize family document relying on. The driver has already changed
+ts PRECISION between rounds (nanos → micros); a further drop to seconds
+would create exactly these ties, so every ts-ordered construction must
+either carry an event_id tiebreak or produce tie-order-free outputs.
+
 All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 (added or reordered columns — the repo's documented regeneration gotcha)
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode] [src] [dst]
+    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode|ties] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -146,6 +154,13 @@ MUTATIONS: dict[str, dict[str, str]] = {
               WHEN 7 THEN replace(text, ' ', chr(160))         -- NBSP glue
               ELSE text
             END AS text)""",
+    },
+    "ties": {
+        "events.parquet": """* REPLACE (
+            CASE WHEN user_id % 3 = 0
+                 THEN date_trunc('day', ts)       -- heavy same-user ties
+                 ELSE to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))
+            END AS ts)""",
     },
     # Full SELECTs (decimation needs WHERE, not REPLACE); modulo keeps the
     # surviving key sets deterministic and referentially plausible.
