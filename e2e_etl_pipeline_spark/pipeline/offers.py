@@ -181,7 +181,7 @@ class _PracujParser(HTMLParser):
         # contributing text, matching BeautifulSoup's get_text() over the
         # selected node (previously any end tag truncated the field at the
         # first nested close — tests/test_html_leniency.py).
-        if self._capture is not None and tag == getattr(self, "_capture_tag", None):
+        if self._capture is not None and tag == self._capture_tag:
             if self._capture_depth > 0:
                 self._capture_depth -= 1
             else:

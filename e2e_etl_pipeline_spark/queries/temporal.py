@@ -945,18 +945,19 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM daily
     ),
     stats AS (
-      SELECT count(*) AS n,
-             CAST(sum(dv) AS DOUBLE)      AS sx,
-             CAST(sum(pv) AS DOUBLE)      AS sy,
-             CAST(sum(dv * pv) AS DOUBLE) AS sxy,
-             CAST(sum(dv * dv) AS DOUBLE) AS sxx,
-             CAST(sum(pv * pv) AS DOUBLE) AS syy
-      FROM lagged WHERE pv IS NOT NULL
+      SELECT count(*)       AS n,
+             sum(dv)        AS sx_d,
+             sum(pv)        AS sy_d,
+             sum(dv * pv)   AS sxy_d,
+             sum(dv * dv)   AS sxx_d,
+             sum(pv * pv)   AS syy_d
+      FROM lagged WHERE pv IS NOT NULL AND dv IS NOT NULL
     )
     SELECT n AS n_pairs,
-           round((n * sxy - sx * sy)
-                 / nullif(sqrt((n * sxx - sx * sx)
-                               * (n * syy - sy * sy)), 0), 4)
+           round(CAST(n * sxy_d - sx_d * sy_d AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx_d - sx_d * sx_d AS DOUBLE)
+                               * CAST(n * syy_d - sy_d * sy_d AS DOUBLE)),
+                          0), 4)
              AS lag1_autocorr
     FROM stats
     """,
@@ -971,9 +972,13 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     is safe exactly because it is post-reduction.
 
     Determinism: the correlation derives from exact-DECIMAL sufficient
-    statistics with one closed-form double expression (the q_corr_matrix /
-    q_rolling_corr discipline) — engine-native corr() merges doubles in
-    partition order and flipped a 4dp boundary under the NULL-ts fuzz.
+    statistics — the variance terms n·sxx − sx² are computed IN DECIMAL
+    (exactly ≥ 0) and only then cast to double (the q_rolling_corr
+    discipline) — because double-side cancellation can go to −7e-15,
+    where DuckDB's sqrt RAISES while Spark returns NaN. Engine-native
+    corr() additionally merges doubles in partition order and flipped a
+    4dp boundary under the NULL-ts fuzz. NULL dv/pv pairs (an all-NULL
+    value day) are excluded so n matches the summed pairs.
     NULL-ts rows are excluded on both sides: a NULL day is not part of
     the series, and DuckDB's window placement of a NULL key turned out
     to be plan-dependent (observed both first AND last)."""
@@ -986,24 +991,24 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("day")
     lagged = daily.select(
         "dv", F.lag("dv").over(w).alias("pv")
-    ).where(F.col("pv").isNotNull())
+    ).where(F.col("pv").isNotNull() & F.col("dv").isNotNull())
     stats = lagged.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("dv").cast("double").alias("sx"),
-        F.sum("pv").cast("double").alias("sy"),
-        F.sum(F.col("dv") * F.col("pv")).cast("double").alias("sxy"),
-        F.sum(F.col("dv") * F.col("dv")).cast("double").alias("sxx"),
-        F.sum(F.col("pv") * F.col("pv")).cast("double").alias("syy"),
+        F.sum("dv").alias("sx_d"),
+        F.sum("pv").alias("sy_d"),
+        F.sum(F.col("dv") * F.col("pv")).alias("sxy_d"),
+        F.sum(F.col("dv") * F.col("dv")).alias("sxx_d"),
+        F.sum(F.col("pv") * F.col("pv")).alias("syy_d"),
     )
-    n = F.col("n").cast("double")
-    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
+    n = F.col("n")
+    num = (n * F.col("sxy_d") - F.col("sx_d") * F.col("sy_d")).cast("double")
+    denx = (n * F.col("sxx_d") - F.col("sx_d") * F.col("sx_d")).cast("double")
+    deny = (n * F.col("syy_d") - F.col("sy_d") * F.col("sy_d")).cast("double")
     return stats.select(
         F.col("n").alias("n_pairs"),
-        F.round(F.try_divide(num, den), 4).alias("lag1_autocorr"),
+        F.round(F.try_divide(num, F.sqrt(denx * deny)), 4).alias(
+            "lag1_autocorr"
+        ),
     )
 
 

@@ -38,10 +38,10 @@ rewritten to exact-DECIMAL sufficient statistics, q_abtest to try_divide)
 and q_compact_files counting Spark's empty schema-only file as a fragment
 when rows < shards.
 
-Variant "ties": events.ts floored to a 10-minute grid for 1-in-3 users
-and to whole seconds for the rest — breaks the per-user-unique-ts
-invariant (TESTDATA microsecond-random) that as-of joins, SCD2 and the
-lag/sessionize family document relying on. The driver has already changed
+Variant "ties": events.ts collapsed to day-start for 1-in-3 users (heavy
+same-user tie groups) and floored to whole seconds for the rest — breaks
+the per-user-unique-ts invariant (TESTDATA microsecond-random) that
+as-of joins, SCD2 and the lag/sessionize family document relying on. The driver has already changed
 ts PRECISION between rounds (nanos → micros); a further drop to seconds
 would create exactly these ties, so every ts-ordered construction must
 either carry an event_id tiebreak or produce tie-order-free outputs.
@@ -156,10 +156,16 @@ MUTATIONS: dict[str, dict[str, str]] = {
             END AS text)""",
     },
     "ties": {
+        # CAST AS TIMESTAMP: date_trunc yields DATE and to_timestamp
+        # TIMESTAMPTZ; unguarded, the CASE unifies to TIMESTAMPTZ and the
+        # written parquet drifts to timestamp[us, tz=UTC] — no longer the
+        # production physical type, and local-tz-dependent on a non-UTC
+        # host.
         "events.parquet": """* REPLACE (
             CASE WHEN user_id % 3 = 0
-                 THEN date_trunc('day', ts)       -- heavy same-user ties
-                 ELSE to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))
+                 THEN CAST(date_trunc('day', ts) AS TIMESTAMP)
+                 ELSE CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT))
+                      AS TIMESTAMP)
             END AS ts)""",
     },
     # Full SELECTs (decimation needs WHERE, not REPLACE); modulo keeps the
