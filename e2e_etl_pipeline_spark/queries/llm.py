@@ -1176,3 +1176,110 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = mm.attach_fake_media(d)
     return mm.sample_frames(media, k=4, width=16)
+
+
+@register(
+    "q_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: every document gets a global training
+    position by ranking on md5(doc_id || ':' || seed) — the
+    reproducible-global-shuffle primitive a training data loader needs
+    (same corpus + same seed → same order on any engine or cluster; bump
+    the seed per epoch for a fresh permutation). Hash-ordered, never
+    rand(): the order re-derives from the data alone (the
+    q_sample_stratified / q_train_val_split discipline), and md5 is
+    byte-identical across engines, unlike xxhash64.
+
+    Scale: the global rank is operators/ranks.py distributed_rank — a
+    sampled range exchange on the (uniform) hash plus per-partition
+    row_number, no single-partition sort (this key is the operator's
+    oracle-checked string-key exercise). The hash's uniformity is exactly
+    what makes the range exchange balanced at any corpus size."""
+    from e2e_etl_pipeline_spark.operators.ranks import distributed_rank
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias(
+            "h"
+        ),
+    )
+    ranked = distributed_rank(
+        d, [F.asc_nulls_last("h"), F.asc("doc_id")], "pos"
+    )
+    return ranked.select("doc_id", "pos")
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, lang, n_chars,
+             trim(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))
+               AS norm
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY norm
+               ORDER BY length(norm) DESC, n_chars DESC, doc_id
+             ) AS rn
+      FROM normed
+    )
+    SELECT doc_id, lang, n_chars
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor policy: documents that are equal after
+    whitespace canonicalization dedupe to the HIGHEST-quality member
+    (longest normalized text, then raw n_chars, then min doc_id) instead
+    of the arbitrary-or-min-id survivor — the policy real training
+    pipelines want, where near-identical crawls differ only in mangled
+    whitespace and the cleanest copy should win.
+
+    Scale: groups key on a digest of the normalized text (xxhash64 — 8
+    bytes through the shuffle, bodies stay put; the q_dedup_exact
+    discipline) and the survivor is one max_by struct aggregate —
+    map-side combinable, one exchange, no window over the corpus. The
+    whitespace class is the pinned [ \\t\\n\\x0B\\f\\r]+ (Java \\s ==
+    RE2 class, the verify-skill tokenizer rule). NULL-text docs are
+    excluded on both sides (no content to canonicalize)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    norm = F.trim(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " "))
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        norm.alias("norm"),
+        F.xxhash64(norm).alias("digest"),
+    )
+    # Survivor via one aggregate: max of (len, n_chars, -doc_id) picks the
+    # longest-then-richest-then-smallest-id member; the post-join norm
+    # equality check handles the collision-rare same-digest groups the
+    # same way q_dedup_corpus does (eqNullSafe unnecessary — text filtered
+    # non-NULL above).
+    best = (
+        keyed.groupBy("digest", "norm")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("norm").alias("ln"),
+                    F.col("n_chars").alias("nc"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("b")
+        )
+        .select("digest", "norm", (-F.col("b.nid")).alias("doc_id"))
+    )
+    return keyed.join(best, ["digest", "norm", "doc_id"], "left_semi").select(
+        "doc_id", "lang", "n_chars"
+    )

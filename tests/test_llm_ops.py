@@ -353,3 +353,47 @@ def test_heavy_hitters_matches_bruteforce(spark, sf_dir):
         .collect()
     }
     assert got == brute
+
+
+def test_shuffle_order_is_a_permutation_and_seed_stable(spark, sf_dir):
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+
+    a = QUERIES["q_shuffle_order"](spark, sf_dir).collect()
+    n = len(a)
+    assert sorted(r.pos for r in a) == list(range(1, n + 1))
+    b = QUERIES["q_shuffle_order"](spark, sf_dir).collect()
+    assert {(r.doc_id, r.pos) for r in a} == {(r.doc_id, r.pos) for r in b}
+    # a hash order is not the id order (vanishingly unlikely to collide)
+    assert [r.pos for r in sorted(a, key=lambda r: r.doc_id)] != list(
+        range(1, n + 1)
+    )
+
+
+def test_dedup_keep_best_prefers_longest_copy(spark):
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+    import os, tempfile
+
+    load_all()
+
+    rows = [
+        # three whitespace-variants of one doc; 11 is longest raw but the
+        # NORMALIZED length ties — survivor = max n_chars then min doc_id
+        (10, "the quick fox", "en", "web", 13),
+        (11, "the  quick \t fox", "en", "web", 16),
+        (12, " the quick fox ", "en", "web", 15),
+        (20, "unique doc", "de", "web", 10),
+        (21, None, "de", "web", 0),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.doc_id
+            for r in QUERIES["q_dedup_keep_best"](spark, td).collect()
+        }
+    # normalized texts equal -> one survivor: n_chars 16 wins (doc 11);
+    # NULL-text doc excluded; unique doc survives
+    assert got == {11, 20}
