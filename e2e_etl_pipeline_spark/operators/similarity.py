@@ -210,9 +210,10 @@ def lsh_bucketed_topk(
         # NULLs, every plane dot go NULL, and every vector land in bucket 0
         # of every table — a silent full cross join instead of LSH.
         row = corpus.select(F.size(vec_col)).first()
-        if row is None:
-            raise ValueError("lsh_bucketed_topk: empty corpus, cannot infer dim")
-        dim = row[0]
+        # Empty corpus: any dim works (no rows will hash) — degrade to an
+        # empty result with the normal schema instead of raising; an empty
+        # slice is data, not a misconfiguration.
+        dim = 1 if row is None else row[0]
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
 
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:

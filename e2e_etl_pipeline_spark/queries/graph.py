@@ -131,6 +131,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # Empty graph: no nodes, no ranks — mirror the recursive oracle's
+        # empty result instead of dividing the teleport mass by zero.
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
     ranks = nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("rank"))
     # The rank vector is |event_type| rows; 32-way shuffles would spend the
     # whole loop launching empty tasks. Scope the partition count to the

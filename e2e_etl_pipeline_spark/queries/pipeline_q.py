@@ -81,6 +81,12 @@ def q_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
     )
     row = merged.collect()[0]
+    if row["n_docs"] == 0:
+        # string_agg over zero rows is NULL; an empty written file reads
+        # back as zero rows, so mirror the oracle without the round-trip.
+        return spark.createDataFrame(
+            [(None, 0)], "n_chars bigint, n_docs bigint"
+        )
     path = _tmpdir("text")
     try:
         with open(f"{path}/doc.txt", "w", encoding="utf-8") as f:
@@ -418,7 +424,9 @@ def q_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.repartition("event_type").write.mode("overwrite").partitionBy(
             "event_type"
         ).parquet(path)
-        back = spark.read.parquet(path).select(
+        # Explicit schema: a fully-empty partitioned write leaves no data
+        # files and schema inference would fail (empty-slice robustness).
+        back = spark.read.schema(ev.schema).parquet(path).select(
             "event_type",
             F.col("_metadata.file_path").alias("fp"),
             F.col("_metadata.row_index").alias("ri"),
@@ -745,7 +753,10 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if untouched:
             parts.append(spark.read.parquet(*untouched))
-        final = parts[0]
+        # Empty source: the write leaves one schema-only file and zero
+        # stats rows — read it back so the aggregate degrades to
+        # (0, NULL, 0) exactly like the oracle over an empty table.
+        final = parts[0] if parts else spark.read.parquet(path)
         for p in parts[1:]:
             final = final.unionByName(p)
         return final.agg(
@@ -793,7 +804,8 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmpdir("dpp")
     try:
         ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
-        fact = spark.read.parquet(path)
+        # Explicit schema: empty-slice robustness, as in q_metadata_columns.
+        fact = spark.read.schema(ev.schema).parquet(path)
         dim = spark.createDataFrame(
             [(t,) for t in ("click", "purchase", "view", "signup", "error")],
             "event_type string",

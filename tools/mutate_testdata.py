@@ -51,7 +51,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode|ties] [src] [dst]
+    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode|ties|empty] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -154,6 +154,17 @@ MUTATIONS: dict[str, dict[str, str]] = {
               WHEN 7 THEN replace(text, ' ', chr(160))         -- NBSP glue
               ELSE text
             END AS text)""",
+    },
+    # Fully-empty behavioral tables (dims untouched): the limiting case of
+    # sparse. First run exposed five empty-slice crashes (all fixed):
+    # LSH raising instead of returning empty, PageRank teleport
+    # divide-by-zero, parts[0] on an empty stats list, schema inference
+    # over a data-file-less partitioned write, and a zero-row wholetext
+    # read-back.
+    "empty": {
+        "events.parquet": "SELECT * FROM src_table WHERE 1 = 0",
+        "documents.parquet": "SELECT * FROM src_table WHERE 1 = 0",
+        "embeddings.parquet": "SELECT * FROM src_table WHERE 1 = 0",
     },
     "ties": {
         # CAST AS TIMESTAMP: date_trunc yields DATE and to_timestamp
