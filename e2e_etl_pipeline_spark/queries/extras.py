@@ -48,25 +48,74 @@ def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_agg_stats",
     oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2)))      AS sq,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2)))    AS sqq,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS spp,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(18,2))) AS sqp,
+             sum(CAST(l_discount AS DECIMAL(4,2)))       AS sd,
+             sum(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(4,2)))     AS sqd
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
     SELECT
       l_returnflag,
-      round(stddev_samp(l_quantity), 4)                 AS qty_stddev,
-      round(var_samp(l_quantity), 4)                    AS qty_var,
-      round(corr(l_quantity, l_extendedprice), 4)       AS qty_price_corr,
-      round(covar_samp(l_quantity, l_discount), 6)      AS qty_disc_covar
-    FROM lineitem
-    GROUP BY l_returnflag
+      round(sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / (n * (n - 1.0))), 4)
+                                                        AS qty_stddev,
+      round(CAST(n * sqq - sq * sq AS DOUBLE) / (n * (n - 1.0)), 4)
+                                                        AS qty_var,
+      round(CAST(n * sqp - sq * sp AS DOUBLE)
+            / nullif(sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                          * CAST(n * spp - sp * sp AS DOUBLE)), 0), 4)
+                                                        AS qty_price_corr,
+      round(CAST(n * sqd - sq * sd AS DOUBLE) / (n * (n - 1.0)), 6)
+                                                        AS qty_disc_covar
+    FROM s
     """,
 )
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregate family (sample stddev/variance, correlation,
-    covariance) — irrational-valued, so 4/6-dp rounding is tie-free."""
+    covariance) from exact-DECIMAL sufficient statistics — engine-native
+    stddev/corr/covar accumulate doubles in partition order, so a value
+    within one ulp of a rounding boundary could flip between engines (the
+    q_regression_ols discipline; round-4 review). Variance terms are
+    computed IN DECIMAL (exactly >= 0) before the double cast, so sqrt
+    never sees a cancelled negative."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
-        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+    dq = F.col("l_quantity").cast("decimal(12,2)")
+    dp = F.col("l_extendedprice").cast("decimal(18,2)")
+    dd = F.col("l_discount").cast("decimal(4,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dq).alias("sq"),
+        F.sum(dq * dq).alias("sqq"),
+        F.sum(dp).alias("sp"),
+        F.sum(dp * dp).alias("spp"),
+        F.sum(dq * dp).alias("sqp"),
+        F.sum(dd).alias("sd"),
+        F.sum(dq * dd).alias("sqd"),
+    )
+    n = F.col("n")
+    varq = (n * F.col("sqq") - F.col("sq") * F.col("sq")).cast("double")
+    varp = (n * F.col("spp") - F.col("sp") * F.col("sp")).cast("double")
+    covqp = (n * F.col("sqp") - F.col("sq") * F.col("sp")).cast("double")
+    covqd = (n * F.col("sqd") - F.col("sq") * F.col("sd")).cast("double")
+    bessel = (n * (n - F.lit(1.0))).cast("double")
+    return s.select(
+        "l_returnflag",
+        F.round(F.sqrt(varq / bessel), 4).alias("qty_stddev"),
+        F.round(varq / bessel, 4).alias("qty_var"),
+        F.round(F.try_divide(covqp, F.sqrt(varq * varp)), 4).alias(
+            "qty_price_corr"
+        ),
+        F.round(covqd / bessel, 6).alias("qty_disc_covar"),
     )
 
 
@@ -626,36 +675,44 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_argmax",
     oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC)
+               AS rmax,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS rmin
+      FROM orders
+    )
     SELECT
       o_orderpriority,
-      arg_max(o_orderkey, o_totalprice * 8388608.0 + o_orderkey)
-                                                    AS most_expensive_key,
-      arg_min(o_orderkey, o_totalprice * 8388608.0 + o_orderkey)
-                                                    AS cheapest_key,
+      max(CASE WHEN rmax = 1 THEN o_orderkey END)   AS most_expensive_key,
+      max(CASE WHEN rmin = 1 THEN o_orderkey END)   AS cheapest_key,
       round(max(o_totalprice), 2)                   AS max_total,
       round(min(o_totalprice), 2)                   AS min_total
-    FROM orders GROUP BY o_orderpriority
+    FROM ranked GROUP BY o_orderpriority
     """,
 )
 def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """argmax/argmin aggregates (Spark max_by/min_by ≡ DuckDB
-    arg_max/arg_min): the key of each group's most/least expensive order
-    in ONE aggregation pass — the one-scan alternative to a rank-window
-    or self-join for single-winner-per-group.
+    """argmax/argmin aggregates: the key of each group's most/least
+    expensive order in ONE aggregation pass (max_by/min_by over a struct
+    ordering) — the one-scan alternative to a rank-window or self-join
+    for single-winner-per-group.
 
-    Determinism: both engines break price ties via a scalar composite
-    ordering value, price·2²³ + orderkey — orderkey gaps (≥1) dwarf the
-    double ulp at this magnitude, so the composite is injective and both
-    engines pick the same winner regardless of row order."""
+    Determinism: the tie contract is (price, orderkey) lexicographic —
+    max takes the larger key on a price tie, min the smaller — via a
+    STRUCT ordering value, which stays injective at any key range. (The
+    earlier scalar composite price·2²³ + orderkey was only injective
+    while keys stayed under 0.01·2²³ = 83886 — a regenerated keyspace
+    would silently break it; round-4 review.) DuckDB's arg_max cannot
+    order by a struct, so the oracle expresses the same contract as two
+    rank windows."""
     o = load_table(spark, sf_dir, "orders")
-    ordv = F.col("o_totalprice") * 8388608.0 + F.col("o_orderkey")
+    ordv = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
     return o.groupBy("o_orderpriority").agg(
-        F.expr(
-            "max_by(o_orderkey, o_totalprice * 8388608.0D + o_orderkey)"
-        ).alias("most_expensive_key"),
-        F.expr(
-            "min_by(o_orderkey, o_totalprice * 8388608.0D + o_orderkey)"
-        ).alias("cheapest_key"),
+        F.max_by("o_orderkey", ordv).alias("most_expensive_key"),
+        F.min_by("o_orderkey", ordv).alias("cheapest_key"),
         F.round(F.max("o_totalprice"), 2).alias("max_total"),
         F.round(F.min("o_totalprice"), 2).alias("min_total"),
     )

@@ -25,7 +25,6 @@ from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.registry import register
 
 K_SEEDS = 8
-DIM = 64
 
 
 @register(
@@ -63,7 +62,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dists AS (
       SELECT e.vec_id, s.cid,
-             list_sum(list_transform(range(1, {DIM + 1}),
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))
                AS sq
