@@ -139,18 +139,23 @@ def q_str_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       c_custkey,
-      CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_num,
+      TRY_CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT)
+                                                                   AS name_num,
       regexp_extract(c_name, '(\\d+)$', 1)                         AS trailing_digits
     FROM customer
     """,
 )
 def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18-A22: regexp_extract with capture groups (same signature in both
-    engines)."""
+    engines). try_cast: a non-matching c_name yields '' and CAST('' AS
+    BIGINT) is a hard error in BOTH dialects — one differently-formatted
+    row must degrade to NULL, not crash the key (round-4 review)."""
     c = load_table(spark, sf_dir, "customer")
     return c.select(
         "c_custkey",
-        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint").alias("name_num"),
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1)
+        .try_cast("bigint")
+        .alias("name_num"),
         F.regexp_extract("c_name", r"(\d+)$", 1).alias("trailing_digits"),
     )
 
@@ -185,13 +190,16 @@ def q_split_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       s_suppkey,
       concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR)) AS name_nation,
-      concat('supp=', s_name)                              AS tagged,
+      'supp=' || s_name                                    AS tagged,
       lpad(CAST(s_suppkey AS VARCHAR), 8, '0')             AS padded_key
     FROM supplier
     """,
 )
 def q_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3/A28: concat/format — URL-builder-style string assembly."""
+    """A3/A28: concat/format — URL-builder-style string assembly.
+    The oracle uses || (NULL-propagating, like Spark's concat) rather
+    than DuckDB's concat(), which SKIPS NULL arguments — one NULL s_name
+    would otherwise split the engines (round-4 review)."""
     s = load_table(spark, sf_dir, "supplier")
     return s.select(
         "s_suppkey",

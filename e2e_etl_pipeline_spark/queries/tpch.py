@@ -291,7 +291,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
       o_year,
       round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(16,4)) END)
                  AS DOUBLE)
-            / CAST(sum(volume) AS DOUBLE), 4) AS mkt_share
+            / nullif(CAST(sum(volume) AS DOUBLE), 0), 4) AS mkt_share
     FROM (
       SELECT
         year(o_orderdate) AS o_year,
@@ -350,10 +350,14 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_year").agg(
         F.round(
-            F.sum(F.when(F.col("nation") == "NATION_5", F.col("volume")).otherwise(zero)).cast(
-                "double"
-            )
-            / F.sum("volume").cast("double"),
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        F.col("nation") == "NATION_5", F.col("volume")
+                    ).otherwise(zero)
+                ).cast("double"),
+                F.sum("volume").cast("double"),
+            ),
             4,
         ).alias("mkt_share")
     )
@@ -522,7 +526,8 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
                                   THEN CAST({_REVENUE_SQL} AS DECIMAL(16,4))
                                   ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
-            / CAST(sum(CAST({_REVENUE_SQL} AS DECIMAL(16,4))) AS DOUBLE), 4)
+            / nullif(CAST(sum(CAST({_REVENUE_SQL} AS DECIMAL(16,4)))
+                           AS DOUBLE), 0), 4)
         AS promo_revenue
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -547,8 +552,12 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)).cast("double")
-                / F.sum(vol).cast("double"),
+                * F.try_divide(
+                    F.sum(
+                        F.when(F.col("p_type") == "PROMO", vol).otherwise(zero)
+                    ).cast("double"),
+                    F.sum(vol).cast("double"),
+                ),
                 4,
             ).alias("promo_revenue")
         )
@@ -663,9 +672,10 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
       count(*) AS numcust,
       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
     FROM customer
-    WHERE c_acctbal > (
-        SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
-      )
+    WHERE CAST(c_acctbal AS DECIMAL(12,2))
+            * (SELECT count(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2)))
+             FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey
@@ -677,12 +687,19 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (adapted: no phone column, so the group key is
     c_nationkey, and "no orders" — vacuous in this data — becomes "no
-    orders since 2001-01-01"). Scalar-subquery average broadcasts as a
-    literal; the NOT EXISTS is a LEFT ANTI join against the pruned
-    recent-orders scan. Balance sums run in DECIMAL."""
+    orders since 2001-01-01"). The above-average filter is DIVISIONLESS:
+    bal > avg(pos) rewrites to bal·n_pos > sum_pos with both sides exact
+    DECIMAL — an engine-native double avg() accumulates in partition
+    order, and a 2dp balance sitting exactly on the true mean would flip
+    the strict > between engines (round-4 review; the q17/q11 pattern).
+    The NOT EXISTS is a LEFT ANTI join against the pruned recent-orders
+    scan. Balance sums run in DECIMAL."""
     c = load_table(spark, sf_dir, "customer")
     avg_bal = F.broadcast(
-        c.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("avg_bal"))
+        c.filter(F.col("c_acctbal") > 0.0).agg(
+            F.count(F.lit(1)).alias("n_pos"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).alias("sum_pos"),
+        )
     )
     recent = (
         load_table(spark, sf_dir, "orders")
@@ -691,7 +708,10 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         c.crossJoin(avg_bal)
-        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .filter(
+            F.col("c_acctbal").cast("decimal(12,2)") * F.col("n_pos")
+            > F.col("sum_pos")
+        )
         .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .groupBy("c_nationkey")
         .agg(
@@ -904,7 +924,12 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
     j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    # INTERVAL (not date_add): date_add truncates to midnight, so a
+    # regenerated o_orderdate WITH a time component would shift the late
+    # threshold vs the oracle's o_orderdate + INTERVAL 60 DAY (q4 pattern).
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
     per_order = j.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
@@ -1084,6 +1109,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p_brand <> 'Brand#4'
       AND p_type NOT IN ('PROMO', 'ECONOMY')
       AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      -- explicit IS NOT NULL: NOT IN over an EMPTY blacklist is TRUE even
+      -- for NULL keys, so without it a no-arrears regeneration plus NULL
+      -- l_suppkey rows would keep pairs the engine's prefilter drops
+      AND l_suppkey IS NOT NULL
       AND l_suppkey NOT IN (
         SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
       )

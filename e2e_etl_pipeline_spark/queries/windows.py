@@ -143,10 +143,12 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       user_id,
       event_id,
-      round(avg(value) OVER (
-        PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
-        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+      round(CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE)
+            / count(value) OVER w, 4) AS moving_avg_3
     FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,10 +159,20 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(-2, 0)
     )
+    # Exact-DECIMAL frame sum / count instead of avg(double): DuckDB
+    # evaluates sliding frames with a segment tree (tree-order FP adds)
+    # vs Spark's in-order accumulation — full-precision values could
+    # split a 4dp boundary (round-4 review; q_rolling_corr discipline).
+    dec = F.col("value").cast("decimal(14,2)")
     return e.select(
         "user_id",
         "event_id",
-        F.round(F.avg("value").over(w), 4).alias("moving_avg_3"),
+        F.round(
+            F.try_divide(
+                F.sum(dec).over(w).cast("double"), F.count("value").over(w)
+            ),
+            4,
+        ).alias("moving_avg_3"),
     )
 
 
