@@ -82,12 +82,17 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("l_partkey").alias("n_parts"))
     )
     supps = (
-        li.select("l_returnflag", "l_suppkey")
+        li.select(F.col("l_returnflag").alias("rf"), "l_suppkey")
         .distinct()
-        .groupBy("l_returnflag")
+        .groupBy("rf")
         .agg(F.count("l_suppkey").alias("n_suppliers"))
     )
-    return parts.join(supps, "l_returnflag")
+    # eqNullSafe: an inner equi-join would drop a NULL-returnflag group
+    # that the oracle's GROUP BY keeps (round-4 review; schema drift
+    # precedent makes the non-null assumption unsafe).
+    return parts.join(
+        supps, F.col("l_returnflag").eqNullSafe(F.col("rf"))
+    ).select("l_returnflag", "n_parts", "n_suppliers")
 
 
 @register("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines

@@ -52,7 +52,9 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_join_broadcast",
     oracle="""
-    SELECT r.r_name, count(*) AS n_customers, round(avg(c.c_acctbal), 4) AS avg_bal
+    SELECT r.r_name, count(*) AS n_customers,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -75,7 +77,13 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+            # exact-DECIMAL sum / count, not avg(double): money means are
+            # partition-order dependent at 4dp boundaries (registry rule)
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_bal"),
         )
     )
 
@@ -86,7 +94,8 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       c.c_custkey,
       count(o.o_orderkey)                        AS n_orders,
-      round(coalesce(sum(o.o_totalprice), 0), 2) AS revenue
+      CAST(round(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,6))),
+                          0), 2) AS DOUBLE)       AS revenue
     FROM customer c
     LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
       ON c.c_custkey = o.o_custkey
@@ -102,7 +111,15 @@ def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias("revenue"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,6)")),
+                    F.lit(0).cast("decimal(18,6)"),
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
         )
     )
 

@@ -361,7 +361,11 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return rich.exceptAll(urgent).distinct()
+    # subtract() IS SQL EXCEPT (distinct, removes any value present on
+    # the right); exceptAll().distinct() would keep a value whose left
+    # multiplicity merely exceeds the right's (round-4 review) — equal
+    # here only because c_custkey is unique on the left.
+    return rich.subtract(urgent)
 
 
 @register(

@@ -25,6 +25,40 @@ from e2e_etl_pipeline_spark.session import pin_utc
 from e2e_etl_pipeline_spark.streaming import windows as sw
 
 
+def _run_to_memory_sink(
+    df: DataFrame,
+    prefix: str,
+    output_mode: str,
+    shuffle_partitions: str = "4",
+) -> DataFrame:
+    """Run a streaming frame to completion into a memory sink under
+    Trigger.availableNow and return a reader over it — the ONE copy of
+    the sink-name/conf-scoping boilerplate the streaming keys share.
+
+    The stateful operators create one state store per shuffle partition
+    at checkpoint creation; 32 stores for a handful of keys is pure setup
+    cost, so the shuffle partition count is scoped down for the stream
+    start and restored after (batch queries are unaffected — AQE
+    coalesces them anyway)."""
+    spark = df.sparkSession
+    sink = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", shuffle_partitions)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(sink)
+
+
+
 @register(
     "q_stream_tumbling",
     oracle="""
@@ -125,21 +159,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .dropDuplicates(["user_id"])
     )
-    sink = f"dd_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            stream.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink)
+    return _run_to_memory_sink(stream, "dd", "append")
 
 
 @register(
@@ -169,26 +189,7 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("window.start").alias("window_start"), "n_events")
     )
-    sink = f"wm_{uuid.uuid4().hex[:8]}"
-    # The stateful agg creates one state store per shuffle partition at
-    # checkpoint creation; 32 stores for a handful of hour-buckets is pure
-    # setup cost (~half this query's runtime). Scope the partition count down
-    # for the stream start, then restore — batch queries on the session are
-    # unaffected (AQE coalesces them anyway).
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink)
+    return _run_to_memory_sink(agg, "wm", "complete")
 
 
 @register(
@@ -228,21 +229,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("value").alias("sum_value"),
         )
     )
-    sink = f"en_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink)
+    return _run_to_memory_sink(agg, "en", "complete")
 
 
 @register(
@@ -276,21 +263,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e2e_etl_pipeline_spark.streaming.stateful import progress_tracker
 
     tracked = progress_tracker(stream)
-    sink = f"st_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            tracked.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink)
+    return _run_to_memory_sink(tracked, "st", "update")
 
 
 def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -313,21 +286,7 @@ def q_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from e2e_etl_pipeline_spark.streaming.tws import extrema_tracker
 
     tracked = extrema_tracker(stream)
-    sink = f"tw_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
-        q = (
-            tracked.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(sink)
+    return _run_to_memory_sink(tracked, "tw", "update")
 
 
 @register(

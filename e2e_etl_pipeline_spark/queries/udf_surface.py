@@ -215,13 +215,18 @@ def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "lang": [pdf["lang"].iloc[0]],
                 "n_docs": [len(pdf)],
-                "avg_chars": [round(float(pdf["n_chars"].mean()), 4)],
+                # unrounded: Python round() is half-EVEN while SQL round
+                # is half-away — a dyadic-tie mean (e.g. x.40625 over a
+                # 32-doc group) would split the engines; F.round applies
+                # the SQL rule after the UDF (round-4 review).
+                "avg_chars": [float(pdf["n_chars"].mean())],
                 "char_range": [int(pdf["n_chars"].max() - pdf["n_chars"].min())],
             }
         )
 
     d = load_table(spark, sf_dir, "documents")
-    return d.groupBy("lang").applyInPandas(stats, schema=schema)
+    out = d.groupBy("lang").applyInPandas(stats, schema=schema)
+    return out.withColumn("avg_chars", F.round("avg_chars", 4))
 
 
 @register(
@@ -258,8 +263,6 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one nation; orders semi-joined to its customers) BEFORE the cogroup —
     per-key Python has real overhead, so you narrow the keyset first and
     never cogroup what a plain join answers."""
-    import pandas as pd
-
     c = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_nationkey") == 0)
