@@ -591,6 +591,7 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY o_orderpriority
                                 ORDER BY o_totalprice, o_orderkey) AS i
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT o_orderpriority,
            count(*) AS n_orders,
@@ -611,8 +612,13 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear at the final division, on identical inputs in both engines).
     Ties in x across ranks cannot change Σi·xᵢ — permuting equal values
     over a set of ranks leaves the sum invariant — so the orderkey
-    tiebreak only pins the window, not the metric."""
-    o = load_table(spark, sf_dir, "orders")
+    tiebreak only pins the window, not the metric. NULL prices are
+    excluded on both sides (a NULL has no place on a Lorenz curve, and
+    unfiltered it would rank NULLS FIRST in Spark vs NULLS LAST in
+    DuckDB, shifting every real rank — nulls fuzz variant, round 4)."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
     w = Window.partitionBy("o_orderpriority").orderBy(
         "o_totalprice", "o_orderkey"
     )
@@ -687,8 +693,10 @@ def q_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       o_orderpriority,
-      max(CASE WHEN rmax = 1 THEN o_orderkey END)   AS most_expensive_key,
-      max(CASE WHEN rmin = 1 THEN o_orderkey END)   AS cheapest_key,
+      max(CASE WHEN rmax = 1 AND o_totalprice IS NOT NULL
+               THEN o_orderkey END)                 AS most_expensive_key,
+      max(CASE WHEN rmin = 1 AND o_totalprice IS NOT NULL
+               THEN o_orderkey END)                 AS cheapest_key,
       round(max(o_totalprice), 2)                   AS max_total,
       round(min(o_totalprice), 2)                   AS min_total
     FROM ranked GROUP BY o_orderpriority
@@ -707,9 +715,19 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     while keys stayed under 0.01·2²³ = 83886 — a regenerated keyspace
     would silently break it; round-4 review.) DuckDB's arg_max cannot
     order by a struct, so the oracle expresses the same contract as two
-    rank windows."""
+    rank windows.
+
+    NULL prices are not argmax candidates: the ordering value is masked
+    to NULL (max_by/min_by skip NULL orderings — verified) because a raw
+    struct(NULL, key) still compares, with the NULL field SMALLEST, so
+    min_by would elect a NULL-price row while the oracle's NULLS LAST
+    window ranks it dead last (nulls fuzz variant, round 4). A group
+    whose prices are all NULL yields NULL keys on both engines."""
     o = load_table(spark, sf_dir, "orders")
-    ordv = F.struct(F.col("o_totalprice"), F.col("o_orderkey"))
+    ordv = F.when(
+        F.col("o_totalprice").isNotNull(),
+        F.struct(F.col("o_totalprice"), F.col("o_orderkey")),
+    )
     return o.groupBy("o_orderpriority").agg(
         F.max_by("o_orderkey", ordv).alias("most_expensive_key"),
         F.min_by("o_orderkey", ordv).alias("cheapest_key"),

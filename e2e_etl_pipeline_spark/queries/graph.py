@@ -134,6 +134,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_nodes == 0:
         # Empty graph: no nodes, no ranks — mirror the recursive oracle's
         # empty result instead of dividing the teleport mass by zero.
+        edges.unpersist()
         return nodes.select(
             "node", F.lit(None).cast("double").alias("rank")
         )
@@ -146,9 +147,20 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         ranks = _iterate(edges, ranks, n_nodes)
+        # Materialize the final iteration INSIDE the scope: the returned
+        # frame is otherwise planned lazily at collect time, after the
+        # finally has restored the session default — only the mid-loop
+        # checkpoints (iters 3/6/9) would see the 4-partition setting.
+        ranks = ranks.select(
+            "node", F.round("rank", 6).alias("rank")
+        ).localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    # The checkpoint above severed lineage, so the session-lifetime edge
+    # cache can be released instead of pinning one InMemoryRelation per
+    # driver-verified graph key.
+    edges.unpersist()
+    return ranks
 
 
 def _iterate(edges: DataFrame, ranks: DataFrame, n_nodes: int) -> DataFrame:
@@ -232,7 +244,11 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("hop").alias("hop"))
         )
         walk = walk.unionByName(level)
-    return walk.groupBy("node").agg(F.min("hop").cast("bigint").alias("hops"))
+    out = walk.groupBy("node").agg(
+        F.min("hop").cast("bigint").alias("hops")
+    ).localCheckpoint(eager=True)  # materialize, then release the cache
+    edges.unpersist()
+    return out
 
 
 _BFS_RECURSIVE_SQL = f"""
@@ -320,8 +336,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nodes = ev.agg(F.countDistinct("event_type").alias("n_nodes"))
     edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
-    return (
+    out = (
         nodes.crossJoin(F.broadcast(edges))
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
+        .localCheckpoint(eager=True)  # materialize, then release the cache
     )
+    und.unpersist()
+    return out

@@ -1246,40 +1246,40 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines want, where near-identical crawls differ only in mangled
     whitespace and the cleanest copy should win.
 
-    Scale: groups key on a digest of the normalized text (xxhash64 — 8
-    bytes through the shuffle, bodies stay put; the q_dedup_exact
-    discipline) and the survivor is one max_by struct aggregate —
-    map-side combinable, one exchange, no window over the corpus. The
-    whitespace class is the pinned [ \\t\\n\\x0B\\f\\r]+ (Java \\s ==
-    RE2 class, the verify-skill tokenizer rule). NULL-text docs are
-    excluded on both sides (no content to canonicalize)."""
+    Scale: groups key on a 128-bit digest pair of the normalized text
+    (two independently-seeded xxhash64 — 16 bytes through the shuffle,
+    bodies stay put; the q_dedup_exact128 discipline, with the same
+    collision story: a group merge needs a simultaneous 128-bit
+    collision). The survivor is ONE max-struct aggregate — map-side
+    combinable, a single exchange, no window over the corpus and no join:
+    the ordering prefix (len, n_chars, -doc_id) is unique per group
+    (doc_id is unique), so the trailing payload fields ride along without
+    ever influencing the comparison. The whitespace class is the pinned
+    [ \\t\\n\\x0B\\f\\r]+ (Java \\s == RE2 class, the verify-skill
+    tokenizer rule). NULL-text docs are excluded on both sides (no
+    content to canonicalize)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     norm = F.trim(F.regexp_replace("text", r"[ \t\n\x0B\f\r]+", " "))
     keyed = d.select(
         "doc_id",
         "lang",
         "n_chars",
-        norm.alias("norm"),
-        F.xxhash64(norm).alias("digest"),
+        F.length(norm).alias("ln"),
+        F.xxhash64(norm).alias("d1"),
+        F.xxhash64(F.lit(1), norm).alias("d2"),
     )
-    # Survivor via one aggregate: max of (len, n_chars, -doc_id) picks the
-    # longest-then-richest-then-smallest-id member; the post-join norm
-    # equality check handles the collision-rare same-digest groups the
-    # same way q_dedup_corpus does (eqNullSafe unnecessary — text filtered
-    # non-NULL above).
-    best = (
-        keyed.groupBy("digest", "norm")
-        .agg(
-            F.max(
-                F.struct(
-                    F.length("norm").alias("ln"),
-                    F.col("n_chars").alias("nc"),
-                    (-F.col("doc_id")).alias("nid"),
-                )
-            ).alias("b")
-        )
-        .select("digest", "norm", (-F.col("b.nid")).alias("doc_id"))
+    best = keyed.groupBy("d1", "d2").agg(
+        F.max(
+            F.struct(
+                F.col("ln"),
+                F.col("n_chars").alias("nc"),
+                (-F.col("doc_id")).alias("nid"),
+                F.col("lang").alias("lang"),  # payload: never compared
+            )
+        ).alias("b")
     )
-    return keyed.join(best, ["digest", "norm", "doc_id"], "left_semi").select(
-        "doc_id", "lang", "n_chars"
+    return best.select(
+        (-F.col("b.nid")).alias("doc_id"),
+        F.col("b.lang").alias("lang"),
+        F.col("b.nc").alias("n_chars"),
     )

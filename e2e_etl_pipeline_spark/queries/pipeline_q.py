@@ -22,7 +22,6 @@ from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.pipeline.offers import parse_offers
 from e2e_etl_pipeline_spark.functions.money import money_sum
 from e2e_etl_pipeline_spark.registry import register
-from e2e_etl_pipeline_spark.sources.raw_zone import read_latest, write_raw
 
 
 def _tmpdir(tag: str) -> str:
@@ -268,8 +267,12 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       count(*)                                               AS n_rows,
-      CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_price,
-      CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_priority
+      CAST(sum(CASE WHEN (o_orderkey % 2 = 0 OR o_orderkey IS NULL)
+                     AND o_totalprice IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)            AS n_with_price,
+      CAST(sum(CASE WHEN o_orderkey % 2 = 1
+                     AND o_orderpriority IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT)            AS n_with_priority
     FROM orders
     """,
 )
@@ -280,11 +283,17 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     time, null-filling the missing columns per file — the append-only
     data-lake pattern that lets a 100 TB corpus evolve without rewriting
     history. The oracle restates the expected null pattern from the
-    deterministic key split."""
+    deterministic key split: NULL keys route to batch 1 (NULL % 2
+    satisfies neither parity filter, so without the isNull branch those
+    rows would be written to NEITHER batch and vanish from n_rows), and
+    the per-batch counts condition on the carried column being non-NULL
+    exactly like the engine's count(col)."""
     o = load_table(spark, sf_dir, "orders")
     path = _tmpdir("evolve")
     try:
-        o.where(F.col("o_orderkey") % 2 == 0).select(
+        o.where(
+            (F.col("o_orderkey") % 2 == 0) | F.col("o_orderkey").isNull()
+        ).select(
             "o_orderkey", "o_totalprice"
         ).write.mode("overwrite").parquet(f"{path}/batch=1")
         o.where(F.col("o_orderkey") % 2 == 1).select(
@@ -705,7 +714,7 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        AS total_value,
       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events
-    WHERE user_id NOT IN (1, 2, 3)
+    WHERE user_id IS NULL OR user_id NOT IN (1, 2, 3)
     """,
 )
 def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,6 +736,13 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     never re-materialized. The oracle asserts the post-delete table equals
     a plain anti-filter of the source. File-immutability of the untouched
     set is asserted in tests/test_pipeline.py.
+
+    NULL user_ids are NOT victims: the rewrite keeps them (isNull() |
+    ~isin), the oracle keeps them (user_id IS NULL OR ... NOT IN — a bare
+    NOT IN would NULL out and drop them, the round-3 anti-join defect
+    class), and a file whose user_ids are ALL NULL has no min/max stats
+    (lo is None) yet provably contains no victim, so it lands in the
+    untouched set instead of crashing the comparison.
     """
     victims = [1, 2, 3]
     ev = load_table(spark, sf_dir, "events")
@@ -744,12 +760,19 @@ def q_targeted_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
             .collect()
         )
-        affected = [r.f for r in stats if any(r.lo <= v <= r.hi for v in victims)]
+        affected = [
+            r.f
+            for r in stats
+            if r.lo is not None and any(r.lo <= v <= r.hi for v in victims)
+        ]
         untouched = [r.f for r in stats if r.f not in set(affected)]
         parts = []
         if affected:
             parts.append(
-                spark.read.parquet(*affected).where(~F.col("user_id").isin(victims))
+                spark.read.parquet(*affected).where(
+                    F.col("user_id").isNull()
+                    | ~F.col("user_id").isin(victims)
+                )
             )
         if untouched:
             parts.append(spark.read.parquet(*untouched))

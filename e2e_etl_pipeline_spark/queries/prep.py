@@ -55,7 +55,10 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Expand node): the only shuffle in the plan is the upstream
     aggregate, and the expansion is k-metrics×rows regardless of scale.
     Metrics are cast to a common DOUBLE before unpivoting (both engines
-    require one value type across the metric columns).
+    require one value type across the metric columns). NULL metric values
+    (an all-NULL-price group in regenerated data) are dropped explicitly:
+    DuckDB's UNPIVOT excludes NULLs by default while Spark's retains
+    them, so the filter pins both engines to the exclude semantics.
     """
     o = load_table(spark, sf_dir, "orders")
     wide = o.groupBy("o_orderpriority").agg(
@@ -74,7 +77,7 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["n_orders", "sum_price", "avg_price"],
         "metric",
         "value",
-    )
+    ).where(F.col("value").isNotNull())
 
 
 @register(
@@ -283,8 +286,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q.select(
         "vec_id",
         F.round("scale", 6).alias("scale"),
+        # filter() NULL codes first: Spark's aggregate() NULL-poisons on a
+        # NULL element while the oracle's list_sum skips them — a NULL
+        # inside a regenerated embedding array must degrade identically
+        # (array_max/list_max already skip NULLs on both engines).
         F.expr(
-            "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))"
+            "aggregate(filter(qv, x -> x IS NOT NULL),"
+            " CAST(0 AS BIGINT), (acc, x) -> acc + abs(x))"
         ).alias("q_l1"),
         F.round(
             F.expr(
@@ -1550,9 +1558,10 @@ def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
           + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16
           + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) AS BIGINT) AS checksum
     FROM (
-      SELECT md5(CAST(o_orderkey AS VARCHAR) || '|'
-                 || CAST(o_custkey AS VARCHAR) || '|'
-                 || o_orderstatus || '|' || o_orderpriority) AS h
+      SELECT md5(coalesce(CAST(o_orderkey AS VARCHAR), chr(0)) || '|'
+                 || coalesce(CAST(o_custkey AS VARCHAR), chr(0)) || '|'
+                 || coalesce(o_orderstatus, chr(0)) || '|'
+                 || coalesce(o_orderpriority, chr(0))) AS h
       FROM orders
     )
     """,
@@ -1566,16 +1575,23 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns are restricted to types with identical textual form in both
     engines (ints, strings); doubles/timestamps would need a canonical
-    formatting step first. Scale: one combine-friendly aggregate, no
-    shuffle beyond the final 1-row reduce."""
+    formatting step first. Every field is coalesced to a chr(0) sentinel
+    BEFORE concatenation: concat_ws silently SKIPS NULL fields (making
+    ('A', NULL) collide with (NULL, 'A') and diverging from the oracle's
+    NULL-propagating ||), so NULL-ness must be encoded explicitly. A real
+    value equal to the 1-byte NUL string would collide with the sentinel;
+    no generator or fuzz variant emits bare NUL strings. Scale: one
+    combine-friendly aggregate, no shuffle beyond the final 1-row
+    reduce."""
     o = load_table(spark, sf_dir, "orders")
+    nul = F.lit("\x00")
     h = F.md5(
         F.concat_ws(
             "|",
-            F.col("o_orderkey").cast("string"),
-            F.col("o_custkey").cast("string"),
-            "o_orderstatus",
-            "o_orderpriority",
+            F.coalesce(F.col("o_orderkey").cast("string"), nul),
+            F.coalesce(F.col("o_custkey").cast("string"), nul),
+            F.coalesce(F.col("o_orderstatus"), nul),
+            F.coalesce(F.col("o_orderpriority"), nul),
         )
     )
     word = F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint")

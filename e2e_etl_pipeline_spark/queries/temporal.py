@@ -80,10 +80,16 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ASOF predicate (c.ts >= NULL), so it must not enter the carry-forward
     # either — without the guard its struct is non-null and last() would
     # surface a purchase ASOF JOIN cannot match.
+    # user_id.isNotNull(): ASOF's equality key never matches NULL = NULL,
+    # so a NULL-user purchase matches NO click — but Spark's window groups
+    # all NULL-user rows into ONE partition, where an unmasked purchase
+    # would be carried into NULL-user clicks (nulls fuzz variant, round 4).
     tagged = ev.withColumn(
         "p",
         F.when(
-            (F.col("event_type") == "purchase") & F.col("ts").isNotNull(),
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull(),
             F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
         ),
     )
@@ -501,7 +507,13 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.first_touch, count(*) AS n_purchases
     FROM islands i
-    JOIN firsts f USING (user_id, session_no)
+    -- IS NOT DISTINCT FROM, not USING: window PARTITION BY groups NULL
+    -- user_ids into one pseudo-user on BOTH engines (matching the Spark
+    -- side), but a plain equality join would silently drop every
+    -- NULL-user purchase here (nulls fuzz variant, round 4).
+    JOIN firsts f
+      ON i.user_id IS NOT DISTINCT FROM f.user_id
+     AND i.session_no = f.session_no
     WHERE i.event_type = 'purchase'
     GROUP BY f.first_touch
     """,

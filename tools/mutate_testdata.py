@@ -6,10 +6,15 @@ vertical tabs, doubled spaces in documents.text — these silently split
 Java-\\s-based Spark tokenizers from RE2-based DuckDB oracles unless every
 character class is pinned explicitly.
 
-Variant "nulls": NULL l_partkey/l_suppkey and NULL events.value/props —
-this class exposed four real parity splits in round 3 (NOT IN vs
-anti-join NULL-key semantics, json_valid(NULL), last(ignorenulls) tearing
-a (ts, value) pair, engine-native avg() rounding-boundary flips).
+Variant "nulls": NULL l_partkey/l_suppkey, NULL events.value/props/ts/
+user_id, NULL documents.text, and NULL orders payload columns
+(o_totalprice/o_orderstatus/o_orderpriority — never the PK) — this class
+exposed four real parity splits in round 3 (NOT IN vs anti-join NULL-key
+semantics, json_valid(NULL), last(ignorenulls) tearing a (ts, value)
+pair, engine-native avg() rounding-boundary flips) and the round-4
+seventh-review set (concat_ws NULL-skip fingerprints, untouched-file
+NULL retention in targeted delete, NULL-key rows vanishing from a
+parity-split write).
 
 Variant "edge": empty / single-char / whitespace-only / exact-duplicate
 documents — this class exposed two ANSI-mode crashes (sequence over an
@@ -99,6 +104,12 @@ MUTATIONS: dict[str, dict[str, str]] = {
         "events.parquet": """* REPLACE (
             CASE WHEN event_id % 53 = 0 THEN NULL ELSE value END AS value,
             CASE WHEN event_id % 71 = 0 THEN NULL ELSE props END AS props,
+            -- NULL user_ids probe NOT-IN / anti-join / groupBy-key NULL
+            -- semantics on the dimension FK (the q_targeted_delete class:
+            -- a NULL user is never a delete victim, and a bare NOT IN
+            -- would drop it on one engine only).
+            CASE WHEN event_id % 113 = 0 THEN NULL ELSE user_id END
+              AS user_id,
             -- NULL event-times probe the round-4 NULLS LAST pins and the
             -- window()/session_window() NULL-drop mirroring; outputs must
             -- not depend on order WITHIN a same-user NULL-ts tie group
@@ -109,6 +120,18 @@ MUTATIONS: dict[str, dict[str, str]] = {
             CASE WHEN event_id % 149 = 0 THEN NULL ELSE ts END AS ts)""",
         "documents.parquet": """* REPLACE (
             CASE WHEN doc_id % 61 = 0 THEN NULL ELSE text END AS text)""",
+        # NULL order payloads (never the o_orderkey PK): price sums must
+        # skip NULLs identically under DECIMAL accumulation, checksum /
+        # concat fingerprints must encode NULL fields explicitly
+        # (concat_ws skips, || propagates), and NULL grouping keys must
+        # bucket together on both engines.
+        "orders.parquet": """* REPLACE (
+            CASE WHEN o_orderkey % 127 = 0 THEN NULL ELSE o_totalprice END
+              AS o_totalprice,
+            CASE WHEN o_orderkey % 131 = 0 THEN NULL ELSE o_orderstatus END
+              AS o_orderstatus,
+            CASE WHEN o_orderkey % 137 = 0 THEN NULL ELSE o_orderpriority
+              END AS o_orderpriority)""",
     },
     "values": {
         "orders.parquet": """* REPLACE (
