@@ -43,7 +43,13 @@ def main() -> int:
     load_all()
     spark = get_session("bench")
 
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # Tolerate any SPARK_GRAFT_SF_DIR shape: an incidental "sf" substring
+    # (e.g. /data/transfer/x) must degrade to sf=-1.0, not crash before
+    # the one-JSON-line contract is met.
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
 
     timings: dict[str, float] = {}
     for key in HEADLINE:

@@ -27,10 +27,6 @@ TABLES = (
     "embeddings",
 )
 
-# Tiny dimensions that should always be broadcast when joined against facts.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
-
-
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Adapt ``events.ts`` to a session-TZ TIMESTAMP whatever the physical
     parquet type is. The driver has shipped the column as TIMESTAMP(NANOS)

@@ -54,7 +54,15 @@ def dedup_exact_first_wins(df: DataFrame, key_cols: list[str], order_col: str) -
     partitioning). One shuffle on the keys; at very hot keys prefer a
     min_by(struct(...)) aggregate, which map-side combines.
     """
-    tiebreak = [c for c in df.columns if c not in key_cols and c != order_col]
+    # asc_nulls_last on the tiebreaks too: a bare column is ASC NULLS
+    # FIRST in Spark but NULLS LAST under a DuckDB window default, so an
+    # unpinned nullable tiebreak would pick opposite survivors on an
+    # order_col tie (the family-wide pinning rule).
+    tiebreak = [
+        F.col(c).asc_nulls_last()
+        for c in df.columns
+        if c not in key_cols and c != order_col
+    ]
     w = Window.partitionBy(*key_cols).orderBy(
         F.col(order_col).asc_nulls_last(), *tiebreak
     )

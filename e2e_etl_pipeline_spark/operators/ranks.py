@@ -35,6 +35,8 @@ from typing import Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from e2e_etl_pipeline_spark.catalog import inline_frame
+
 _PID = "__rank_pid"
 _OFF = "__rank_off"
 
@@ -67,9 +69,18 @@ def _ranged_with_offsets(
     )
     offsets, acc = [], 0
     for pid, cnt in part_counts:
-        offsets.append((pid, acc))
+        offsets.append({_PID: pid, _OFF: acc})
         acc += cnt
-    off_df = spark.createDataFrame(offsets or [(0, 0)], f"{_PID} int, {_OFF} long")
+    # inline_frame, not createDataFrame: the offset table is scanned by
+    # every downstream job, and a pickled-Python-RDD literal costs a
+    # Python-worker round-trip per scan (~3.3 s warm, catalog.py) on this
+    # operator's hot path — inline(array(struct(...))) stays JVM-side.
+    off_df = inline_frame(
+        spark, offsets or [{_PID: 0, _OFF: 0}], [_PID, _OFF]
+    ).select(
+        F.col(_PID).cast("int").alias(_PID),
+        F.col(_OFF).cast("long").alias(_OFF),
+    )
     return ranged, off_df, acc
 
 

@@ -19,12 +19,16 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ensure_package_shipped(spark: SparkSession) -> None:
     sc = spark.sparkContext
-    key = id(sc)
+    # Key on applicationId, not id(sc): after spark.stop() a NEW context
+    # can be allocated at the same CPython address, and an id()-keyed
+    # cache would silently skip the addPyFile for it — workers would then
+    # fail with ModuleNotFoundError on the first by-reference UDF.
+    key = sc.applicationId
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))

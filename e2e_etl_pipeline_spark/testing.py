@@ -101,7 +101,11 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame, exact: bool = False) -> bool:
         # Driver-faithful dtype gate (round-2 lesson, q_json_malformed): the
         # driver's exact hash renders 195 and 195.0 differently, so an
         # int-vs-float/bool split between engines is a mismatch even when
-        # every value is numerically identical.
+        # every value is numerically identical. An object-of-Decimal column
+        # vs float64 deliberately does NOT trip this gate: that pairing is
+        # proven driver-SAFE by recorded verdicts (the DECIMAL-money keys
+        # are driver-green; verify-skill dtype rules) — only int/float/bool
+        # kind splits are known driver hash breaks.
         kx, ky = _dtype_kind(x), _dtype_kind(y)
         if kx != ky and {kx, ky} <= {"int", "float", "bool"}:
             return False

@@ -50,6 +50,13 @@ def main() -> int:
     from e2e_etl_pipeline_spark.session import get_session
 
     load_all()
+    # Fail loudly on a typo'd / stale / stray-flag key argument: silently
+    # matching nothing would print "0 pass, 0 fail" and exit 0 — a green
+    # gate that verified nothing (eighth review pass).
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"unknown keys (not registered): {sorted(unknown)}")
+        return 2
     if plain:
         # Driver-conditions sweep: an externally-built session with NONE of
         # the engine factory's confs and a deliberately non-UTC timezone.
