@@ -132,6 +132,21 @@ MUTATIONS: dict[str, dict[str, str]] = {
               AS o_orderstatus,
             CASE WHEN o_orderkey % 137 = 0 THEN NULL ELSE o_orderpriority
               END AS o_orderpriority)""",
+        # NULL dimension payloads (never the PKs/FKs joins key on): group
+        # keys, LIKE/IN filter columns, and balance aggregates across the
+        # TPC-H family must treat a NULL attribute identically — filters
+        # drop it on both engines, group-bys bucket it together, and any
+        # ordered LIMIT over it needs its null order pinned.
+        "customer.parquet": """* REPLACE (
+            CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END
+              AS c_mktsegment,
+            CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_acctbal END
+              AS c_acctbal)""",
+        "part.parquet": """* REPLACE (
+            CASE WHEN p_partkey % 17 = 0 THEN NULL ELSE p_brand END
+              AS p_brand,
+            CASE WHEN p_partkey % 19 = 0 THEN NULL ELSE p_size END
+              AS p_size)""",
     },
     "values": {
         "orders.parquet": """* REPLACE (
