@@ -209,11 +209,19 @@ def lsh_bucketed_topk(
         # derive from the data: a wrong literal dim makes zip_with pad with
         # NULLs, every plane dot go NULL, and every vector land in bucket 0
         # of every table — a silent full cross join instead of LSH.
-        row = corpus.select(F.size(vec_col)).first()
-        # Empty corpus: any dim works (no rows will hash) — degrade to an
-        # empty result with the normal schema instead of raising; an empty
-        # slice is data, not a misconfiguration.
-        dim = 1 if row is None else row[0]
+        # isNotNull(): if the FIRST scanned row's vector is NULL, size()
+        # is NULL (ANSI) and randn(..., None) crashes — infer from the
+        # first real vector instead (ninth review pass).
+        row = (
+            corpus.where(F.col(vec_col).isNotNull())
+            .select(F.size(vec_col))
+            .first()
+        )
+        # Empty corpus (or all-NULL vectors): any dim works (no rows will
+        # hash) — degrade to an empty result with the normal schema
+        # instead of raising; an empty slice is data, not a
+        # misconfiguration.
+        dim = 1 if row is None or row[0] is None else row[0]
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
 
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:

@@ -236,9 +236,13 @@ def parse_offers(raw_docs: DataFrame) -> DataFrame:
         clean_text("company_raw").alias("company_name"),
         # SURVEY.md §1.2: staging types money as decimal(12,2) (the parser's
         # general-purpose number extraction stays double; the cast is the
-        # staging-schema contract).
-        parsed["minimum"].cast(T.DecimalType(12, 2)).alias("minimum"),
-        parsed["maximum"].cast(T.DecimalType(12, 2)).alias("maximum"),
+        # staging-schema contract). try_cast, not cast: under Spark 4's
+        # ANSI default a parsed digit-run >= 1e10 (e.g. a phone number
+        # matched by NUMBER_PATTERN) would otherwise throw
+        # NUMERIC_VALUE_OUT_OF_RANGE and kill the whole job; an
+        # out-of-range "salary" degrades to NULL instead.
+        parsed["minimum"].try_cast(T.DecimalType(12, 2)).alias("minimum"),
+        parsed["maximum"].try_cast(T.DecimalType(12, 2)).alias("maximum"),
         parsed["currency"].alias("currency"),
         parsed["pay_period"].alias("pay_period"),
     )
@@ -265,4 +269,9 @@ def offers_to_staging_csv(offers: DataFrame, path: str, mode: str = "overwrite")
         F.coalesce("currency", F.lit("")).alias("currency"),
         F.coalesce("pay_period", F.lit("")).alias("pay_period"),
     )
-    out.write.mode(mode).option("header", True).csv(path)
+    # emptyValue="": Spark's CSV writer otherwise quotes empty strings as
+    # "" while the reference's pandas to_csv writes truly empty fields —
+    # a byte-level artifact diff for the missing-salary rows.
+    out.write.mode(mode).option("header", True).option("emptyValue", "").csv(
+        path
+    )

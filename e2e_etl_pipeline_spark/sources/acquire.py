@@ -64,6 +64,18 @@ def fetched_documents(
     rows = []
     for site, region, experience in targets:
         for doc_id, html in fetcher(site, region, experience):
+            # Fail HERE, naming the offender: inline_frame's contract
+            # forbids None field values (a NULL literal makes that
+            # struct's field NullType and inline(array(...)) dies with a
+            # far-away DATATYPE_MISMATCH). A fetcher emitting html=None
+            # for a failed render is a fetcher bug, not a NULL document.
+            if doc_id is None or html is None:
+                raise ValueError(
+                    f"fetcher returned a None field for site={site!r} "
+                    f"region={region!r} experience={experience!r} "
+                    f"(doc_id={doc_id!r}): fetchers must emit "
+                    "(int, str) pairs — drop failed pages instead"
+                )
             rows.append(
                 {
                     "doc_id": doc_id,

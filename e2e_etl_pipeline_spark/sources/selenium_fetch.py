@@ -44,9 +44,13 @@ from e2e_etl_pipeline_spark.sources.acquire import Fetcher
 # data, not code: new sites register a template + loop style.
 URL_TEMPLATES = {
     "jjit": "https://it.example-jjit.invalid/{region}/all/experience-level_{experience}",
-    "pracujpl": "https://it.example-pracuj.invalid/praca/{region};wp?et={experience}",
+    # "ppl" is the reference's site abbreviation (config.py:13
+    # SITE_ABBREVIATIONS) and the key pipeline/offers.py registers its
+    # parser under — a divergent key here would make parse_offers silently
+    # drop every row this fetcher produces.
+    "ppl": "https://it.example-pracuj.invalid/praca/{region};wp?et={experience}",
 }
-LOOP_STYLE = {"jjit": "scroll", "pracujpl": "paginate"}
+LOOP_STYLE = {"jjit": "scroll", "ppl": "paginate"}
 
 
 class BrowserPort(Protocol):
@@ -111,8 +115,17 @@ def scroll_fetch(
     """
     seen: dict[int, str] = {}
     port.open(url)
+    # Initial harvest, then baseline the watermark AFTER it
+    # (extract_data.py:218-223; selenium_fetcher.scroll_harvest parity):
+    # loop round 1 counts as progress only if its own harvest adds items
+    # beyond the initial collect. A (0, -1) baseline would grant one free
+    # round whenever the page loads non-empty, changing the harvested
+    # artifact under a tight stale budget — the reference-divergence the
+    # round-4 advisor flagged in the sibling module.
+    for idx, html in port.harvest():
+        seen.setdefault(idx, html)
     stale = 0
-    watermark = (0, -1)
+    watermark = (len(seen), max(seen, default=-1))
     for _round in range(max_rounds):
         for idx, html in port.harvest():
             seen.setdefault(idx, html)
@@ -194,7 +207,10 @@ def selenium_port(site: str) -> BrowserPort:  # pragma: no cover - optional dep
             buttons = self._driver.find_elements(
                 By.CSS_SELECTOR, "[data-test='bottom-pagination-button-next']"
             )
-            if not buttons or not buttons[0].is_enabled():
+            # is_displayed, not is_enabled: the reference stops paging when
+            # the next control is not VISIBLE (extract_data.py:95) — a
+            # disabled-but-visible button would still be clicked there.
+            if not buttons or not buttons[0].is_displayed():
                 return False
             buttons[0].click()
             return True

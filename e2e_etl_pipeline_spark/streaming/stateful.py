@@ -49,8 +49,12 @@ def _track_progress(
 
     batch_max = -1
     for pdf in pdfs:
-        if len(pdf):
-            batch_max = max(batch_max, int(pdf["idx"].max()))
+        # dropna first: a chunk whose idx values are ALL NULL arrives as
+        # an all-NaN float column, and int(NaN) raises — a NULL idx is
+        # "no progress", not a crashed query (ninth review pass).
+        idx = pdf["idx"].dropna()
+        if len(idx):
+            batch_max = max(batch_max, int(idx.max()))
 
     if batch_max > max_idx:
         max_idx, stale = batch_max, 0

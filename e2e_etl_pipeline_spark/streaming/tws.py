@@ -60,11 +60,17 @@ class ExtremaProcessor(StatefulProcessor):
         n, mx, mn = prev if prev is not None else (0, None, None)
         for pdf in rows:
             if len(pdf):
+                # n_events counts ARRIVALS (every row, NULL value or not);
+                # the extrema skip NULLs explicitly — an all-NULL chunk
+                # would otherwise seed mx/mn with NaN, and Python's
+                # max(nan, x) returns nan forever (ninth review pass).
                 n += len(pdf)
-                bmx = float(pdf["value"].max())
-                bmn = float(pdf["value"].min())
-                mx = bmx if mx is None else max(mx, bmx)
-                mn = bmn if mn is None else min(mn, bmn)
+                vals = pdf["value"].dropna()
+                if len(vals):
+                    bmx = float(vals.max())
+                    bmn = float(vals.min())
+                    mx = bmx if mx is None else max(mx, bmx)
+                    mn = bmn if mn is None else min(mn, bmn)
         self._state.update((n, mx, mn))
         yield pd.DataFrame(
             {

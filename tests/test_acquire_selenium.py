@@ -100,9 +100,12 @@ def test_scroll_fetch_dedups_first_write_wins_and_sorts_by_index():
 def test_scroll_fetch_stops_after_stale_rounds():
     port = FakeScrollPort([[(0, "only")]])
     scroll_fetch(port, "http://x", max_stale_rounds=3, max_rounds=100)
-    # 1 first-sight round advances the watermark; then exactly 3 stale
-    # rounds run before termination — nowhere near the 100-round cap.
-    assert port.scrolls <= 4
+    # The watermark baselines AFTER the initial harvest (reference
+    # extract_data.py:218-223), so a page that never grows burns its
+    # stale budget from loop round 1: stale rounds 1 and 2 each scroll,
+    # round 3 breaks before scrolling — exactly 2 scrolls, no free
+    # first-sight round.
+    assert port.scrolls == 2
 
 
 def test_scroll_fetch_bounded_by_max_rounds():
@@ -130,7 +133,7 @@ def test_make_browser_fetcher_dispatch_and_teardown():
 
     fetch = make_browser_fetcher(factory)
     assert fetch("jjit", "warszawa", "junior") == [(0, "s0")]
-    assert fetch("pracujpl", "warszawa", "junior") == [(0, "p0")]
+    assert fetch("ppl", "warszawa", "junior") == [(0, "p0")]
     assert all(p.closed for p in made.values())
     assert "warszawa" in URL_TEMPLATES["jjit"].format(
         region="warszawa", experience="junior"
@@ -163,3 +166,44 @@ def test_selenium_port_raises_cleanly_without_selenium():
     except ImportError:
         with pytest.raises(NotImplementedError):
             selenium_port("jjit")
+
+
+def test_scroll_loops_agree_on_stale_accounting():
+    """Cross-module drift guard: selenium_fetch.scroll_fetch (row-wise) and
+    selenium_fetcher.scroll_harvest (merged artifact) implement the SAME
+    reference loop (extract_data.py:199-246); fed an identical reveal
+    schedule they must harvest the same item set and burn the same number
+    of scroll rounds — the stale-accounting drift the round-4 advisor
+    caught must not reopen."""
+    from e2e_etl_pipeline_spark.sources.selenium_fetcher import scroll_harvest
+
+    batches = [[(0, "a"), (1, "b")], [(2, "c")], [], [(3, "d")]]
+
+    class FakeListing:
+        def __init__(self):
+            self._round = 0
+            self.scrolls = 0
+
+        def visible_items(self):
+            return [
+                (str(i), h)
+                for b in batches[: self._round + 1]
+                for i, h in b
+            ]
+
+        def scroll_by(self, pixels):
+            self.scrolls += 1
+            if self._round + 1 < len(batches):
+                self._round += 1
+
+    for stale_budget in (1, 2, 5):
+        port = FakeScrollPort(batches)
+        listing = FakeListing()
+        rows = scroll_fetch(
+            port, "http://x", max_stale_rounds=stale_budget, max_rounds=50
+        )
+        merged = scroll_harvest(
+            listing, max_stale_rounds=stale_budget, max_rounds=50
+        )
+        assert "".join(h for _, h in rows) == merged[4:-5], stale_budget
+        assert port.scrolls == listing.scrolls, stale_budget
