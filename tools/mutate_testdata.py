@@ -56,7 +56,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode|ties|empty] [src] [dst]
+    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -203,6 +203,21 @@ MUTATIONS: dict[str, dict[str, str]] = {
         "events.parquet": "SELECT * FROM src_table WHERE 1 = 0",
         "documents.parquet": "SELECT * FROM src_table WHERE 1 = 0",
         "embeddings.parquet": "SELECT * FROM src_table WHERE 1 = 0",
+    },
+    # Embedding-geometry regeneration: dimensionality dropped 64 → 48 (even
+    # but not a power of two — breaks both literal-64 and pow2 assumptions)
+    # and 1-in-101 vectors zeroed (zero norm probes every cosine/normalize
+    # divisor). The driver has already changed a physical type between
+    # rounds (events.ts nanos → micros); an embedding-dim change is the
+    # same class of hazard for the ANN/k-means/quantize family, which must
+    # derive dims from the data on BOTH engine and oracle sides.
+    "dims": {
+        "embeddings.parquet": """* REPLACE (
+            CASE WHEN vec_id % 101 = 0
+                 THEN list_transform(embedding[1:48],
+                                     x -> CAST(0.0 AS FLOAT))
+                 ELSE embedding[1:48]
+            END AS embedding)""",
     },
     "ties": {
         # CAST AS TIMESTAMP: date_trunc yields DATE and to_timestamp
