@@ -84,15 +84,18 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_scd2",
     oracle="""
     WITH purchases AS (
-      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+      SELECT user_id, ts, value, event_id
+      FROM events WHERE event_type = 'purchase'
     )
     SELECT
       user_id,
       CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE)      AS attr_value,
       CAST(ts AS TIMESTAMP)                             AS valid_from,
-      CAST(lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST)
+      CAST(lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts NULLS LAST, event_id)
            AS TIMESTAMP)                                AS valid_to,
-      CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST)
+      CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts NULLS LAST, event_id)
                 IS NULL
            THEN 1 ELSE 0 END                            AS is_current
     FROM purchases
@@ -106,15 +109,22 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same shape).
 
     One shuffle on user_id, one window pass (lead) per partition —
-    linear in events, no self-join. Event timestamps are unique per user
-    (TESTDATA: microsecond-random), so version ordering is total and the
-    oracle cannot diverge on ties.
+    linear in events, no self-join. Version ordering carries the
+    event_id tiebreak: at a same-(user, ts) purchase tie (the ties fuzz
+    shape — a regenerated testdata could drop ts precision, as it
+    already did once) WHICH row receives the next-version valid_to and
+    the is_current flag is otherwise engine-internal order, so the
+    (attr_value, valid_to) pairing would be nondeterministic.
     """
     ev = load_table(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
     # asc_nulls_last pins Spark's NULLS FIRST default to DuckDB's window
     # default (family-wide rule; see queries/temporal.py q_attribution).
-    w = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     return p.select(
         "user_id",
         F.col("value").cast("decimal(12,2)").cast("double").alias("attr_value"),
