@@ -742,7 +742,9 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       CAST(dim AS INTEGER) AS dim,
-      round(CAST(sum(v) AS DOUBLE) / count(*), 4) AS mean_v,
+      -- + 0.0: DuckDB round() keeps -0.0 on a tiny-negative mean while
+      -- Spark's never does (sf0.1 bit-exact sweep finding).
+      round(CAST(sum(v) AS DOUBLE) / count(*), 4) + 0.0 AS mean_v,
       round(sqrt(greatest(
         CAST(sum(v * v) AS DOUBLE) / count(*)
           - (CAST(sum(v) AS DOUBLE) / count(*)) * (CAST(sum(v) AS DOUBLE) / count(*)),
@@ -888,8 +890,12 @@ def q_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            CAST(max(total) AS BIGINT) AS n_events,
+           -- + 0.0: a single-type user yields -sum(1*log2(1)) = -0.0,
+           -- which DuckDB's round preserves and Spark's never emits
+           -- (negative-zero hash rule, tools/scan_negzero.py)
            round(-sum((CAST(cnt AS DOUBLE) / total)
-                      * log2(CAST(cnt AS DOUBLE) / total)), 4) AS entropy_bits
+                      * log2(CAST(cnt AS DOUBLE) / total)), 4) + 0.0
+             AS entropy_bits
     FROM t
     GROUP BY user_id
     """,

@@ -332,9 +332,13 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       vec_id,
       len(embedding)                                   AS dim,
-      round(CAST(embedding[1] AS DOUBLE), 4)           AS first_val,
-      round(CAST(list_max(embedding) AS DOUBLE), 4)    AS max_val,
-      round(CAST(list_min(embedding) AS DOUBLE), 4)    AS min_val,
+      -- + 0.0 normalizes DuckDB's negative zero: round() of a tiny
+      -- negative double keeps the sign bit in DuckDB (C nearbyint) but
+      -- not in Spark (BigDecimal has no -0), so a raw -8e-6 coordinate
+      -- hashed as -0.0 vs 0.0 (caught by the sf0.1 bit-exact sweep).
+      round(CAST(embedding[1] AS DOUBLE), 4) + 0.0     AS first_val,
+      round(CAST(list_max(embedding) AS DOUBLE), 4) + 0.0 AS max_val,
+      round(CAST(list_min(embedding) AS DOUBLE), 4) + 0.0 AS min_val,
       CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
     FROM embeddings
     """,

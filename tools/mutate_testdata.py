@@ -204,6 +204,27 @@ MUTATIONS: dict[str, dict[str, str]] = {
         "documents.parquet": "SELECT * FROM src_table WHERE 1 = 0",
         "embeddings.parquet": "SELECT * FROM src_table WHERE 1 = 0",
     },
+    # Schema-drift regeneration: physical column ORDER shuffled and one
+    # extra column appended on the behavioral tables — the documented
+    # regeneration gotcha (the driver has added/reordered columns before).
+    # Every query and oracle must bind columns BY NAME; any positional
+    # access, SELECT-* leak into a final projection, or schema'd read
+    # pinned to the old column order diverges or crashes here.
+    "schema": {
+        "events.parquet": """
+            SELECT props, value, event_type, ts, user_id, event_id,
+                   event_id * 2 AS _extra_col
+            FROM src_table""",
+        "orders.parquet": """
+            SELECT o_orderpriority, o_orderdate, o_totalprice,
+                   o_orderstatus, o_custkey, o_orderkey,
+                   'x' AS _extra_col
+            FROM src_table""",
+        "documents.parquet": """
+            SELECT n_chars, source, lang, text, doc_id,
+                   doc_id % 7 AS _extra_col
+            FROM src_table""",
+    },
     # Embedding-geometry regeneration: dimensionality dropped 64 → 48 (even
     # but not a power of two — breaks both literal-64 and pow2 assumptions)
     # and 1-in-101 vectors zeroed (zero norm probes every cosine/normalize
