@@ -226,18 +226,23 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cast",
     oracle="""
     SELECT
-      CAST(l_orderkey AS VARCHAR)   AS orderkey_str,
-      CAST(l_quantity AS INTEGER)   AS qty_int,
-      CAST(l_shipdate AS DATE)      AS ship_date,
-      CAST(l_linenumber AS BIGINT)  AS line_no_big
+      CAST(l_orderkey AS VARCHAR)          AS orderkey_str,
+      -- trunc() pins double->int to Spark's truncate-toward-zero: DuckDB's
+      -- bare CAST ROUNDS half-to-even, so a regenerated fractional
+      -- l_quantity (integral today) would otherwise split the engines.
+      CAST(trunc(l_quantity) AS INTEGER)   AS qty_int,
+      CAST(l_shipdate AS DATE)             AS ship_date,
+      CAST(l_linenumber AS BIGINT)         AS line_no_big
     FROM lineitem
     """,
 )
 def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A22/A25's int() casts generalized to the full coercion matrix.
 
-    l_quantity is integral-valued (1..50) so double→int truncation equals
-    DuckDB's CAST (which rounds); stays exact either way.
+    Spark's double→int cast truncates toward zero; the oracle pins
+    DuckDB's rounding CAST to the same semantics with trunc(), so the
+    key stays in parity even if a regenerated l_quantity turns
+    fractional (integral 1..50 today).
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(

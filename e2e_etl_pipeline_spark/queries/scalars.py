@@ -294,7 +294,12 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_orderkey,
       l_linenumber,
-      round(l_extendedprice * l_quantity, 2)  AS gross,
+      -- money product in DECIMAL before rounding (registry rule): a
+      -- fractional quantity (values fuzz, +0.5 leg) puts the double
+      -- product off the 2dp grid where engine round() semantics split.
+      CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2)), 2) AS DOUBLE)
+                                              AS gross,
       round(abs(l_discount - 0.05), 4)        AS disc_dev,
       CAST(floor(l_extendedprice) AS BIGINT)  AS price_floor,
       CAST(ceil(l_extendedprice) AS BIGINT)   AS price_ceil,
@@ -312,7 +317,13 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") * F.col("l_quantity"), 2).alias("gross"),
+        F.round(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_quantity").cast("decimal(12,2)"),
+            2,
+        )
+        .cast("double")
+        .alias("gross"),
         F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
         F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
         F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),

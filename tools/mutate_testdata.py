@@ -153,7 +153,12 @@ MUTATIONS: dict[str, dict[str, str]] = {
             CASE o_orderkey % 101 WHEN 0 THEN 0.0 WHEN 1 THEN -o_totalprice
                  ELSE o_totalprice END AS o_totalprice)""",
         "lineitem.parquet": """* REPLACE (
+            -- + 0.5 probes the double->int cast pin (Spark truncates,
+            -- DuckDB's bare CAST rounds — q_cast pins trunc()) and every
+            -- quantity aggregate's exactness off the integer grid.
             CASE l_orderkey % 103 WHEN 0 THEN 0.0 WHEN 1 THEN -l_quantity
+                 WHEN 2 THEN l_quantity + 0.5
+                 WHEN 3 THEN -(l_quantity + 0.5)
                  ELSE l_quantity END AS l_quantity,
             CASE l_orderkey % 107 WHEN 0 THEN 0.0 WHEN 1 THEN -l_extendedprice
                  ELSE l_extendedprice END AS l_extendedprice)""",
