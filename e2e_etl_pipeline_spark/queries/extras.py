@@ -67,16 +67,19 @@ def q_agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT
       l_returnflag,
-      round(sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / (n * (n - 1.0))), 4)
-                                                        AS qty_stddev,
-      round(CAST(n * sqq - sq * sq AS DOUBLE) / (n * (n - 1.0)), 4)
-                                                        AS qty_var,
+      -- nullif(n(n-1), 0): a 1-row group has no sample variance; ANSI
+      -- Spark raises DIVIDE_BY_ZERO even on doubles (try_divide engine-
+      -- side), so the undefined statistic is NULL in both dialects.
+      round(sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                 / nullif(n * (n - 1.0), 0.0)), 4)      AS qty_stddev,
+      round(CAST(n * sqq - sq * sq AS DOUBLE)
+            / nullif(n * (n - 1.0), 0.0), 4)            AS qty_var,
       round(CAST(n * sqp - sq * sp AS DOUBLE)
             / nullif(sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
                           * CAST(n * spp - sp * sp AS DOUBLE)), 0), 4)
                                                         AS qty_price_corr,
-      round(CAST(n * sqd - sq * sd AS DOUBLE) / (n * (n - 1.0)), 6)
-                                                        AS qty_disc_covar
+      round(CAST(n * sqd - sq * sd AS DOUBLE)
+            / nullif(n * (n - 1.0), 0.0), 6)            AS qty_disc_covar
     FROM s
     """,
 )
@@ -108,14 +111,18 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     covqp = (n * F.col("sqp") - F.col("sq") * F.col("sp")).cast("double")
     covqd = (n * F.col("sqd") - F.col("sq") * F.col("sd")).cast("double")
     bessel = (n * (n - F.lit(1.0))).cast("double")
+    # try_divide: a 1-row group (bessel = 0) has no sample variance — NULL
+    # on both engines, never an ANSI DIVIDE_BY_ZERO crash (the
+    # q_regression_ols rule; a regenerated corpus with a rare 1-row
+    # returnflag value would hit this).
     return s.select(
         "l_returnflag",
-        F.round(F.sqrt(varq / bessel), 4).alias("qty_stddev"),
-        F.round(varq / bessel, 4).alias("qty_var"),
+        F.round(F.sqrt(F.try_divide(varq, bessel)), 4).alias("qty_stddev"),
+        F.round(F.try_divide(varq, bessel), 4).alias("qty_var"),
         F.round(F.try_divide(covqp, F.sqrt(varq * varp)), 4).alias(
             "qty_price_corr"
         ),
-        F.round(covqd / bessel, 6).alias("qty_disc_covar"),
+        F.round(F.try_divide(covqd, bessel), 6).alias("qty_disc_covar"),
     )
 
 

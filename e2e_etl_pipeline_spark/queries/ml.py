@@ -156,15 +156,19 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       l_returnflag,
       n,
+      -- nullif divisors: a single-row or zero-variance group has
+      -- nSxx - Sx^2 = 0 exactly; ANSI Spark raises DIVIDE_BY_ZERO even
+      -- for doubles (try_divide on the engine side), so the undefined
+      -- fit must be NULL in both dialects (q_abtest/q_autocorr rule).
       round((CAST(n AS DOUBLE) * sxy - sx * sy)
-            / (CAST(n AS DOUBLE) * sxx - sx * sx), 4) AS slope,
+            / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0), 4) AS slope,
       round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
-                   / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                   / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)) * sx)
             / CAST(n AS DOUBLE), 4) AS intercept,
       round(((CAST(n AS DOUBLE) * sxy - sx * sy)
              * (CAST(n AS DOUBLE) * sxy - sx * sy))
-            / ((CAST(n AS DOUBLE) * sxx - sx * sx)
-               * (CAST(n AS DOUBLE) * syy - sy * sy)), 4) AS r2
+            / nullif((CAST(n AS DOUBLE) * sxx - sx * sx)
+                     * (CAST(n AS DOUBLE) * syy - sy * sy), 0.0), 4) AS r2
     FROM s
     """,
 )
@@ -210,12 +214,17 @@ def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = n * sxy - sx * sy
     denx = n * sxx - sx * sx
     deny = n * syy - sy * sy
+    # try_divide: a single-row group (n=1 -> denx = sxx - sx^2 = 0) or a
+    # zero-variance group makes the fit undefined — NULL on both engines,
+    # never an ANSI DIVIDE_BY_ZERO crash (q_abtest/q_autocorr rule; a
+    # regenerated corpus with a rare 1-row returnflag would hit this).
+    slope = F.try_divide(num, denx)
     return stats.select(
         "l_returnflag",
         "n",
-        F.round(num / denx, 4).alias("slope"),
-        F.round((sy - (num / denx) * sx) / n, 4).alias("intercept"),
-        F.round((num * num) / (denx * deny), 4).alias("r2"),
+        F.round(slope, 4).alias("slope"),
+        F.round((sy - slope * sx) / n, 4).alias("intercept"),
+        F.round(F.try_divide(num * num, denx * deny), 4).alias("r2"),
     )
 
 

@@ -671,6 +671,20 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_custkey"), F.max("o_custkey"),
         F.min("o_totalprice"), F.max("o_totalprice"),
     ).first()
+    if b[0] is None or b[2] is None:
+        # Empty (or all-NULL-key) source: nothing to cluster — aggregate
+        # the box scan over the source directly, which degrades to the
+        # oracle's (0, NULL, NULL, NULL) row (empty-fuzz rule: the
+        # quantizer's float(None) must never be reached).
+        return o.filter(
+            F.col("o_custkey").between(200, 700)
+            & F.col("o_totalprice").between(20000, 120000)
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            money_sum("o_totalprice").alias("total_price"),
+            F.min("o_custkey").cast("bigint").alias("min_cust"),
+            F.max("o_custkey").cast("bigint").alias("max_cust"),
+        )
     mnx, mxx, mny, mxy = float(b[0]), float(b[1]), float(b[2]), float(b[3])
     cx = F.least(
         F.lit(255),
@@ -906,7 +920,10 @@ def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.o_custkey,
            p.n_orders,
            CAST(round(p.spend, 2) AS DOUBLE)                    AS spend,
-           round(CAST(p.spend AS DOUBLE) / o.avg_spend, 4)      AS vs_avg
+           -- nullif: signed totals can cancel avg_spend to exactly 0
+           -- (values-fuzz class); ANSI Spark raises on double /0
+           round(CAST(p.spend AS DOUBLE) / nullif(o.avg_spend, 0.0), 4)
+                                                                AS vs_avg
     FROM per_cust p CROSS JOIN overall o
     WHERE CAST(p.spend AS DOUBLE) > 2 * o.avg_spend
     """,
@@ -955,7 +972,11 @@ def cache_reuse_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
             "o_custkey",
             "n_orders",
             F.round("spend", 2).cast("double").alias("spend"),
-            F.round(spend_d / F.col("avg_spend"), 4).alias("vs_avg"),
+            # try_divide: a signed-total cancellation to exactly 0 must
+            # yield NULL, not an ANSI DIVIDE_BY_ZERO (oracle: nullif).
+            F.round(F.try_divide(spend_d, F.col("avg_spend")), 4).alias(
+                "vs_avg"
+            ),
         )
     )
     return out, base
