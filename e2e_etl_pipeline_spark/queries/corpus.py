@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.operators.bpe import bpe_train_merges
 from e2e_etl_pipeline_spark.operators.dedup import _words
 from e2e_etl_pipeline_spark.operators.sketches import misra_gries_candidates
 from e2e_etl_pipeline_spark.registry import register
@@ -1122,3 +1123,87 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "pair")
         .limit(20)
     )
+
+
+BPE_MERGES = 5
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
+    """The bpe_train_merges loop unrolled as DuckDB CTEs (one pair-count +
+    best-pair + sequence-rewrite triple per iteration). Pure integer
+    counting and literal string replace — no float hazards — and the
+    (count DESC, pair ASC) tiebreak is a binary UTF-8 compare on both
+    engines, so every iteration's winner is engine-identical. chr(1)/chr(2)
+    are operators/bpe.py's BPE_L/BPE_R symbol markers. When the pairs dry
+    up, the scalar subquery over the empty best{i} NULL-poisons seq{i} and
+    every later best is empty — the same early stop as the Spark loop."""
+    ctes = [
+        """tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    )""",
+        "counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)",
+        """seq0 AS (
+      SELECT array_to_string(
+               list_transform(generate_series(1, length(token)),
+                              i -> chr(1) || substr(token, i, 1) || chr(2)),
+               ' ') AS seq, cnt
+      FROM counts
+    )""",
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(
+            f"""toks{i} AS (
+      SELECT string_split(seq, ' ') AS t, cnt FROM seq{p} WHERE seq IS NOT NULL
+    )"""
+        )
+        ctes.append(
+            f"""pairs{i} AS (
+      SELECT unnest(list_transform(generate_series(1, length(t) - 1),
+                                   j -> t[j] || ' ' || t[j + 1])) AS pair, cnt
+      FROM toks{i}
+    )"""
+        )
+        ctes.append(
+            f"""best{i} AS (
+      SELECT pair, CAST(sum(cnt) AS BIGINT) AS pc
+      FROM pairs{i} GROUP BY pair ORDER BY pc DESC, pair LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"""seq{i} AS (
+      SELECT replace(seq, (SELECT pair FROM best{i}),
+                     replace((SELECT pair FROM best{i}),
+                             chr(2) || ' ' || chr(1), '')) AS seq, cnt
+      FROM seq{p}
+    )"""
+        )
+    selects = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({i} AS INTEGER)                               AS iteration,
+           replace(replace(pair, chr(1), ''), chr(2), '') AS merge_rule,
+           pc                                             AS pair_count
+    FROM best{i}"""
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+
+
+@register("q_bpe_train", oracle=_bpe_train_oracle(BPE_MERGES))
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING — the real iterative loop, not just q_bpe_pairs'
+    single counting step: learn the first {n} merges from the corpus word
+    frequencies, emitting (iteration, merge_rule, pair_count) per merge.
+    Semantics, representation, and the scale story live in
+    operators/bpe.py (bpe_train_merges); the oracle is the same loop
+    unrolled as DuckDB CTEs, exact because every quantity is an integer
+    count and every rewrite a literal left-to-right replace.
+
+    Scale: the corpus-scale shuffle is only the word count below (the
+    same subtree every corpus key shares); the training loop itself runs
+    over the vocabulary with one 1-row driver sync per merge."""
+    counts = _tokens(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return bpe_train_merges(counts, BPE_MERGES)

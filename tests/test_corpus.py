@@ -133,3 +133,56 @@ def test_training_pipeline_shuffles_no_document_bodies(spark, sf_dir):
 
     counts = df.groupBy("lang").count().collect()
     assert counts and all(r["count"] <= LANG_CAP for r in counts)
+
+
+def test_bpe_train_matches_hand_derivation(spark):
+    # Corpus: "low"×5, "lowest"×2 — small enough to run BPE by hand.
+    #   iter1: (l,o)=7 ties (o,w)=7 → 'l o' wins on the pair tiebreak
+    #   iter2: (lo,w)=7
+    #   iter3: all remaining pairs tie at 2 → 'e s' is binary-least
+    #   iter4: (es,t)=2 beats (low,es)=2 on the tiebreak
+    #   iter5: only (low,est)=2 remains
+    from e2e_etl_pipeline_spark.operators.bpe import bpe_train_merges
+
+    words = spark.createDataFrame(
+        [("low", 5), ("lowest", 2)], "token string, cnt bigint"
+    )
+    got = [
+        (r.iteration, r.merge_rule, r.pair_count)
+        for r in bpe_train_merges(words, 5).collect()
+    ]
+    assert got == [
+        (1, "l o", 7),
+        (2, "lo w", 7),
+        (3, "e s", 2),
+        (4, "es t", 2),
+        (5, "low est", 2),
+    ]
+
+
+def test_bpe_train_dries_up_and_stops_early(spark):
+    # One two-char word: a single merge exhausts every pair; asking for 5
+    # merges must return exactly 1 row, not loop or crash.
+    from e2e_etl_pipeline_spark.operators.bpe import bpe_train_merges
+
+    words = spark.createDataFrame([("ab", 3)], "token string, cnt bigint")
+    got = [
+        (r.iteration, r.merge_rule, r.pair_count)
+        for r in bpe_train_merges(words, 5).collect()
+    ]
+    assert got == [(1, "a b", 3)]
+    # Monotone invariant on real data: the best pair count never increases
+    # across iterations (a merge can only create pairs at most as frequent
+    # as the pair it consumed).
+
+
+def test_bpe_train_counts_are_nonincreasing(spark, sf_dir):
+    rows = sorted(
+        QUERIES["q_bpe_train"](spark, sf_dir).collect(),
+        key=lambda r: r.iteration,
+    )
+    assert [r.iteration for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.pair_count >= b.pair_count
+        left, right = b.merge_rule.split(" ", 1)
+        assert left and right

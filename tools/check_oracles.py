@@ -8,12 +8,17 @@ oracle get the weaker rows-only check, mirroring the driver contract
 (/root/repo/__spark_entry__.py).
 
 Usage:  python tools/check_oracles.py [sf_dir] [key ...] [--plain] [--exact]
+                                      [--hostile]
 
 --plain runs on an externally-built driver-conditions session (non-UTC tz,
 none of the engine factory's confs). --exact compares float columns
 bit-for-bit instead of at 1e-9 tolerance — the closest local proxy for the
 driver's exact value hash; a key that is tolerance-green but exact-red is a
-driver-hash risk.
+driver-hash risk. --hostile runs on an adversarial-partitioning session
+(local[3], shuffle.partitions=7, 64 KiB advisory/open-cost sizes, non-UTC
+tz): any key whose values depend on task count, shuffle fan-out, or
+partition-local accumulation order fails here before it fails on a
+different driver host. Combine with --exact for the strongest form.
 """
 
 from __future__ import annotations
@@ -39,9 +44,10 @@ canonical = functools.partial(_canonical, strict_cells=True)
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--plain", "--exact")]
+    args = [a for a in sys.argv[1:] if a not in ("--plain", "--exact", "--hostile")]
     plain = "--plain" in sys.argv[1:]
     exact = "--exact" in sys.argv[1:]
+    hostile = "--hostile" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -57,7 +63,27 @@ def main() -> int:
     if unknown:
         print(f"unknown keys (not registered): {sorted(unknown)}")
         return 2
-    if plain:
+    if hostile:
+        # Adversarial-partitioning sweep: few cores, prime shuffle fan-out,
+        # tiny advisory sizes so AQE coalesces differently, non-UTC tz.
+        # Results must be bit-identical to every other layout — a key that
+        # is green on local[8]/200 but red here depends on task count or
+        # partition-local accumulation order.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[3]")
+            .config("spark.sql.shuffle.partitions", "7")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.sql.files.maxPartitionBytes", "65536")
+            .config("spark.sql.files.openCostInBytes", "0")
+            .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "65536")
+            .config("spark.default.parallelism", "3")
+            .config("spark.ui.showConsoleProgress", "false")
+            .appName("check_oracles_hostile")
+            .getOrCreate()
+        )
+    elif plain:
         # Driver-conditions sweep: an externally-built session with NONE of
         # the engine factory's confs and a deliberately non-UTC timezone.
         # Every query must still pass — the registry wrapper alone carries
