@@ -42,12 +42,14 @@ BPE_R = "\x02"
 
 
 def encode_words(words: DataFrame) -> DataFrame:
-    """(token, cnt) -> (seq, cnt): marker-wrapped space-joined symbols."""
+    """(token, cnt) -> (token, seq, cnt): marker-wrapped space-joined
+    symbols; token is carried through so the encoded vocabulary can be
+    joined back to a token stream (bpe_apply / q_bpe_encode)."""
     enc = (
         "array_join(transform(sequence(1, length(token)), "
         f"i -> concat('{BPE_L}', substring(token, i, 1), '{BPE_R}')), ' ')"
     )
-    return words.select(F.expr(enc).alias("seq"), F.col("cnt"))
+    return words.select("token", F.expr(enc).alias("seq"), F.col("cnt"))
 
 
 def _pair_counts(seqs: DataFrame) -> DataFrame:
@@ -70,18 +72,18 @@ def _pair_counts(seqs: DataFrame) -> DataFrame:
     return pairs.groupBy("pair").agg(F.sum("cnt").cast("bigint").alias("pc"))
 
 
-def bpe_train_merges(words: DataFrame, n_merges: int) -> DataFrame:
+def bpe_learn(words: DataFrame, n_merges: int) -> list[tuple[int, str, int, str]]:
     """Learn up to ``n_merges`` BPE merges from a (token, cnt) table.
 
-    Returns (iteration int, merge_rule string, pair_count bigint), one row
-    per completed merge — fewer than ``n_merges`` rows when the pairs dry
-    up (every word reduced to a single symbol). ``merge_rule`` is the
-    human-readable "left right" pair with the markers stripped.
+    Returns one (iteration, merge_rule, pair_count, raw_pair) tuple per
+    completed merge — fewer than ``n_merges`` when the pairs dry up (every
+    word reduced to a single symbol). ``merge_rule`` is the human-readable
+    "left right" pair with the markers stripped; ``raw_pair`` is the
+    marker-wrapped replace needle bpe_apply consumes.
     """
-    spark = words.sparkSession
     seqs = encode_words(words).persist()
     try:
-        merges: list[tuple[int, str, int]] = []
+        merges: list[tuple[int, str, int, str]] = []
         df = seqs
         for it in range(1, n_merges + 1):
             best = (
@@ -93,14 +95,39 @@ def bpe_train_merges(words: DataFrame, n_merges: int) -> DataFrame:
             if not best:
                 break
             pair, pc = best[0]["pair"], int(best[0]["pc"])
-            merges.append((it, pair.replace(BPE_L, "").replace(BPE_R, ""), pc))
-            merged = pair.replace(BPE_R + " " + BPE_L, "")
-            df = df.select(
-                F.replace(F.col("seq"), F.lit(pair), F.lit(merged)).alias("seq"),
-                "cnt",
+            merges.append(
+                (it, pair.replace(BPE_L, "").replace(BPE_R, ""), pc, pair)
             )
-        return spark.createDataFrame(
-            merges, "iteration int, merge_rule string, pair_count bigint"
-        )
+            df = _apply_one(df, pair)
+        return merges
     finally:
         seqs.unpersist(blocking=False)
+
+
+def _apply_one(seqs: DataFrame, raw_pair: str) -> DataFrame:
+    """Rewrite every sequence with one merge: a literal left-to-right
+    replace of the marker-wrapped pair with its concatenation."""
+    merged = raw_pair.replace(BPE_R + " " + BPE_L, "")
+    keep = [c for c in seqs.columns if c != "seq"]
+    return seqs.select(
+        *keep,
+        F.replace(F.col("seq"), F.lit(raw_pair), F.lit(merged)).alias("seq"),
+    )
+
+
+def bpe_apply(words: DataFrame, raw_pairs: list[str]) -> DataFrame:
+    """Encode a (token, cnt) vocabulary with an ordered merge list:
+    (token, seq, cnt) after every merge is applied in training order."""
+    df = encode_words(words)
+    for pair in raw_pairs:
+        df = _apply_one(df, pair)
+    return df
+
+
+def bpe_train_merges(words: DataFrame, n_merges: int) -> DataFrame:
+    """bpe_learn as a DataFrame:
+    (iteration int, merge_rule string, pair_count bigint)."""
+    merges = [(it, rule, pc) for it, rule, pc, _ in bpe_learn(words, n_merges)]
+    return words.sparkSession.createDataFrame(
+        merges, "iteration int, merge_rule string, pair_count bigint"
+    )

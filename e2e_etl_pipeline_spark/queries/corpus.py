@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
-from e2e_etl_pipeline_spark.operators.bpe import bpe_train_merges
+from e2e_etl_pipeline_spark.operators.bpe import (
+    bpe_apply,
+    bpe_learn,
+    bpe_train_merges,
+)
 from e2e_etl_pipeline_spark.operators.dedup import _words
 from e2e_etl_pipeline_spark.operators.sketches import misra_gries_candidates
 from e2e_etl_pipeline_spark.registry import register
@@ -1128,15 +1132,19 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 5
 
 
-def _bpe_train_oracle(n_merges: int) -> str:
-    """The bpe_train_merges loop unrolled as DuckDB CTEs (one pair-count +
-    best-pair + sequence-rewrite triple per iteration). Pure integer
-    counting and literal string replace — no float hazards — and the
-    (count DESC, pair ASC) tiebreak is a binary UTF-8 compare on both
-    engines, so every iteration's winner is engine-identical. chr(1)/chr(2)
-    are operators/bpe.py's BPE_L/BPE_R symbol markers. When the pairs dry
-    up, the scalar subquery over the empty best{i} NULL-poisons seq{i} and
-    every later best is empty — the same early stop as the Spark loop."""
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The bpe_learn loop unrolled as DuckDB CTEs (one pair-count +
+    best-pair + sequence-rewrite triple per iteration), shared by the
+    q_bpe_train and q_bpe_encode oracles. Pure integer counting and
+    literal string replace — no float hazards — and the (count DESC,
+    pair ASC) tiebreak is a binary UTF-8 compare on both engines, so
+    every iteration's winner is engine-identical. chr(1)/chr(2) are
+    operators/bpe.py's BPE_L/BPE_R symbol markers. When the pairs dry up
+    the scalar subquery over the empty best{i} is NULL; coalescing the
+    needle to the impossible substring chr(1)||chr(2) (markers always
+    bracket ≥1 symbol char) makes the rewrite a no-op, so later bests
+    stay empty (no pairs) while seq{n} stays valid for q_bpe_encode —
+    the same early stop as the Spark loop."""
     ctes = [
         """tok AS (
       SELECT unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
@@ -1145,7 +1153,8 @@ def _bpe_train_oracle(n_merges: int) -> str:
     )""",
         "counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)",
         """seq0 AS (
-      SELECT array_to_string(
+      SELECT token,
+             array_to_string(
                list_transform(generate_series(1, length(token)),
                               i -> chr(1) || substr(token, i, 1) || chr(2)),
                ' ') AS seq, cnt
@@ -1155,15 +1164,10 @@ def _bpe_train_oracle(n_merges: int) -> str:
     for i in range(1, n_merges + 1):
         p = i - 1
         ctes.append(
-            f"""toks{i} AS (
-      SELECT string_split(seq, ' ') AS t, cnt FROM seq{p} WHERE seq IS NOT NULL
-    )"""
-        )
-        ctes.append(
             f"""pairs{i} AS (
       SELECT unnest(list_transform(generate_series(1, length(t) - 1),
                                    j -> t[j] || ' ' || t[j + 1])) AS pair, cnt
-      FROM toks{i}
+      FROM (SELECT string_split(seq, ' ') AS t, cnt FROM seq{p})
     )"""
         )
         ctes.append(
@@ -1174,12 +1178,19 @@ def _bpe_train_oracle(n_merges: int) -> str:
         )
         ctes.append(
             f"""seq{i} AS (
-      SELECT replace(seq, (SELECT pair FROM best{i}),
-                     replace((SELECT pair FROM best{i}),
-                             chr(2) || ' ' || chr(1), '')) AS seq, cnt
+      SELECT token,
+             replace(seq,
+                     coalesce((SELECT pair FROM best{i}), chr(1) || chr(2)),
+                     coalesce(replace((SELECT pair FROM best{i}),
+                                      chr(2) || ' ' || chr(1), ''), '')) AS seq,
+             cnt
       FROM seq{p}
     )"""
         )
+    return ",\n    ".join(ctes)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
     selects = "\n    UNION ALL\n    ".join(
         f"""SELECT CAST({i} AS INTEGER)                               AS iteration,
            replace(replace(pair, chr(1), ''), chr(2), '') AS merge_rule,
@@ -1187,7 +1198,7 @@ def _bpe_train_oracle(n_merges: int) -> str:
     FROM best{i}"""
         for i in range(1, n_merges + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + selects
+    return "WITH " + _bpe_cte_chain(n_merges) + "\n    " + selects
 
 
 @register("q_bpe_train", oracle=_bpe_train_oracle(BPE_MERGES))
@@ -1207,3 +1218,58 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     return bpe_train_merges(counts, BPE_MERGES)
+
+
+@register(
+    "q_bpe_encode",
+    oracle="WITH "
+    + _bpe_cte_chain(BPE_MERGES)
+    + f""",
+    sym AS (
+      SELECT token, CAST(length(string_split(seq, ' ')) AS BIGINT) AS n_sym
+      FROM seq{BPE_MERGES}
+    ),
+    doc_tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT)           AS n_tokens,
+           CAST(sum(length(token)) AS BIGINT) AS n_chars,
+           CAST(sum(n_sym) AS BIGINT)         AS n_pieces
+    FROM doc_tok JOIN sym USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the learned BPE merges: per document, the
+    whitespace token count, character count, and encoded BPE piece count
+    — the compression statistic a tokenizer-training pipeline reports
+    (pieces/chars falls as merges are added). Train and encode run the
+    same loop, so the oracle reuses q_bpe_train's CTE chain and reads the
+    final sequences' symbol counts.
+
+    Scale: encoded lengths are computed once on the VOCABULARY and
+    broadcast-joined to the (doc_id, token) stream — per-token work is a
+    hash probe plus a partially-aggregated per-doc sum; document bodies
+    never shuffle and the merge loop never touches the corpus."""
+    counts = _tokens(spark, sf_dir).groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    raw_pairs = [pair for _, _, _, pair in bpe_learn(counts, BPE_MERGES)]
+    sym = bpe_apply(counts, raw_pairs).select(
+        "token",
+        F.size(F.split("seq", " ")).cast("bigint").alias("n_sym"),
+    )
+    return (
+        _tokens(spark, sf_dir)
+        .join(F.broadcast(sym), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.length("token")).cast("bigint").alias("n_chars"),
+            F.sum("n_sym").cast("bigint").alias("n_pieces"),
+        )
+    )

@@ -344,3 +344,61 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInArrow(stats, "doc_id long, n_chars long, n_ws long")
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT
+      o_orderkey,
+      -- the UDF body inlined: money product in DECIMAL before rounding
+      -- (registry rule), identical expression both engines
+      CAST(round(CAST(o_totalprice AS DECIMAL(14,2))
+                 * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE) AS taxed,
+      CASE WHEN o_totalprice >= 150000 THEN 'high'
+           WHEN o_totalprice >= 50000  THEN 'mid'
+           ELSE 'low' END                                   AS bucket
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4 ``CREATE FUNCTION ... RETURNS ... RETURN
+    expr``): the declarative counterpart of q_udf_scalar's Python UDF —
+    an analyst-defined function with NO Python boundary at all. Two
+    scalar SQL UDFs (a taxed-price computation in DECIMAL-before-rounding
+    money math, and a CASE bucketing) applied over orders; the oracle
+    inlines the same bodies.
+
+    Scale: this is the fastest UDF tier — the function body is inlined
+    into the plan at resolution time, so it optimizes and codegens like
+    any built-in expression (predicate pushdown through it, no
+    serialization boundary). Prefer this over any Python UDF when the
+    logic is expressible in SQL."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION with_tax(p DOUBLE)
+        RETURNS DOUBLE
+        RETURN CAST(round(CAST(p AS DECIMAL(14,2))
+                          * CAST(1.1 AS DECIMAL(2,1)), 2) AS DOUBLE)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_bucket(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p >= 150000 THEN 'high'
+                    WHEN p >= 50000  THEN 'mid'
+                    ELSE 'low' END
+        """
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sql_udf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               with_tax(o_totalprice)     AS taxed,
+               price_bucket(o_totalprice) AS bucket
+        FROM sql_udf_orders
+        WHERE o_orderstatus = 'O'
+        """
+    )
