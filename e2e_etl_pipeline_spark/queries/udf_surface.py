@@ -402,3 +402,56 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderstatus = 'O'
         """
     )
+
+
+@register(
+    "q_sql_udtf",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         t -> t <> '')[1:3] AS ws3
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws3)),
+                                 j -> CAST(j - 1 AS INTEGER))) AS idx,
+           unnest(ws3)                                         AS word
+    FROM base
+    """,
+)
+def q_sql_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language TABLE function (Spark 4 ``CREATE FUNCTION ... RETURNS
+    TABLE``) applied per row via LATERAL: the declarative counterpart of
+    q_udtf_posexplode's Python UDTF. first_words(text, 3) emits each
+    document's first three whitespace tokens with positions; the oracle
+    is DuckDB's zipped parallel unnest over the same slice.
+
+    The regex inside the SQL body is written with DOUBLED backslashes:
+    Spark SQL string literals consume one level of escaping ('\\x0B'
+    would parse as the three characters x0B and silently poison the
+    character class — found live while building this key).
+
+    Scale: like q_sql_udf the body inlines at resolution time — the plan
+    is a Generate (posexplode) over the scan, no Python boundary, and the
+    LATERAL is not a join at all after inlining."""
+    spark.sql(
+        r"""
+        CREATE OR REPLACE TEMPORARY FUNCTION first_words(s STRING, n INT)
+        RETURNS TABLE(idx INT, word STRING)
+        RETURN SELECT CAST(t.pos AS INT) AS idx, t.col AS word
+               FROM (SELECT posexplode(
+                              slice(filter(split(s, '[ \\t\\n\\x0B\\f\\r]+'),
+                                           w -> w != ''), 1, n)
+                            ) AS (pos, col)) t
+        """
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "sql_udtf_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, fw.idx, fw.word
+        FROM sql_udtf_docs d, LATERAL first_words(d.text, 3) fw
+        """
+    )
