@@ -445,3 +445,23 @@ def test_concurrent_sessions_day_sharded(spark, sf_dir):
     plan = _formatted(spark, "q_concurrent_sessions", sf_dir)
     assert "windowspecdefinition(day" in plan
     assert not re.search(r"windowspecdefinition\(t#", plan)
+
+
+def test_sql_udfs_inline_no_python_boundary(spark, sf_dir):
+    """SQL-language UDFs/UDTFs must inline at resolution time: no Python
+    eval node, and the scalar key's filter still reaches the scan."""
+    plan = _formatted(spark, "q_sql_udf", sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PushedFilters:" in plan and "o_orderstatus" in plan
+    tvf_plan = _formatted(spark, "q_sql_udtf", sf_dir)
+    assert "BatchEvalPython" not in tvf_plan
+    assert "ArrowEvalPython" not in tvf_plan
+    assert "Generate" in tvf_plan  # the inlined posexplode
+
+
+def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
+    """The encoded-vocabulary join must broadcast (vocab ≪ corpus); the
+    doc-side token stream must never sort-merge against it."""
+    plan = _formatted(spark, "q_bpe_encode", sf_dir)
+    assert "BroadcastHashJoin" in plan
