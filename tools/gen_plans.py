@@ -75,6 +75,13 @@ SHOWCASE = [
                    "vector; per-iteration state is |nodes| rows, and "
                    "localCheckpoint truncation keeps the plan this size "
                    "at any iteration count"),
+    ("q_bpe_encode", "tokenizer-training apply step: the encoded "
+                     "vocabulary (tiny) broadcasts against the token "
+                     "stream; the merge loop itself never appears — it "
+                     "ran vocab-side before this plan"),
+    ("q_sql_udf", "SQL-language UDFs inlined at resolution: pure "
+                  "WholeStageCodegen project over the scan, filter "
+                  "pushed, no Python eval node anywhere"),
     ("q_heavy_hitters", "Misra-Gries pruning: the mapInPandas summary "
                         "emits <= 32 rows per partition, so the exact "
                         "recount groups a broadcast-semi-joined sliver "
