@@ -313,7 +313,20 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_stream_join")  # rows-only: behavioral streaming check
+@register(
+    "q_stream_join",
+    oracle="""
+    SELECT c.event_id AS c_event_id,
+           p.event_id AS p_event_id,
+           c.user_id  AS c_user_id
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts - INTERVAL 1 HOUR
+     AND p.ts <= c.ts
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A real stream-stream inner join (Structured Streaming): the click
     stream joined to the purchase stream of the same user within the
@@ -321,10 +334,15 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both sides are file streams over the events parquet with watermarks;
     the time-range predicate bounds the join state Spark must retain
-    (without it, stream-stream state grows forever). Trigger.availableNow
-    over a static input makes the joined set deterministic, so the
-    rows-only hash is stable. Late-data state eviction needs multiple
-    triggers and is asserted in tests/test_streaming.py instead.
+    (without it, stream-stream state grows forever). A static snapshot is
+    ONE micro-batch under Trigger.availableNow (single parquet file per
+    side), so nothing is ever late relative to the watermark and the
+    inner join emits exactly the batch-join result — fully
+    oracle-checkable as the equivalent self-join (upgraded from the
+    rows-only contract it shipped with). NULL user_id/ts rows fail the
+    join predicate identically on both engines. Late-data state eviction
+    (which needs multiple triggers) is asserted in
+    tests/test_streaming.py instead.
     """
     pin_utc(spark)
 
