@@ -767,11 +767,52 @@ def q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features")  # rows-only: mapInPandas stub decoder
+@register(
+    "q_multimodal_features",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                  WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END                  AS media_type,
+             hex(encode(text))                          AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+      FROM documents
+    ),
+    summed AS (
+      SELECT doc_id, media_type, byte_len,
+             -- the stub decoder's byte sum, re-derived from the hex
+             -- rendering (DuckDB has no byte accessor on blobs); empty
+             -- payload sums to 0, NULL payload stays NULL
+             CASE WHEN h IS NULL THEN NULL
+                  ELSE CAST(coalesce(list_aggregate(
+                         list_transform(generate_series(1, length(h) // 2),
+                           i -> (strpos('0123456789ABCDEF',
+                                        substr(h, 2 * i - 1, 1)) - 1) * 16
+                              + (strpos('0123456789ABCDEF',
+                                        substr(h, 2 * i, 1)) - 1)),
+                         'sum'), 0) AS BIGINT)
+             END AS byte_sum
+      FROM media
+    )
+    SELECT doc_id, media_type, byte_len,
+           CAST(64 + byte_sum % 512 AS INTEGER)          AS fake_width,
+           CAST(64 + (byte_sum // 7) % 512 AS INTEGER)   AS fake_height,
+           byte_sum % 1000003                            AS byte_sum_mod
+    FROM summed
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads,
     with the decode step stubbed deterministically (operators/multimodal.py).
-    Schema, batch shape, and partitioning are the real production plumbing."""
+    Schema, batch shape, and partitioning are the real production plumbing.
+
+    Upgraded from rows-only: the stub's pseudo-features are pure integer
+    functions of the payload bytes, so the oracle re-derives them from
+    the hex rendering of the same UTF-8 payload — the Python decode path
+    (Arrow transport, NULL-payload propagation, int dtypes included) is
+    hash-verified end-to-end, the strongest check available short of a
+    real codec."""
     d = load_table(spark, sf_dir, "documents")
     return mm.extract_media_features(mm.attach_fake_media(d))
 
