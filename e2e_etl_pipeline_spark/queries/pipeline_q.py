@@ -203,12 +203,38 @@ def q_layout_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
-@register("q_offers_pipeline")  # rows-only: mapInPandas HTML parse (B.10 shape)
+@register(
+    "q_offers_pipeline",
+    oracle="""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      'jjit'                        AS site,
+      CAST(p_partkey AS INTEGER)    AS offer_idx,
+      trim(regexp_replace(regexp_replace(p_name,
+             '[^A-Za-z0-9 .,()-]', '', 'g'), ' {2,}', ' ', 'g'))
+                                    AS position,
+      ''                            AS company_name,
+      -- floor(x + 0.5) == Spark's HALF_UP round for the positive retail
+      -- prices (DuckDB's bare round() is half-even)
+      CAST(floor(p_retailprice + 0.5) AS DECIMAL(12,2))       AS minimum,
+      CAST(floor(p_retailprice + 0.5) + 100 AS DECIMAL(12,2)) AS maximum,
+      'PLN'                         AS currency,
+      'month'                       AS pay_period
+    FROM part WHERE p_partkey < 100
+    """,
+)
 def q_offers_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full transform stage end-to-end: synthetic HTML docs
     (both site DOM contracts, built deterministically from the part table) →
     mapInPandas DOM parse → codegen'd clean + salary parse → typed offers.
-    Golden-file correctness lives in tests/test_pipeline.py."""
+    Golden-file correctness lives in tests/test_pipeline.py.
+
+    Upgraded from rows-only: every parsed field is an algebraic function
+    of the part row that built its HTML (offer_idx is the data-index
+    attribute = p_partkey, salaries are the formatted round(price) ints,
+    the en-dash span join pins currency/period) — so the oracle
+    re-derives the typed offers directly from part and hash-verifies the
+    whole DOM-walk + clean + salary-parse path end-to-end."""
     p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
     jjit_html = F.concat(
         F.lit("<ul>"),
