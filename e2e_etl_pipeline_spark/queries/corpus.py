@@ -1273,3 +1273,107 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_sym").cast("bigint").alias("n_pieces"),
         )
     )
+
+
+@register(
+    "q_bm25",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+    -- avgdl as an exact integer ratio, never avg() over doubles (the
+    -- engine-native-avg accumulation-order class)
+    stats AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dlen
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    qt AS (
+      SELECT token
+      FROM (SELECT token, CAST(sum(tf) AS BIGINT) AS n_occ FROM tf GROUP BY 1)
+      ORDER BY n_occ DESC, token LIMIT 2
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             sum(
+               ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (0.25 + 0.75 * d.dl / s.avgdl))
+             ) AS score
+      FROM tf t
+      JOIN qt USING (token)
+      JOIN df USING (token)
+      JOIN dlen d ON d.doc_id = t.doc_id
+      CROSS JOIN stats s CROSS JOIN n
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, bm25, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT doc_id, round(score, 4) AS bm25,
+             row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+      FROM scored
+    )
+    WHERE rank <= 20
+    """,
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) retrieval scoring: the top-20 documents
+    for the corpus's two most frequent tokens as the query — TF-IDF's
+    production cousin (saturating tf, length normalization), the scorer
+    retrieval-based curation/dedup pipelines rank with.
+
+    Determinism: the query is exactly TWO terms, so each doc's score is a
+    sum of at most two doubles — IEEE addition is commutative, so the sum
+    is order-independent without decimal machinery; every input statistic
+    is an exact integer, and avgdl is an exact integer ratio (never a
+    double avg()). Ranking is on the ROUNDED score with a doc_id
+    tiebreak — a unique total order under the LIMIT.
+
+    Scale: tf is the one corpus-scale shuffle (the subtree every corpus
+    key shares via ReuseExchange); df and the 2-term query are
+    vocabulary-sized broadcasts; avgdl is a 1-row broadcast. The top-20
+    is orderBy+limit (TakeOrderedAndProject — no global sort) with the
+    rank attached post-limit over 20 rows, the q_vocab_topk shape; at
+    100 TB nothing funnels a corpus-sized partition."""
+    tok = _tokens(spark, sf_dir)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dlen.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
+    qt = (
+        tf.groupBy("token")
+        .agg(F.sum("tf").cast("bigint").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(2)
+        .select("token")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    scored = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(dfreq), "token")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * (F.col("tf") * 2.2) / denom).alias("score"))
+    )
+    top = (
+        scored.select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
