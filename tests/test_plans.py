@@ -465,3 +465,10 @@ def test_bpe_encode_broadcasts_vocab(spark, sf_dir):
     doc-side token stream must never sort-merge against it."""
     plan = _formatted(spark, "q_bpe_encode", sf_dir)
     assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_topk_no_global_sort(spark, sf_dir):
+    """The BM25 top-20 must plan as TakeOrderedAndProject (orderBy+limit),
+    never a corpus-wide single-partition rank window."""
+    plan = _formatted(spark, "q_bm25", sf_dir)
+    assert "TakeOrderedAndProject" in plan
