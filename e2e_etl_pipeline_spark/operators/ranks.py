@@ -135,3 +135,58 @@ def distributed_ntile(
         .alias(out_col)
     )
     return ranged.join(F.broadcast(off_df), _PID).select(*df.columns, bucket)
+
+
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: Sequence[OrderCol],
+    sum_cols: dict[str, OrderCol],
+) -> DataFrame:
+    """Exact running sums over a global order without a single-partition
+    window — the cumulative-sum sibling of ``distributed_rank``: frozen
+    range exchange, per-partition window cumsum, plus each partition's
+    exclusive prefix total (one P-row driver round-trip per call).
+
+    ``order_cols`` MUST be a unique total order (see distributed_rank's
+    null-pinning note). ``sum_cols`` maps output name → input column;
+    inputs should be integral/decimal so partial sums merge exactly — a
+    double weight would reintroduce the accumulation-order hazard this
+    operator exists to avoid.
+
+    Returns ``df``'s columns plus one running-total column per entry
+    (inclusive of the current row).
+    """
+    spark = df.sparkSession
+    n_part = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranged = (
+        df.repartitionByRange(n_part, *order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint()
+    )
+    names = list(sum_cols)
+    per_part = {
+        r[_PID]: r
+        for r in ranged.groupBy(_PID)
+        .agg(*[F.sum(sum_cols[k]).alias(k) for k in names])
+        .collect()
+    }
+    offsets, acc = [], {k: 0 for k in names}
+    for pid in sorted(per_part):
+        offsets.append({_PID: pid, **{f"_off_{k}": acc[k] for k in names}})
+        for k in names:
+            acc[k] += per_part[pid][k] or 0
+    off_df = inline_frame(
+        spark,
+        offsets or [{_PID: 0, **{f"_off_{k}": 0 for k in names}}],
+        [_PID, *[f"_off_{k}" for k in names]],
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cums = [
+        (F.col(f"_off_{k}") + F.sum(sum_cols[k]).over(w)).alias(k)
+        for k in names
+    ]
+    return ranged.join(F.broadcast(off_df), _PID).select(*df.columns, *cums)

@@ -1954,3 +1954,80 @@ def q_pareto_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum").cast("double") / F.max("total").cast("double"), 4
         ).alias("covered_share"),
     )
+
+
+@register(
+    "q_ks_test",
+    oracle="""
+    WITH pts AS (
+      SELECT value,
+             count(*) FILTER (WHERE user_id % 2 = 0) AS na,
+             count(*) FILTER (WHERE user_id % 2 = 1) AS nb
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY value
+    ),
+    tot AS (
+      SELECT CAST(sum(na) AS DOUBLE) AS t_a, CAST(sum(nb) AS DOUBLE) AS t_b
+      FROM pts
+    ),
+    cum AS (
+      SELECT sum(na) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_na,
+             sum(nb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_nb
+      FROM pts
+    )
+    SELECT CAST(t.t_a AS BIGINT)  AS n_a,
+           CAST(t.t_b AS BIGINT)  AS n_b,
+           round(max(abs(cum_na / nullif(t.t_a, 0.0)
+                         - cum_nb / nullif(t.t_b, 0.0))), 6) AS ks_stat
+    FROM cum CROSS JOIN tot t
+    GROUP BY t.t_a, t.t_b
+    """,
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the even-user and
+    odd-user value distributions — the classic distribution-drift detector
+    a data pipeline runs between snapshots or cohorts (complements
+    q_abtest's mean-level z-test: KS sees shape changes a mean test
+    misses).
+
+    Determinism: every input to the statistic is an exact integer count;
+    the ECDF ratios divide identical integers by identical totals, and the
+    final MAX is order-independent — no float-accumulation hazard anywhere
+    (the reason KS is oracle-exact where a PSI-style sum of logs would
+    not be). A cohort with zero rows yields a NULL statistic on both
+    engines (try_divide/nullif), never an ANSI divide error.
+
+    Scale: per-value cohort counts are one partial-agg'd shuffle; the
+    cumulative counts run through operators/ranks.distributed_cumsum —
+    frozen range exchange + per-partition window + P-row prefix offsets —
+    so no stage ever funnels the distinct-value set through one
+    partition (the q_ntile_bins discipline applied to running sums)."""
+    from e2e_etl_pipeline_spark.operators.ranks import distributed_cumsum
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    pts = e.groupBy("value").agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("na"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("nb"),
+    )
+    cum = distributed_cumsum(pts, ["value"], {"cum_na": "na", "cum_nb": "nb"})
+    tot = pts.agg(
+        F.sum("na").cast("double").alias("t_a"),
+        F.sum("nb").cast("double").alias("t_b"),
+    )
+    diff = F.abs(
+        F.try_divide(F.col("cum_na"), F.nullif(F.col("t_a"), F.lit(0.0)))
+        - F.try_divide(F.col("cum_nb"), F.nullif(F.col("t_b"), F.lit(0.0)))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("t_a", "t_b")
+        .agg(F.round(F.max(diff), 6).alias("ks_stat"))
+        .select(
+            F.col("t_a").cast("bigint").alias("n_a"),
+            F.col("t_b").cast("bigint").alias("n_b"),
+            "ks_stat",
+        )
+    )

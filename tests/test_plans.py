@@ -472,3 +472,13 @@ def test_bm25_topk_no_global_sort(spark, sf_dir):
     never a corpus-wide single-partition rank window."""
     plan = _formatted(spark, "q_bm25", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ks_test_no_single_partition_cumsum(spark, sf_dir):
+    """The ECDF running sums must use the distributed construction: the
+    cumulative-sum Window is partitioned by the range-exchange pid, and
+    the ONLY SinglePartition exchange is the final 1-row aggregate's
+    (which partially aggregates before it — unavoidable and harmless)."""
+    plan = _formatted(spark, "q_ks_test", sf_dir)
+    assert "windowspecdefinition(__rank_pid" in plan
+    assert plan.count("SinglePartition") <= 1

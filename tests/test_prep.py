@@ -245,3 +245,25 @@ def test_distributed_ntile_matches_sql_ntile(spark):
     ranked = distributed_rank(df, [F.col("a"), F.col("id")], "rk")
     rks = sorted(r.rk for r in ranked.select("rk").collect())
     assert rks == list(range(1, 258))
+
+
+def test_distributed_cumsum_equals_plain_window(spark):
+    from pyspark.sql import Window as W
+
+    from e2e_etl_pipeline_spark.operators.ranks import distributed_cumsum
+
+    df = spark.createDataFrame(
+        [(i, i % 7, (i * 3) % 5) for i in range(500)], "k int, a int, b int"
+    )
+    got = {
+        (r.k, r.cum_a, r.cum_b)
+        for r in distributed_cumsum(df, ["k"], {"cum_a": "a", "cum_b": "b"}).collect()
+    }
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, 0)
+    want = {
+        (r.k, r.cum_a, r.cum_b)
+        for r in df.select(
+            "k", F.sum("a").over(w).alias("cum_a"), F.sum("b").over(w).alias("cum_b")
+        ).collect()
+    }
+    assert got == want
