@@ -2031,3 +2031,86 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ks_stat",
         )
     )
+
+
+@register(
+    "q_mannwhitney",
+    oracle="""
+    WITH pts AS (
+      SELECT value,
+             count(*) FILTER (WHERE user_id % 2 = 0) AS na,
+             count(*) FILTER (WHERE user_id % 2 = 1) AS nb
+      FROM events
+      WHERE value IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY value
+    ),
+    cum AS (
+      SELECT na, nb,
+             sum(na + nb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               AS cum_all
+      FROM pts
+    ),
+    tot AS (
+      SELECT CAST(sum(na) AS BIGINT) AS t_a, CAST(sum(nb) AS BIGINT) AS t_b
+      FROM pts
+    )
+    SELECT t.t_a AS n_a, t.t_b AS n_b,
+           -- midrank of a tied run ending at cum_all with na+nb members:
+           -- (first + last)/2 = cum_all - (na+nb-1)/2; summed once per
+           -- A-occurrence. Every term sits on the exact 0.5 grid, so the
+           -- sum is exact in double regardless of order.
+           round(sum(na * (cum_all - (na + nb - 1) / 2.0))
+                 - t.t_a * (t.t_a + 1) / 2.0, 1) AS u_stat
+    FROM cum CROSS JOIN tot t
+    GROUP BY t.t_a, t.t_b
+    """,
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) statistic between the even/odd user value
+    distributions — the nonparametric location test that completes the
+    cohort-comparison family (q_abtest: parametric means; q_ks_test:
+    distribution shape; this: medians/stochastic dominance), with the
+    textbook midrank treatment of ties.
+
+    Exactness: midranks sit on the 0.5 grid (exact in double) and every
+    other input is an integer count, so the rank-sum is EXACT under any
+    accumulation order — 0.5-grid doubles below 2^52 add associatively.
+    The output rounds to 1dp only to normalize the -0.0 class.
+
+    Scale: the same shape as q_ks_test — one per-value partial-agg'd
+    shuffle, pooled cumulative counts via
+    operators/ranks.distributed_cumsum (no single-partition window), a
+    1-row result."""
+    from e2e_etl_pipeline_spark.operators.ranks import distributed_cumsum
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
+    pts = e.groupBy("value").agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).alias("na"),
+        F.count(F.when(F.col("user_id") % 2 == 1, 1)).alias("nb"),
+    )
+    cum = distributed_cumsum(
+        pts.withColumn("nall", F.col("na") + F.col("nb")),
+        ["value"],
+        {"cum_all": "nall"},
+    )
+    tot = pts.agg(
+        F.sum("na").cast("bigint").alias("t_a"),
+        F.sum("nb").cast("bigint").alias("t_b"),
+    )
+    midrank_sum = F.sum(
+        F.col("na") * (F.col("cum_all") - (F.col("na") + F.col("nb") - 1) / 2.0)
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("t_a", "t_b")
+        .agg(
+            F.round(
+                midrank_sum - F.col("t_a") * (F.col("t_a") + 1) / 2.0, 1
+            ).alias("u_stat")
+        )
+        .select(
+            F.col("t_a").alias("n_a"), F.col("t_b").alias("n_b"), "u_stat"
+        )
+    )

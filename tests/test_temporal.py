@@ -93,3 +93,11 @@ def test_pareto_set_is_minimal_and_covering(spark, sf_dir):
         # nearly uniform (then n_top can equal n_customers).
         assert r.covered_share >= 0.8 or r.n_top == r.n_customers
         assert 1 <= r.n_top <= r.n_customers
+
+
+def test_mannwhitney_u_within_bounds(spark, sf_dir):
+    # 0 <= U <= n_a * n_b always; equality ends only under total separation.
+    row = QUERIES["q_mannwhitney"](spark, sf_dir).collect()
+    if row:  # empty cohorts yield no row
+        r = row[0]
+        assert 0.0 <= r.u_stat <= r.n_a * r.n_b
