@@ -2114,3 +2114,100 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_a").alias("n_a"), F.col("t_b").alias("n_b"), "u_stat"
         )
     )
+
+
+@register(
+    "q_spearman",
+    oracle="""
+    WITH src AS (
+      SELECT l_quantity AS x, l_extendedprice AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    ptx AS (SELECT x, count(*) AS c FROM src GROUP BY x),
+    pty AS (SELECT y, count(*) AS c FROM src GROUP BY y),
+    mrx AS (
+      SELECT x,
+             CAST(sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING)
+                  - (c - 1) / 2.0 AS DECIMAL(28,1)) AS rx
+      FROM ptx
+    ),
+    mry AS (
+      SELECT y,
+             CAST(sum(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING)
+                  - (c - 1) / 2.0 AS DECIMAL(28,1)) AS ry
+      FROM pty
+    ),
+    ranked AS (
+      SELECT rx, ry FROM src JOIN mrx USING (x) JOIN mry USING (y)
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
+                 6) AS spearman
+    FROM s
+    """,
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price —
+    the robust (monotone, outlier-insensitive) cousin of q_agg_stats'
+    Pearson, computed with textbook midrank tie handling.
+
+    Exactness: midranks sit on the 0.5 grid and are carried as
+    DECIMAL(28,1), so every sufficient statistic (Σr, Σr², Σrxry) is an
+    exact DECIMAL sum — the q_regression_ols discipline — and doubles
+    first appear in the closed-form correlation on identical inputs.
+    A degenerate frame (constant variable → zero variance) yields NULL
+    via try_divide/nullif, never an ANSI crash.
+
+    Scale: per-variable midranks come from value-grouped counts run
+    through operators/ranks.distributed_cumsum (no single-partition
+    window); the rank join back to rows is a hash join on the value
+    key; the final statistics are one map-side-combinable aggregate."""
+    from e2e_etl_pipeline_spark.operators.ranks import distributed_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    src = li.select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def midranks(col: str, out: str) -> DataFrame:
+        pts = src.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum = distributed_cumsum(pts, [col], {"cum": "c"})
+        return cum.select(
+            col,
+            (F.col("cum") - (F.col("c") - 1) / 2.0)
+            .cast("decimal(28,1)")
+            .alias(out),
+        )
+
+    ranked = src.join(midranks("x", "rx"), "x").join(midranks("y", "ry"), "y")
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        n.cast("bigint").alias("n"),
+        F.round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 6).alias(
+            "spearman"
+        ),
+    )
