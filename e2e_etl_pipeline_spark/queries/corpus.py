@@ -1213,7 +1213,11 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus-scale shuffle is only the word count below (the
     same subtree every corpus key shares); the training loop itself runs
-    over the vocabulary with one 1-row driver sync per merge."""
+    over the vocabulary, batching provably-safe merges per driver round
+    (one top-W collect + one map-only rewrite per ROUND, not per merge;
+    sequential-equivalence proof in operators/bpe.py) with periodic
+    localCheckpoint lineage truncation — so the oracle's per-merge
+    unrolled CTE chain stays exact over the batched schedule."""
     counts = _tokens(spark, sf_dir).groupBy("token").agg(
         F.count(F.lit(1)).alias("cnt")
     )
@@ -1312,10 +1316,12 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       CROSS JOIN stats s CROSS JOIN n
       GROUP BY t.doc_id
     )
-    SELECT doc_id, bm25, CAST(rank AS INTEGER) AS rank
+    SELECT doc_id, bm25_q4, CAST(rank AS INTEGER) AS rank
     FROM (
-      SELECT doc_id, round(score, 4) AS bm25,
-             row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+      SELECT doc_id, CAST(floor(score * 1e4) AS BIGINT) AS bm25_q4,
+             row_number() OVER (
+               ORDER BY CAST(floor(score * 1e4) AS BIGINT) DESC, doc_id
+             ) AS rank
       FROM scored
     )
     WHERE rank <= 20
@@ -1331,8 +1337,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of at most two doubles — IEEE addition is commutative, so the sum
     is order-independent without decimal machinery; every input statistic
     is an exact integer, and avgdl is an exact integer ratio (never a
-    double avg()). Ranking is on the ROUNDED score with a doc_id
-    tiebreak — a unique total order under the LIMIT.
+    double avg()). The emitted/ranked value is the INTEGER quantization
+    floor(score * 1e4) — multiply and floor are exactly specified IEEE
+    ops computed identically by both engines, unlike round(double, 4),
+    where Spark rounds the shortest decimal rendering (BigDecimal.valueOf
+    HALF_UP) while DuckDB rounds the exact binary value — the classic
+    round(2.675, 2) divergence class (round-5 advice). doc_id tiebreak →
+    a unique total order under the LIMIT.
 
     Scale: tf is the one corpus-scale shuffle (the subtree every corpus
     key shares via ReuseExchange); df and the 2-term query are
@@ -1371,9 +1382,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(idf * (F.col("tf") * 2.2) / denom).alias("score"))
     )
     top = (
-        scored.select("doc_id", F.round("score", 4).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        scored.select(
+            "doc_id",
+            F.floor(F.col("score") * F.lit(1e4)).cast("bigint").alias("bm25_q4"),
+        )
+        .orderBy(F.desc("bm25_q4"), F.asc("doc_id"))
         .limit(20)
     )
-    w = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    w = Window.orderBy(F.desc("bm25_q4"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -176,6 +176,93 @@ def test_bpe_train_dries_up_and_stops_early(spark):
     # as the pair it consumed).
 
 
+def test_bpe_batches_disjoint_merges_in_one_round(spark):
+    # Four symbol-disjoint top pairs with strictly decreasing counts and
+    # nothing beyond them: one driver round must emit all four merges,
+    # in sequential (count desc, pair asc) order with sequential counts.
+    from e2e_etl_pipeline_spark.operators.bpe import bpe_learn
+
+    words = spark.createDataFrame(
+        [("ab", 9), ("cd", 7), ("ef", 5), ("gh", 3)],
+        "token string, cnt bigint",
+    )
+    stats: dict = {}
+    merges = bpe_learn(words, 4, stats=stats)
+    assert [(it, rule, pc) for it, rule, pc, _ in merges] == [
+        (1, "a b", 9),
+        (2, "c d", 7),
+        (3, "e f", 5),
+        (4, "g h", 3),
+    ]
+    assert stats["rounds"] == 1 and stats["merges"] == 4
+
+
+def test_bpe_batched_equals_sequential_reference(spark):
+    # Fuzz the batched trainer against a pure-Python one-merge-at-a-time
+    # reference on small random vocabularies, with a tiny batch_window to
+    # force the window-full truncation and fallback paths. Exercises the
+    # proof in operators/bpe.py including ties, conflicts, and merged
+    # symbols recreating adjacency.
+    import random
+
+    from e2e_etl_pipeline_spark.operators.bpe import BPE_L, BPE_R, bpe_learn
+
+    def py_bpe(words, n_merges):
+        seqs = [([BPE_L + c + BPE_R for c in w], cnt) for w, cnt in words]
+        out = []
+        for it in range(1, n_merges + 1):
+            counts: dict = {}
+            for syms, cnt in seqs:
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + cnt
+            if not counts:
+                break
+            (a, b), pc = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1])
+            )
+            out.append(
+                (
+                    it,
+                    (a + " " + b).replace(BPE_L, "").replace(BPE_R, ""),
+                    pc,
+                )
+            )
+            ab = a[:-1] + b[1:]  # "<a>" + "<b>" -> "<ab>", markers kept
+            new = []
+            for syms, cnt in seqs:
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(ab)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                new.append((merged, cnt))
+            seqs = new
+        return out
+
+    rng = random.Random(20260815)
+    for trial in range(8):
+        vocab = sorted(
+            {
+                "".join(
+                    rng.choice("abc") for _ in range(rng.randint(1, 6))
+                )
+                for _ in range(rng.randint(3, 10))
+            }
+        )
+        words = [(w, rng.randint(1, 9)) for w in vocab]
+        df = spark.createDataFrame(words, "token string, cnt bigint")
+        got = [
+            (it, rule, pc)
+            for it, rule, pc, _ in bpe_learn(
+                df, 6, batch_window=3, checkpoint_every=2
+            )
+        ]
+        assert got == py_bpe(words, 6), f"trial {trial}: {words}"
+
+
 def test_bpe_train_counts_are_nonincreasing(spark, sf_dir):
     rows = sorted(
         QUERIES["q_bpe_train"](spark, sf_dir).collect(),

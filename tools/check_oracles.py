@@ -83,6 +83,14 @@ def main() -> int:
             .appName("check_oracles_hostile")
             .getOrCreate()
         )
+        # getOrCreate silently returns any pre-existing session with ITS
+        # confs, in which case this sweep would quietly test nothing
+        # adversarial — fail loudly instead (round-5 advice).
+        assert spark.sparkContext.master == "local[3]", (
+            f"hostile sweep got a pre-existing session "
+            f"(master={spark.sparkContext.master}); run it in a fresh process"
+        )
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
     elif plain:
         # Driver-conditions sweep: an externally-built session with NONE of
         # the engine factory's confs and a deliberately non-UTC timezone.
@@ -96,6 +104,11 @@ def main() -> int:
             .config("spark.ui.showConsoleProgress", "false")
             .appName("check_oracles_plain")
             .getOrCreate()
+        )
+        # Same pre-existing-session hazard as the hostile branch.
+        assert spark.sparkContext.master == "local[8]", (
+            f"plain sweep got a pre-existing session "
+            f"(master={spark.sparkContext.master}); run it in a fresh process"
         )
     else:
         spark = get_session("check_oracles")
