@@ -30,6 +30,7 @@ from e2e_etl_pipeline_spark.operators.bpe import (
     bpe_learn,
     bpe_train_merges,
 )
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.operators.dedup import _words
 from e2e_etl_pipeline_spark.operators.sketches import misra_gries_candidates
 from e2e_etl_pipeline_spark.registry import register
@@ -900,13 +901,13 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       w.lang,
       w.n_docs,
-      round(CAST(w.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE), 4)
-        AS share_before,
-      round(CAST(w.w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE), 4)
-        AS mix_weight,
-      round((CAST(w.w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE))
-            / (CAST(w.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)), 4)
-        AS boost
+      floor(CAST(w.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+            * 10000.0 + 0.5) / 10000.0 AS share_before,
+      floor(CAST(w.w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE)
+            * 10000.0 + 0.5) / 10000.0 AS mix_weight,
+      floor((CAST(w.w_raw AS DOUBLE) / CAST(t.w_sum AS DOUBLE))
+            / (CAST(w.n_docs AS DOUBLE) / CAST(t.n_total AS DOUBLE))
+            * 10000.0 + 0.5) / 10000.0 AS boost
     FROM w CROSS JOIN tot t
     """,
 )
@@ -945,9 +946,9 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(tot)).select(
         "lang",
         "n_docs",
-        F.round(sd, 4).alias("share_before"),
-        F.round(wd, 4).alias("mix_weight"),
-        F.round(wd / sd, 4).alias("boost"),
+        stable_round(sd, 4).alias("share_before"),
+        stable_round(wd, 4).alias("mix_weight"),
+        stable_round(wd / sd, 4).alias("boost"),
     )
 
 
@@ -1022,7 +1023,8 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT sum(sum_q) AS tq, sum(n_docs) AS td FROM dom)
     SELECT domain, n_docs,
-           round(CAST(sum_q AS DOUBLE) / n_docs, 4) AS avg_quality
+           floor(CAST(sum_q AS DOUBLE) / n_docs * 10000.0 + 0.5) / 10000.0
+             AS avg_quality
     FROM dom, tot
     WHERE sum_q * td >= tq * n_docs
     ORDER BY domain
@@ -1064,9 +1066,9 @@ def q_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "domain",
             "n_docs",
-            F.round(F.col("sum_q").cast("double") / F.col("n_docs"), 4).alias(
-                "avg_quality"
-            ),
+            stable_round(
+                F.col("sum_q").cast("double") / F.col("n_docs"), 4
+            ).alias("avg_quality"),
         )
         .orderBy("domain")
     )

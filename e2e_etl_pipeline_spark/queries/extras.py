@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.operators.skew import salted_agg, salted_join
 from e2e_etl_pipeline_spark.registry import register
 
@@ -602,10 +603,10 @@ def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           round(
-             2.0 * CAST(sum(i * x) AS DOUBLE)
-               / (count(*) * CAST(sum(x) AS DOUBLE))
-             - (count(*) + 1.0) / count(*), 6) AS gini
+           floor((2.0 * CAST(sum(i * x) AS DOUBLE)
+                    / (count(*) * CAST(sum(x) AS DOUBLE))
+                  - (count(*) + 1.0) / count(*)) * 1000000.0 + 0.5)
+             / 1000000.0 AS gini
     FROM ranked GROUP BY o_orderpriority
     """,
 )
@@ -636,7 +637,7 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(
+        stable_round(
             F.lit(2.0)
             * F.sum(F.col("i") * F.col("x")).cast("double")
             / (F.count(F.lit(1)) * F.sum("x").cast("double"))

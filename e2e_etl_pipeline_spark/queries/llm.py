@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.functions import textstats as ts
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.functions.vectors import l2_norm
 from e2e_etl_pipeline_spark.operators import dedup as dd
 from e2e_etl_pipeline_spark.operators import multimodal as mm
@@ -177,7 +178,8 @@ def q_dedup_exact128(spark: SparkSession, sf_dir: str) -> DataFrame:
       b.source,
       b.n_docs,
       CAST(coalesce(f.n_flagged, 0) AS BIGINT)              AS n_flagged,
-      round(coalesce(f.n_flagged, 0) * 1.0 / b.n_docs, 4)   AS flagged_share
+      floor(coalesce(f.n_flagged, 0) * 1.0 / b.n_docs * 10000.0 + 0.5)
+        / 10000.0                                           AS flagged_share
     FROM base b LEFT JOIN per_source_flagged f USING (source)
     """,
 )
@@ -220,7 +222,9 @@ def q_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         n_flagged.alias("n_flagged"),
-        F.round(n_flagged * F.lit(1.0) / F.col("n_docs"), 4).alias("flagged_share"),
+        stable_round(n_flagged * F.lit(1.0) / F.col("n_docs"), 4).alias(
+            "flagged_share"
+        ),
     )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.pipeline.offers import parse_offers
 from e2e_etl_pipeline_spark.functions.money import money_sum
 from e2e_etl_pipeline_spark.registry import register
@@ -948,8 +949,8 @@ def q_sql_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(round(p.spend, 2) AS DOUBLE)                    AS spend,
            -- nullif: signed totals can cancel avg_spend to exactly 0
            -- (values-fuzz class); ANSI Spark raises on double /0
-           round(CAST(p.spend AS DOUBLE) / nullif(o.avg_spend, 0.0), 4)
-                                                                AS vs_avg
+           floor(CAST(p.spend AS DOUBLE) / nullif(o.avg_spend, 0.0)
+                 * 10000.0 + 0.5) / 10000.0                     AS vs_avg
     FROM per_cust p CROSS JOIN overall o
     WHERE CAST(p.spend AS DOUBLE) > 2 * o.avg_spend
     """,
@@ -1000,7 +1001,7 @@ def cache_reuse_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Dat
             F.round("spend", 2).cast("double").alias("spend"),
             # try_divide: a signed-total cancellation to exactly 0 must
             # yield NULL, not an ANSI DIVIDE_BY_ZERO (oracle: nullif).
-            F.round(F.try_divide(spend_d, F.col("avg_spend")), 4).alias(
+            stable_round(F.try_divide(spend_d, F.col("avg_spend")), 4).alias(
                 "vs_avg"
             ),
         )

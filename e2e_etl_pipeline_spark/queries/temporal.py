@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.registry import register
 
 
@@ -1978,8 +1979,9 @@ def q_pareto_topshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(t.t_a AS BIGINT)  AS n_a,
            CAST(t.t_b AS BIGINT)  AS n_b,
-           round(max(abs(cum_na / nullif(t.t_a, 0.0)
-                         - cum_nb / nullif(t.t_b, 0.0))), 6) AS ks_stat
+           floor(max(abs(cum_na / nullif(t.t_a, 0.0)
+                         - cum_nb / nullif(t.t_b, 0.0))) * 1000000.0 + 0.5)
+             / 1000000.0 AS ks_stat
     FROM cum CROSS JOIN tot t
     GROUP BY t.t_a, t.t_b
     """,
@@ -2024,7 +2026,7 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.crossJoin(F.broadcast(tot))
         .groupBy("t_a", "t_b")
-        .agg(F.round(F.max(diff), 6).alias("ks_stat"))
+        .agg(stable_round(F.max(diff), 6).alias("ks_stat"))
         .select(
             F.col("t_a").cast("bigint").alias("n_a"),
             F.col("t_b").cast("bigint").alias("n_b"),
@@ -2148,10 +2150,10 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ranked
     )
     SELECT CAST(n AS BIGINT) AS n,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
                  / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-                               * CAST(n * syy - sy * sy AS DOUBLE)), 0.0),
-                 6) AS spearman
+                               * CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS spearman
     FROM s
     """,
 )
@@ -2207,7 +2209,7 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return s.select(
         n.cast("bigint").alias("n"),
-        F.round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 6).alias(
+        stable_round(F.try_divide(num, F.nullif(den, F.lit(0.0))), 6).alias(
             "spearman"
         ),
     )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.registry import register
 
 
@@ -289,9 +290,10 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
       o_year,
-      round(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(16,4)) END)
+      floor(CAST(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(16,4)) END)
                  AS DOUBLE)
-            / nullif(CAST(sum(volume) AS DOUBLE), 0), 4) AS mkt_share
+            / nullif(CAST(sum(volume) AS DOUBLE), 0) * 10000.0 + 0.5) / 10000.0
+        AS mkt_share
     FROM (
       SELECT
         year(o_orderdate) AS o_year,
@@ -349,7 +351,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "nation")
     )
     return joined.groupBy("o_year").agg(
-        F.round(
+        stable_round(
             F.try_divide(
                 F.sum(
                     F.when(
@@ -523,11 +525,11 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q14",
     oracle=f"""
     SELECT
-      round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      floor(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
                                   THEN CAST({_REVENUE_SQL} AS DECIMAL(16,4))
                                   ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
             / nullif(CAST(sum(CAST({_REVENUE_SQL} AS DECIMAL(16,4)))
-                           AS DOUBLE), 0), 4)
+                           AS DOUBLE), 0) * 10000.0 + 0.5) / 10000.0
         AS promo_revenue
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
@@ -550,7 +552,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
+            stable_round(
                 F.lit(100.0)
                 * F.try_divide(
                     F.sum(
@@ -835,7 +837,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM brand_li GROUP BY l_partkey
     )
     SELECT
-      CAST(round(CAST(sum(price) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+      floor(CAST(sum(price) AS DOUBLE) / 7.0 * 100.0 + 0.5) / 100.0 AS avg_yearly
     FROM brand_li
     JOIN cut USING (l_partkey)
     WHERE qty * 5 * n < sum_qty
@@ -869,9 +871,9 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         brand_li.join(cut, "l_partkey")
         .filter(F.col("qty") * 5 * F.col("n") < F.col("sum_qty"))
         .agg(
-            F.round(F.sum("price").cast("double") / 7.0, 2)
-            .cast("double")
-            .alias("avg_yearly")
+            stable_round(F.sum("price").cast("double") / 7.0, 2).alias(
+                "avg_yearly"
+            )
         )
     )
 
