@@ -1393,3 +1393,225 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("bm25_q4"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@register(
+    "q_dedup_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             (CASE doc_id % 3 WHEN 0 THEN 'https://'
+                              WHEN 1 THEN 'HTTPS://'
+                              ELSE 'Https://' END)
+             || (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE 'WWW.' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN upper(coalesce(lang, ''))
+                      ELSE coalesce(lang, '') END)
+             || '.Example.COM'
+             || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+             || '/corpus/' || CAST(doc_id % 23 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 2 = 0
+                      THEN '?utm_source=feed&id=' || CAST(doc_id % 23 AS VARCHAR)
+                      ELSE '?id=' || CAST(doc_id % 23 AS VARCHAR)
+                           || '&utm_campaign=x' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS url
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)),
+                 ':(443|80)$', ''),
+               '^www\\.', '') AS host,
+             regexp_replace(
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id,
+             'https://' || host || path || '?id=' || id_param AS canon_url
+      FROM parsed
+    )
+    SELECT canon_url,
+           min(doc_id)            AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM canon
+    GROUP BY canon_url
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the CommonCrawl-standard first dedup
+    pass of a web corpus: the same page arrives under scheme/host case
+    variants, default ports, trailing slashes, tracking parameters
+    (utm_*) and fragments, and must collapse to ONE canonical URL before
+    any content dedup runs. Testdata has no URL column, so messy-but-
+    deterministic URLs are constructed per document (case, :443, '/',
+    utm params and '#frag' all keyed off doc_id arithmetic), then the
+    OPERATOR canonicalizes by parsing the string back: lowercase host,
+    strip default port / leading 'www.' / trailing slash / fragment,
+    keep only the identifying query param. Survivor = min(doc_id) per
+    canonical URL, with the duplicate count per group.
+
+    Scale: canonicalization is stateless regex/string column work
+    (codegen'd, partition-parallel); the only shuffle is the final
+    groupBy on the canonical-URL string — at 100 TB that exchange
+    carries (url, id, 1) tuples, never document bodies, and partial
+    min/count aggregation runs map-side. Generalizes the reference's
+    page-URL bookkeeping (DataExtract/extract_data.py pagination loop)
+    into a set-level operator."""
+    d = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    lang = F.coalesce(F.col("lang"), F.lit(""))
+    m = (did % 23).cast("string")
+    url = F.concat(
+        F.when(did % 3 == 0, F.lit("https://"))
+        .when(did % 3 == 1, F.lit("HTTPS://"))
+        .otherwise(F.lit("Https://")),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("WWW.")),
+        F.when(did % 4 == 0, F.upper(lang)).otherwise(lang),
+        F.lit(".Example.COM"),
+        F.when(did % 7 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/corpus/"),
+        m,
+        F.when(did % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 2 == 0, F.concat(F.lit("?utm_source=feed&id="), m))
+        .otherwise(F.concat(F.lit("?id="), m, F.lit("&utm_campaign=x"))),
+        F.when(did % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]+)", 1)),
+            r":(443|80)$",
+            "",
+        ),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    id_param = F.regexp_extract(url, r"[?&]id=([^&#]*)", 1)
+    canon = F.concat(F.lit("https://"), host, path, F.lit("?id="), id_param)
+    return (
+        d.select(canon.alias("canon_url"), "doc_id")
+        .groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+@register(
+    "q_span_corruption",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             coalesce(list_filter(regexp_split_to_array(text,
+                        '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> ''), []) AS w
+      FROM documents
+    ),
+    mk AS (
+      SELECT doc_id, w, len(w) AS n,
+             list_transform(range(len(w)),
+                            i -> ((doc_id * 31 + i * 17) % 10) = 7) AS m
+      FROM base
+    ),
+    st AS (
+      SELECT doc_id, w, n, m,
+             list_transform(range(n),
+                            i -> m[i + 1] AND (i = 0 OR NOT m[i])) AS s
+      FROM mk
+    )
+    SELECT doc_id,
+      CAST(n AS INTEGER)                          AS n_tokens,
+      CAST(len(list_filter(m, x -> x)) AS INTEGER) AS n_masked,
+      CAST(len(list_filter(s, x -> x)) AS INTEGER) AS n_spans,
+      coalesce(array_to_string(list_filter(list_transform(range(n), i ->
+        CASE WHEN NOT m[i + 1] THEN w[i + 1]
+             WHEN s[i + 1] THEN '<extra_id_'
+                  || CAST(len(list_filter(s[1:i + 1], x -> x)) - 1 AS VARCHAR)
+                  || '>'
+             ELSE '' END), x -> x <> ''), ' '), '') AS input_text,
+      coalesce(array_to_string(list_filter(list_transform(range(n), i ->
+        CASE WHEN s[i + 1] THEN '<extra_id_'
+                  || CAST(len(list_filter(s[1:i + 1], x -> x)) - 1 AS VARCHAR)
+                  || '> ' || w[i + 1]
+             WHEN m[i + 1] THEN w[i + 1]
+             ELSE '' END), x -> x <> ''), ' '), '') AS target_text
+    FROM st
+    """,
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption sample generation: deterministically
+    mask ~10% of tokens (hash-free integer schedule on (doc_id, position)
+    so both engines agree bit-for-bit), collapse each contiguous masked
+    run into one `<extra_id_k>` sentinel in the encoder input, and emit
+    the decoder target as the sentinel-prefixed masked spans — the
+    denoising-objective pair every T5-family pretraining pipeline
+    materializes at corpus scale.
+
+    Scale: pure per-row array expressions — no explode, no shuffle, no
+    Python; the whole plan is one codegen'd projection over the corpus
+    (plan-asserted shuffle-free in tests/test_corpus.py). Sentinel
+    numbering needs the count of span-starts up to each position; with
+    no array prefix-scan in either engine it is recomputed per span
+    start (O(len · spans) per document — bounded and local; at a 2k-token
+    production context this is ~400k integer ops per doc, still cheaper
+    than one shuffled row). NULL/empty/whitespace-only text degrades to
+    an empty token list → empty strings, pinned identically in both
+    engines (coalesce)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.when(F.col("text").isNotNull(), _words("text")).otherwise(
+        F.array().cast("array<string>")
+    )
+    d = d.select("doc_id", w.alias("w"))
+    mask = F.transform(
+        F.col("w"),
+        lambda _, i: ((F.col("doc_id") * 31 + i * 17) % 10) == 7,
+    )
+    d = d.withColumn("m", mask)
+    start = F.transform(
+        F.col("m"),
+        lambda x, i: x
+        & F.when(i == 0, F.lit(True)).otherwise(
+            ~F.element_at(F.col("m"), i)
+        ),
+    )
+    d = d.withColumn("s", start)
+    sentinel = lambda i: F.concat(  # noqa: E731
+        F.lit("<extra_id_"),
+        (
+            F.size(F.filter(F.slice(F.col("s"), 1, i + 1), lambda b: b)) - 1
+        ).cast("string"),
+        F.lit(">"),
+    )
+    cur = lambda arr, i: F.element_at(arr, i + 1)  # noqa: E731
+    input_parts = F.transform(
+        F.col("w"),
+        lambda t, i: F.when(~cur(F.col("m"), i), t)
+        .when(cur(F.col("s"), i), sentinel(i))
+        .otherwise(F.lit("")),
+    )
+    target_parts = F.transform(
+        F.col("w"),
+        lambda t, i: F.when(
+            cur(F.col("s"), i), F.concat(sentinel(i), F.lit(" "), t)
+        )
+        .when(cur(F.col("m"), i), t)
+        .otherwise(F.lit("")),
+    )
+    join_ne = lambda parts: F.array_join(  # noqa: E731
+        F.filter(parts, lambda x: x != ""), " "
+    )
+    return d.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_tokens"),
+        F.size(F.filter(F.col("m"), lambda x: x)).cast("int").alias("n_masked"),
+        F.size(F.filter(F.col("s"), lambda x: x)).cast("int").alias("n_spans"),
+        join_ne(input_parts).alias("input_text"),
+        join_ne(target_parts).alias("target_text"),
+    )

@@ -19,6 +19,10 @@ Hash-stability rules enforced across the codebase (SURVEY.md §7 watch list):
     from DuckDB but object/None from Spark — the local comparator
     normalizes that split, the driver's exact hash may not (round 4,
     q_date_funcs / q_percentile_bands). Non-nullable DATE outputs are fine.
+  * DuckDB array_to_string([]) returns NULL while Spark array_join([])
+    returns '' — wrap every oracle array_to_string whose list can be empty
+    (empty/NULL document, zero matches) in coalesce(..., '') (round 5,
+    q_span_corruption via the nulls/edge variants).
   * Grouped money/value DOUBLE sums accumulate in DECIMAL(18,6) before the
     2dp round on both dialects — double accumulation is partition-order
     dependent at rounding boundaries. Integer-valued doubles (quantities)

@@ -273,3 +273,67 @@ def test_bpe_train_counts_are_nonincreasing(spark, sf_dir):
         assert a.pair_count >= b.pair_count
         left, right = b.merge_rule.split(" ", 1)
         assert left and right
+
+
+def test_span_corruption_reconstructs_original(spark, sf_dir):
+    """Denoising-pair contract: splicing each target span back into its
+    input sentinel reproduces the original whitespace-tokenized document,
+    and span/mask counts are consistent."""
+    import re
+
+    from e2e_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["q_span_corruption"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert rows
+    n_with_spans = 0
+    for r in rows:
+        toks = [t for t in re.split(r"[ \t\n\x0B\f\r]+", docs[r.doc_id] or "") if t]
+        assert r.n_tokens == len(toks)
+        assert 0 <= r.n_spans <= r.n_masked <= r.n_tokens
+        # parse target into {sentinel_id: [tokens...]}
+        spans: dict[int, list[str]] = {}
+        cur = None
+        for t in r.target_text.split(" ") if r.target_text else []:
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                cur = int(m.group(1))
+                spans[cur] = []
+            else:
+                spans[cur].append(t)
+        assert len(spans) == r.n_spans
+        assert sum(len(v) for v in spans.values()) == r.n_masked
+        rebuilt: list[str] = []
+        for t in r.input_text.split(" ") if r.input_text else []:
+            m = re.fullmatch(r"<extra_id_(\d+)>", t)
+            if m:
+                rebuilt.extend(spans[int(m.group(1))])
+            else:
+                rebuilt.append(t)
+        assert rebuilt == toks
+        if r.n_spans:
+            n_with_spans += 1
+    assert n_with_spans > 0  # masking actually fires on this corpus
+
+
+def test_dedup_url_groups_cover_corpus(spark, sf_dir):
+    """Survivors + duplicate counts partition the corpus: group sizes sum
+    to the document count, each survivor is the min doc_id of its group,
+    and every canonical URL is lowercase with no tracking params, default
+    port, fragment, or trailing slash."""
+    from e2e_etl_pipeline_spark.registry import QUERIES
+
+    rows = QUERIES["q_dedup_url"](spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_dups for r in rows) == n_docs
+    assert any(r.n_dups > 1 for r in rows)  # dedup actually collapses
+    for r in rows:
+        u = r.canon_url
+        assert u == u.lower()
+        assert u.startswith("https://")
+        for banned in ("utm_", ":443", "#", "www."):
+            assert banned not in u
+        assert "/?" in u or not u.split("?")[0].endswith("/")

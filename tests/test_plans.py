@@ -482,3 +482,28 @@ def test_ks_test_no_single_partition_cumsum(spark, sf_dir):
     plan = _formatted(spark, "q_ks_test", sf_dir)
     assert "windowspecdefinition(__rank_pid" in plan
     assert plan.count("SinglePartition") <= 1
+
+
+def test_span_corruption_is_shuffle_free(spark, sf_dir):
+    """Span-corruption sample generation must be ONE codegen'd projection
+    over the corpus: per-row array expressions only — any Exchange means
+    a masking step accidentally shuffled document bodies."""
+    plan = _formatted(spark, "q_span_corruption", sf_dir)
+    assert "Exchange" not in plan
+    # higher-order functions (transform/filter lambdas) run as codegen'd
+    # expression trees inside plain Projects, not WholeStageCodegen spans —
+    # the assertable property is the absence of any shuffle or sort.
+    assert "Sort" not in plan
+
+
+def test_dedup_url_single_groupby_exchange(spark, sf_dir):
+    """URL dedup shuffles exactly once: the groupBy on the canonical URL
+    (map-side partial min/count first). Canonicalization itself is
+    stateless string work inside the scan stage."""
+    import re
+
+    plan = _formatted(spark, "q_dedup_url", sf_dir)
+    # formatted plans print each node twice (tree line + detail section);
+    # count distinct Exchange node ids instead of raw substring hits.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_min" in plan
