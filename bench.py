@@ -79,9 +79,16 @@ def main() -> int:
     # varied ~1.6× on identical plans, so BENCH deltas are only meaningful
     # normalized by host speed. One extra JSON key; the driver's parser
     # ignores keys it doesn't know.
-    t0 = time.time()
-    sum(range(10**7))
-    host_ms = round((time.time() - t0) * 1000, 1)
+    # Min of three samples: a single sample can absorb a scheduler
+    # interruption and swing ~40% between consecutive runs (round-5
+    # measurement), which poisons cross-round normalization; the minimum
+    # is the least-interrupted estimate of true host speed.
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        sum(range(10**7))
+        samples.append((time.time() - t0) * 1000)
+    host_ms = round(min(samples), 1)
 
     print(
         json.dumps(

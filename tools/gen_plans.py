@@ -106,6 +106,15 @@ SHOWCASE = [
                               "SinglePartition exchanges feed the "
                               "|days|-row carry table and the final "
                               "struct-max scalar"),
+    ("q_span_corruption", "T5 span-corruption pairs as ONE shuffle-free "
+                          "projection chain — higher-order array lambdas "
+                          "only, no Exchange/Sort; the corpus never "
+                          "leaves its scan partitions"),
+    ("q_dedup_url", "URL canonicalization inside the scan stage (stateless "
+                    "regex projection); exactly one exchange — the "
+                    "groupBy on canon_url — with partial_min/count "
+                    "map-side so the shuffle carries (url, id, count) "
+                    "tuples"),
 ]
 
 
