@@ -33,6 +33,31 @@ HEADLINE = [
 ]
 
 
+def _restage(sf_dir: str, n_row_groups: int = 16) -> str:
+    """Rewrite every table of ``sf_dir`` as ~``n_row_groups`` row groups per
+    file (same rows, same schema, multi-split layout) under /tmp, reusing a
+    previous restage when the source files haven't changed since."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    dst = os.path.join(
+        "/tmp",
+        "sf_restaged_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
+    )
+    os.makedirs(dst, exist_ok=True)
+    import glob
+
+    for src in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        out = os.path.join(dst, os.path.basename(src))
+        if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+            continue
+        table = pq.read_table(src)
+        rows_per_group = max(1, (table.num_rows + n_row_groups - 1) // n_row_groups)
+        pq.write_table(table, out, row_group_size=rows_per_group)
+    return dst
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -51,29 +76,47 @@ def main() -> int:
     except ValueError:
         sf = -1.0
 
-    timings: dict[str, float] = {}
-    for key in HEADLINE:
-        fn = QUERIES.get(key)
-        if fn is None:
-            continue
-        # Warm this query immediately before timing it: pays JVM startup and
-        # whole-stage-codegen compilation (one-time costs, irrelevant to
-        # steady-state throughput) without risking codegen-cache eviction by
-        # the other benchmark queries.
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        # Best of two timed runs: a single sample is hostage to scheduler
-        # noise (a one-run outlier produced round 2's phantom 2.3×
-        # count-distinct "regression"); the minimum is the standard
-        # steady-state throughput estimator.
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            # noop sink: full execution, zero serialization to the driver.
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[key] = round(best, 3)
+    def run_suite(data_dir: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for key in HEADLINE:
+            fn = QUERIES.get(key)
+            if fn is None:
+                continue
+            # Warm this query immediately before timing it: pays JVM startup
+            # and whole-stage-codegen compilation (one-time costs, irrelevant
+            # to steady-state throughput) without risking codegen-cache
+            # eviction by the other benchmark queries.
+            fn(spark, data_dir).write.format("noop").mode("overwrite").save()
+            # Best of two timed runs: a single sample is hostage to scheduler
+            # noise (a one-run outlier produced round 2's phantom 2.3×
+            # count-distinct "regression"); the minimum is the standard
+            # steady-state throughput estimator.
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                # noop sink: full execution, zero driver serialization.
+                fn(spark, data_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[key] = round(best, 3)
+        return timings
 
+    timings = run_suite(sf_dir)
     total = round(sum(timings.values()), 3)
+
+    # Layout-controlled second pass (round-5 verdict #6): the driver's
+    # regenerated sf0.1 parquet is ONE row group per file, and a row group is
+    # Spark's minimum scan split, so scan+partial-agg stages serialize onto
+    # one task regardless of conf (BASELINE.md round-5 note). Restage the
+    # same data as 16 row groups per file once, time the same suite on it,
+    # and report both in the one JSON line — separating "host vs parquet
+    # layout vs plan" deltas without guessing. Failure to restage must never
+    # break the one-JSON-line contract.
+    restaged: dict[str, float] = {}
+    try:
+        restaged = run_suite(_restage(sf_dir))
+    except Exception:
+        pass
+    restaged_total = round(sum(restaged.values()), 3) if restaged else -1.0
 
     # Host-speed yardstick (BASELINE.md): VM generations for this repo have
     # varied ~1.6× on identical plans, so BENCH deltas are only meaningful
@@ -99,6 +142,14 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "host_yardstick_ms": host_ms,
+                # Methodology marker (round-5 advice): host_ms switched to
+                # min-of-3 in round 5; single-sample values from earlier
+                # BENCH_r*.json are not directly comparable.
+                "host_ms_method": "min3",
+                # Same suite on a 16-row-group restage of the same data
+                # (multi-split scans); -1.0 = restage unavailable.
+                "restaged_total": restaged_total,
+                "queries_restaged": restaged,
             }
         )
     )

@@ -91,6 +91,18 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(F.array()))
 
 
+def positional_shingles(col: Column | str, n: int = 3) -> Column:
+    """ALL word n-grams in position order (repeats kept) as array<string> —
+    the positional variant of word_shingles for span-coverage operators
+    (posexplode gives back the 0-based gram start)."""
+    ws = _words(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

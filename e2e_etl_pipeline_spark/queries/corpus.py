@@ -1563,7 +1563,13 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     production context this is ~400k integer ops per doc, still cheaper
     than one shuffled row). NULL/empty/whitespace-only text degrades to
     an empty token list → empty strings, pinned identically in both
-    engines (coalesce)."""
+    engines (coalesce).
+
+    Assumption (round-5 advice): corpus tokens are never literally shaped
+    like ``<extra_id_N>`` — a document containing its own sentinel would
+    make input/target reconstruction ambiguous (as in real T5 pipelines,
+    where such text is filtered or escaped upstream). The reconstruction
+    test asserts loudly if one ever appears."""
     d = load_table(spark, sf_dir, "documents")
     w = F.when(F.col("text").isNotNull(), _words("text")).otherwise(
         F.array().cast("array<string>")

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.functions import textstats as ts
 from e2e_etl_pipeline_spark.functions.rounding import stable_round
-from e2e_etl_pipeline_spark.functions.vectors import l2_norm
+from e2e_etl_pipeline_spark.functions.vectors import dot, l2_norm
 from e2e_etl_pipeline_spark.operators import dedup as dd
 from e2e_etl_pipeline_spark.operators import multimodal as mm
 from e2e_etl_pipeline_spark.operators import similarity as sim
@@ -429,6 +429,97 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_embedding_bound",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    p AS (
+      SELECT list_sum(list_transform(range(1, len(a.embedding) + 1),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE)))
+             / (a.nrm * b.nrm) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+    )
+    SELECT CAST((SELECT count(*) FROM v) AS BIGINT)            AS n_corpus,
+           CAST(count(*) FILTER (WHERE cosine >= 0.4) AS BIGINT) AS n_true_pairs,
+           TRUE                                                 AS dedup_recall_ok
+    FROM p
+    """,
+)
+def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable exact twin of q_dedup_embedding (round-5 verdict #7,
+    q_similarity_recall_bound pattern): the semantic-dup GROUND TRUTH —
+    every unordered pair with cosine >= 0.4 — is plain SQL, so the oracle
+    hash-checks ``n_true_pairs`` exactly, and a boolean asserts the LSH
+    candidate generation (the dedup key's own k=5 / 6-plane / 6-table
+    configuration) recovers >= 20% of those pairs. Measured recall is
+    0.373 (sf0.01, 59 true pairs) / 0.315 (sf0.1, 920) — the 0.2 bound
+    sits ~40% below so a per-round corpus redraw cannot flip it by
+    re-draw luck; this is the candidate-generation floor of a CHEAP
+    single-pass config (a production dedup raises n_tables for recall —
+    q_similarity_recall_bound certifies 0.6+ at n_tables=32). Recall
+    compares in integer math (hits*5 >= n_true*1) — no FP boundary.
+
+    Binds only when the corpus is big enough for fixed bucket counts to
+    be meaningful (>= 100 vectors, same floor as q_similarity_recall_bound:
+    64 buckets over a decimated handful of vectors are near-singleton
+    partitions whose recall legitimately collapses). Zero-norm vectors are
+    excluded from pairs on both sides (nrm > 0 guards the division).
+
+    Scale: the exact all-pairs side is the verification harness, not the
+    operator — it is quadratic BY DESIGN and runs on the bounded bench
+    corpus; the certified artifact (LSH bucketing) is the linear scale
+    path."""
+    em = load_table(spark, sf_dir, "embeddings")
+    n_corpus = em.count()  # driver-side scalar, metadata-scale
+    big_enough = F.lit(n_corpus >= 100)
+    a = sim.with_vector_norm(em).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = sim.with_vector_norm(em).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "id_a",
+            "id_b",
+            (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.4)
+        .select("id_a", "id_b")
+    )
+    lsh_pairs = (
+        sim.lsh_bucketed_topk(em, em, k=5, n_planes=6, n_tables=6)
+        .where(F.col("cosine") >= 0.4)
+        .select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("in_lsh", F.lit(1))
+    )
+    joined = exact.join(lsh_pairs, ["id_a", "id_b"], "left")
+    hits = F.sum(F.coalesce(F.col("in_lsh"), F.lit(0)))
+    n_true = F.count(F.lit(1))
+    return joined.agg(
+        F.lit(n_corpus).cast("long").alias("n_corpus"),
+        n_true.cast("long").alias("n_true_pairs"),
+        ((hits * 5 >= n_true) | ~big_enough).alias("dedup_recall_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -699,6 +790,118 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     components) — functions/textstats.py, reproduced exactly by the oracle."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", F.round(ts.quality_score("text"), 4).alias("quality"))
+
+
+@register(
+    "q_quality_gopher",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(text, '') AS txt,
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_words,
+        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+             AS BIGINT) AS total_chars,
+        CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+             AS BIGINT) AS n_alpha_words,
+        CAST(length(txt) - length(replace(txt, '#', ''))
+             + (length(txt) - length(replace(txt, '...', ''))) // 3
+             AS BIGINT) AS n_symbols,
+        CAST((CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'a')   THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'of')  THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'to')  THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'in')  THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'is')  THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'it')  THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'for') THEN 1 ELSE 0 END)
+           + (CASE WHEN list_contains(toks, 'on')  THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words,
+      n_words BETWEEN 50 AND 100000                          AS ok_word_count,
+      n_words > 0 AND 3 * n_words <= total_chars
+                  AND total_chars <= 10 * n_words            AS ok_mean_word_len,
+      n_words > 0 AND 5 * n_alpha_words >= 4 * n_words       AS ok_alpha_words,
+      10 * n_symbols <= n_words                              AS ok_symbol_ratio,
+      n_stopwords >= 2                                       AS ok_stopwords,
+      (n_words BETWEEN 50 AND 100000)
+        AND (n_words > 0 AND 3 * n_words <= total_chars
+                         AND total_chars <= 10 * n_words)
+        AND (n_words > 0 AND 5 * n_alpha_words >= 4 * n_words)
+        AND (10 * n_symbols <= n_words)
+        AND (n_stopwords >= 2)                               AS keep
+    FROM c
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filtering (Rae et al. 2021, public):
+    per-document rule verdicts — word count in [50, 100000], mean word
+    length in [3, 10], >= 80% of words contain an alphabetic character,
+    symbol-to-word ratio ('#' or '...') <= 0.1, and >= 2 distinct
+    English function words present — plus the conjunctive keep flag.
+    The function-word list is the repo's EN_STOPWORDS (functions/
+    textstats.py) rather than Gopher's exact eight: the synthetic corpus
+    contains only 'the'/'a' from either list, and Gopher's would make the
+    rule vacuously false corpus-wide (the mechanics are the point, as in
+    q_text_langid). The
+    rule-set filter is the standard first stage of a web-scale training
+    pipeline, upstream of dedup (q_training_pipeline composes the same
+    shape with a learned score).
+
+    Every threshold compares in DIVISIONLESS integer math (3·n ≤ chars,
+    5·alpha ≥ 4·n, 10·sym ≤ n) so the boundary document set is
+    bit-identical across engines — no FP ratio ever exists to round.
+    NULL text coalesces to '' (0 words) and fails the word-count rule
+    deterministically.
+
+    Scale: stateless per-row column expressions (split/filter/aggregate
+    higher-order functions) — runs inside the parquet scan stage, no
+    shuffle, no Python; at 100 TB this is a map-only pass."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    toks = ts.words(txt)
+    n_words = F.size(toks).cast("long")
+    total_chars = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    hash_syms = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
+    ellipsis_syms = (
+        (F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", ""))) / 3
+    ).cast("long")
+    n_symbols = (hash_syms.cast("long") + ellipsis_syms).cast("long")
+    n_stop = sum(
+        F.array_contains(toks, w).cast("long") for w in ts.EN_STOPWORDS
+    ).cast("long")
+    ok_word_count = (n_words >= 50) & (n_words <= 100000)
+    ok_mean_len = (
+        (n_words > 0) & (3 * n_words <= total_chars) & (total_chars <= 10 * n_words)
+    )
+    ok_alpha = (n_words > 0) & (5 * n_alpha >= 4 * n_words)
+    ok_symbol = 10 * n_symbols <= n_words
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_len.alias("ok_mean_word_len"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_symbol.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_word_count & ok_mean_len & ok_alpha & ok_symbol & ok_stop).alias(
+            "keep"
+        ),
+    )
 
 
 @register(

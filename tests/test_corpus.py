@@ -303,6 +303,14 @@ def test_span_corruption_reconstructs_original(spark, sf_dir):
                 cur = int(m.group(1))
                 spans[cur] = []
             else:
+                # A target token before any sentinel means either a corpus
+                # token literally shaped like <extra_id_N> (the operator's
+                # output is ambiguous for those — documented assumption in
+                # q_span_corruption's docstring) or a malformed target.
+                assert cur is not None, (
+                    f"doc {r.doc_id}: target_text has token {t!r} before "
+                    "the first sentinel — sentinel-shaped corpus token?"
+                )
                 spans[cur].append(t)
         assert len(spans) == r.n_spans
         assert sum(len(v) for v in spans.values()) == r.n_masked

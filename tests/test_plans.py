@@ -507,3 +507,72 @@ def test_dedup_url_single_groupby_exchange(spark, sf_dir):
     # count distinct Exchange node ids instead of raw substring hits.
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
     assert "partial_min" in plan
+
+
+# The seven global day-series windows (q_running_distinct, q_ewma,
+# q_autocorr, q_changepoint, q_concurrent_sessions' carry, q_window_median,
+# q_rolling_corr) are single-partition BY DESIGN: each runs over a
+# post-groupBy("day") frame, so the window's cardinality is the CALENDAR
+# (|days| rows), not the data, and survives any data scale-up. That bound
+# was previously prose in docstrings; these assertions make a refactor that
+# silently widens one to row cardinality fail in CI (round-5 verdict #5).
+DAY_SERIES_WINDOW_KEYS = [
+    "q_running_distinct",
+    "q_ewma",
+    "q_autocorr",
+    "q_changepoint",
+    "q_concurrent_sessions",
+    "q_window_median",
+    "q_rolling_corr",
+]
+
+
+def _node_depth(line: str) -> int:
+    """Column of the node name in a plan-tree pretty-print line."""
+    for i, ch in enumerate(line):
+        if ch.isalpha():
+            return i
+    return len(line)
+
+
+def _global_day_windows_are_calendar_bounded(df) -> int:
+    """Assert every Window globally ordered by `day` has, in its subtree, a
+    HashAggregate that PRODUCES that day attribute (so the window input is
+    the day-grouped aggregate, calendar cardinality). Returns the number of
+    such windows found."""
+    import re
+
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
+    n_found = 0
+    for i, line in enumerate(lines):
+        # Global-by-day spec: `windowspecdefinition(day#N ASC ...` — a
+        # PARTITIONED window lists partition attrs first (`day#N, t#M ASC`)
+        # and is not a global sort, so it is exempt.
+        m = re.search(r"windowspecdefinition\(day#(\d+L?) ASC", line)
+        if not m or "Window" not in line:
+            continue
+        n_found += 1
+        day_id = m.group(1)
+        depth = _node_depth(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            if _node_depth(nxt) <= depth:
+                break
+            subtree.append(nxt)
+        agg_produces_day = any(
+            "HashAggregate(" in s
+            and re.search(rf"output=\[[^\]]*\bday#{day_id}\b", s)
+            for s in subtree
+        )
+        assert agg_produces_day, (
+            "global day-window input is NOT a day-grouped aggregate "
+            f"(day#{day_id}); window line: {line.strip()}"
+        )
+    return n_found
+
+
+def test_day_series_windows_are_calendar_bounded(spark, sf_dir):
+    for key in DAY_SERIES_WINDOW_KEYS:
+        df = QUERIES[key](spark, sf_dir)
+        n = _global_day_windows_are_calendar_bounded(df)
+        assert n >= 1, f"{key}: expected a global day-ordered window, found 0"
