@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
@@ -225,6 +225,105 @@ def q_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(n_flagged * F.lit(1.0) / F.col("n_docs"), 4).alias(
             "flagged_share"
         ),
+    )
+
+
+@register(
+    "q_dedup_substring",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS ws
+      FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, i, array_to_string(ws[i:i+7], ' ') AS gram
+      FROM words, UNNEST(range(1, len(ws) - 6)) AS t(i)
+      WHERE len(ws) >= 8
+    ),
+    dup AS (SELECT gram FROM starts GROUP BY gram HAVING count(*) >= 2),
+    cov AS (
+      SELECT doc_id, i,
+             i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS gap
+      FROM starts JOIN dup USING (gram)
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_dup_starts,
+             CAST(sum(least(coalesce(gap, 8), 8)) AS BIGINT) AS n_covered,
+             CAST(sum(CASE WHEN gap IS NULL OR gap > 7 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_spans
+      FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.ws) AS BIGINT)            AS n_tokens,
+           coalesce(p.n_dup_starts, 0)          AS n_dup_starts,
+           coalesce(p.n_covered, 0)             AS n_covered,
+           coalesce(p.n_spans, 0)               AS n_spans,
+           coalesce(p.n_covered, 0) * 5 <= CAST(len(w.ws) AS BIGINT)
+                                                AS ok_span_coverage
+    FROM words w LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring coverage per document — the
+    deduplicate-text-datasets operation (Lee et al. 2022, public): find
+    every position covered by a word-8-gram that occurs >= 2 times in the
+    CORPUS (within-doc repeats count, unlike q_dup_span_audit's
+    cross-document flag), merge overlapping hits into maximal spans, and
+    report per-doc coverage plus the <= 20% keep rule (5·covered <=
+    tokens, divisionless). The reference implementation builds a corpus
+    suffix array; the Spark-native equivalent is positional shingles + a
+    combinable duplicate-gram aggregate + a per-doc ordered window —
+    gaps-and-islands: with gram starts sorted, a start s covers
+    min(s - prev_s, 8) NEW tokens (8 when it opens a span), so coverage
+    and span count fall out of one lag() pass.
+
+    Scale: shuffle carries (gram, doc, pos) once per occurrence; the
+    duplicate-gram set is a HAVING over a combinable count; the coverage
+    window partitions BY DOCUMENT (bounded frames). At corpus scale swap
+    the gram join key for content_digest(gram) as in q_dup_span_audit.
+    All outputs are integers/booleans — no FP boundary anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = ts.words(F.coalesce(F.col("text"), F.lit("")))
+    base = d.select("doc_id", F.size(toks).cast("long").alias("n_tokens"))
+    starts = d.select(
+        "doc_id",
+        F.posexplode(dd.positional_shingles("text", 8)).alias("pos", "gram"),
+    )
+    dup = (
+        starts.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .where(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        starts.join(dup, "gram")
+        .select("doc_id", "pos")
+        .withColumn("gap", F.col("pos") - F.lag("pos").over(win))
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_starts"),
+        F.sum(F.least(F.coalesce(F.col("gap"), F.lit(8)), F.lit(8)))
+        .cast("long")
+        .alias("n_covered"),
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > 7), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )
+    z = F.lit(0).cast("long")
+    n_cov = F.coalesce(F.col("n_covered"), z)
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_dup_starts"), z).alias("n_dup_starts"),
+        n_cov.alias("n_covered"),
+        F.coalesce(F.col("n_spans"), z).alias("n_spans"),
+        (n_cov * 5 <= F.col("n_tokens")).alias("ok_span_coverage"),
     )
 
 

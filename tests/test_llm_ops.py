@@ -397,3 +397,33 @@ def test_dedup_keep_best_prefers_longest_copy(spark):
     # normalized texts equal -> one survivor: n_chars 16 wins (doc 11);
     # NULL-text doc excluded; unique doc survives
     assert got == {11, 20}
+
+
+def test_dedup_substring_covers_planted_span(spark, tmp_path):
+    """A 10-word span shared by two documents must yield exactly one merged
+    duplicated span of 10 covered tokens in each (3 gram starts: 8 + 1 + 1),
+    and an all-unique document must report zeros."""
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    span = " ".join(f"shared{i}" for i in range(10))
+    rows = [
+        (0, " ".join(f"a{i}" for i in range(12)) + " " + span, "en", "s", 1),
+        (1, span + " " + " ".join(f"b{i}" for i in range(12)), "en", "s", 1),
+        (2, " ".join(f"c{i}" for i in range(30)), "en", "s", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in QUERIES["q_dedup_substring"](spark, str(tmp_path)).collect()
+    }
+    for d in (0, 1):
+        assert out[d].n_spans == 1
+        assert out[d].n_covered == 10
+        assert out[d].n_dup_starts == 3
+    assert out[2].n_spans == 0 and out[2].n_covered == 0
+    assert out[2].ok_span_coverage  # 0% covered
+    assert not out[0].ok_span_coverage  # 10 of 22 tokens covered > 20%

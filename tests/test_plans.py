@@ -576,3 +576,20 @@ def test_day_series_windows_are_calendar_bounded(spark, sf_dir):
         df = QUERIES[key](spark, sf_dir)
         n = _global_day_windows_are_calendar_bounded(df)
         assert n >= 1, f"{key}: expected a global day-ordered window, found 0"
+
+
+def test_quality_gopher_is_shuffle_free_scan_stage(spark, sf_dir):
+    """Gopher rule filtering is stateless per-row column math: the whole
+    plan must be one scan-stage projection — no Exchange, no Python."""
+    plan = _formatted(spark, "q_quality_gopher", sf_dir)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_dedup_substring_window_is_per_document(spark, sf_dir):
+    """The coverage window must partition BY DOCUMENT — a SinglePartition
+    window here would serialize the whole corpus through one task."""
+    plan = _formatted(spark, "q_dedup_substring", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(doc_id" in plan
