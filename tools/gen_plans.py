@@ -115,6 +115,20 @@ SHOWCASE = [
                     "groupBy on canon_url — with partial_min/count "
                     "map-side so the shuffle carries (url, id, count) "
                     "tuples"),
+    ("q_quality_gopher", "Gopher rule filtering is ONE scan-stage "
+                         "projection: higher-order token lambdas + "
+                         "divisionless integer thresholds, no Exchange, "
+                         "no Python — a pure map pass at any corpus size"),
+    ("q_dedup_substring", "duplicated-substring coverage: positional-gram "
+                          "shuffle keyed on the gram (partial counts "
+                          "map-side), then a per-DOCUMENT window (no "
+                          "SinglePartition) for gaps-and-islands span "
+                          "merging"),
+    ("q_dedup_embedding_bound", "the exact all-pairs verification side is "
+                                "a broadcast nested-loop ON PURPOSE "
+                                "(bounded bench corpus); the certified "
+                                "LSH path joins on (table, bucket) — "
+                                "note the equi-join, not a cross product"),
 ]
 
 
