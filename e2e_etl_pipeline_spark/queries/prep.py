@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table, read_events_stream
-from e2e_etl_pipeline_spark.operators.ranks import distributed_ntile
+from e2e_etl_pipeline_spark.operators.ranks import (
+    distributed_cumsum,
+    distributed_ntile,
+)
 from e2e_etl_pipeline_spark.registry import register
 from e2e_etl_pipeline_spark.session import pin_utc
 
@@ -515,6 +518,77 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "q_token_shards",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(coalesce(len(list_filter(
+               regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+               t -> t <> '')), 0) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+               - n_tokens AS cum_before
+      FROM toks
+    )
+    SELECT CAST(floor(cum_before / 4096) AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT)                 AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT)            AS total_tokens
+    FROM c
+    GROUP BY 1
+    """,
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget export sharding (the webdataset/TFRecord writer
+    step): every document is assigned to the ~4096-token output shard
+    where its GLOBAL running token total starts, in deterministic doc_id
+    order — the globally-ordered sibling of q_pack_contexts (which packs
+    per language shard with a partitioned window).
+
+    A global ORDER BY window would single-partition the corpus; the
+    assignment instead runs through operators/ranks.distributed_cumsum —
+    frozen range exchange on doc_id, per-partition window cumsum, P-row
+    exclusive offsets — so no stage ever holds more than a partition's
+    share (the same construction q_ks_test/q_gini use, plan-asserted
+    SinglePartition-free there). Token counts are integral, so partial
+    sums merge exactly and shard boundaries are bit-identical across any
+    partitioning. NULL text coalesces to 0 tokens on both sides."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"),
+                    lambda t: t != "",
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    cum = distributed_cumsum(
+        toks, [F.col("doc_id").asc_nulls_last()], {"cum_tokens": "n_tokens"}
+    )
+    shard = (
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 4096)
+        .cast("long")
+        .alias("shard_id")
+    )
+    return (
+        cum.select("n_tokens", shard)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
 

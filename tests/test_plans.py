@@ -593,3 +593,11 @@ def test_dedup_substring_window_is_per_document(spark, sf_dir):
     plan = _formatted(spark, "q_dedup_substring", sf_dir)
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(doc_id" in plan
+
+
+def test_token_shards_no_single_partition(spark, sf_dir):
+    """Global token-shard assignment must run through distributed_cumsum —
+    a SinglePartition window here would funnel the corpus into one task."""
+    plan = _formatted(spark, "q_token_shards", sf_dir)
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(__rank_pid" in plan
