@@ -54,7 +54,11 @@ def _restage(sf_dir: str, n_row_groups: int = 16) -> str:
             continue
         table = pq.read_table(src)
         rows_per_group = max(1, (table.num_rows + n_row_groups - 1) // n_row_groups)
-        pq.write_table(table, out, row_group_size=rows_per_group)
+        # write-then-rename: an interrupted write must not leave a
+        # fresh-mtime truncated file that every later run reuses.
+        tmp = out + ".tmp"
+        pq.write_table(table, tmp, row_group_size=rows_per_group)
+        os.replace(tmp, out)
     return dst
 
 

@@ -84,11 +84,9 @@ def _words(col: Column | str) -> Column:
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-grams as array<string> ('a b c' style shingles)."""
-    ws = _words(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
-    return F.array_distinct(F.when(F.size(ws) >= n, grams).otherwise(F.array()))
+    """Distinct word n-grams as array<string> ('a b c' style shingles) —
+    the dedup'd view of positional_shingles (one gram construction)."""
+    return F.array_distinct(positional_shingles(col, n))
 
 
 def positional_shingles(col: Column | str, n: int = 3) -> Column:

@@ -610,7 +610,10 @@ def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("in_lsh", F.lit(1))
     )
     joined = exact.join(lsh_pairs, ["id_a", "id_b"], "left")
-    hits = F.sum(F.coalesce(F.col("in_lsh"), F.lit(0)))
+    # coalesce the AGGREGATE too: sum() over an empty exact set is NULL,
+    # and (NULL >= 0) | false is NULL where the oracle says TRUE — a
+    # zero-pair corpus must satisfy the bound vacuously (round-6 review).
+    hits = F.coalesce(F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))), F.lit(0))
     n_true = F.count(F.lit(1))
     return joined.agg(
         F.lit(n_corpus).cast("long").alias("n_corpus"),

@@ -561,17 +561,15 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums merge exactly and shard boundaries are bit-identical across any
     partitioning. NULL text coalesces to 0 tokens on both sides."""
     d = load_table(spark, sf_dir, "documents")
+    from e2e_etl_pipeline_spark.functions import textstats as ts
+
+    # coalesce the TEXT, not the size: on an ANSI-off session (the
+    # harness controls its own confs) size(NULL array) is -1, not NULL,
+    # so a post-size coalesce never fires and a NULL-text doc would
+    # contribute -1 tokens (round-6 review).
     toks = d.select(
         "doc_id",
-        F.coalesce(
-            F.size(
-                F.filter(
-                    F.split(F.col("text"), r"[ \t\n\x0B\f\r]+"),
-                    lambda t: t != "",
-                )
-            ),
-            F.lit(0),
-        )
+        F.size(ts.words(F.coalesce(F.col("text"), F.lit(""))))
         .cast("long")
         .alias("n_tokens"),
     )

@@ -528,11 +528,13 @@ DAY_SERIES_WINDOW_KEYS = [
 
 
 def _node_depth(line: str) -> int:
-    """Column of the node name in a plan-tree pretty-print line."""
-    for i, ch in enumerate(line):
-        if ch.isalpha():
-            return i
-    return len(line)
+    """Column where the node text starts in a plan-tree pretty-print line
+    (end of the whitespace/:/+/- tree-drawing prefix). NOT first-alpha: a
+    whole-stage-codegen marker `*(3) ` would skew that by +5 columns and
+    let sibling subtrees leak into the window-subtree scan."""
+    import re
+
+    return re.match(r"^[\s:+\-]*", line).end()
 
 
 def _global_day_windows_are_calendar_bounded(df) -> int:
