@@ -129,6 +129,11 @@ SHOWCASE = [
                                 "(bounded bench corpus); the certified "
                                 "LSH path joins on (table, bucket) — "
                                 "note the equi-join, not a cross product"),
+    ("q_token_shards", "global fixed-token-budget sharding with NO "
+                       "SinglePartition stage: distributed_cumsum's range "
+                       "exchange + per-partition window (__rank_pid spec) "
+                       "+ broadcast P-row offsets replace the global "
+                       "ORDER BY window"),
 ]
 
 
