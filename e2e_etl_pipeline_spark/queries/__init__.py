@@ -38,7 +38,7 @@ Module map (SURVEY.md §2 Part B):
 #
 # Round-7 note: after the round-6 driver run lands, run
 #   PYTHONPATH=. python tools/gen_order.py r7 [just-fixed keys...]
-# point the import below at _order_r7, and delete _order_r6.
+# point the import below at _order_r7, and delete _order_r7.
 from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     relational,
     scalars,
@@ -58,13 +58,13 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     llm,
 )
 from e2e_etl_pipeline_spark import registry as _registry
-from e2e_etl_pipeline_spark.queries import _order_r6
+from e2e_etl_pipeline_spark.queries import _order_r7
 
 
 def _reorder() -> None:
     """Rebuild the registry dicts in the round-6 driver-verification order."""
-    known_first = [k for k in _order_r6.FIRST if k in _registry.QUERIES]
-    known_last = [k for k in _order_r6.LAST if k in _registry.QUERIES]
+    known_first = [k for k in _order_r7.FIRST if k in _registry.QUERIES]
+    known_last = [k for k in _order_r7.LAST if k in _registry.QUERIES]
     listed = set(known_first) | set(known_last)
     new_oracle = [
         k for k in _registry.QUERIES if k not in listed and k in _registry.ORACLES

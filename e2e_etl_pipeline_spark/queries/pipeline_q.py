@@ -215,10 +215,13 @@ def q_layout_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
              '[^A-Za-z0-9 .,()-]', '', 'g'), ' {2,}', ' ', 'g'))
                                     AS position,
       ''                            AS company_name,
-      -- floor(x + 0.5) == Spark's HALF_UP round for the positive retail
-      -- prices (DuckDB's bare round() is half-even)
-      CAST(floor(p_retailprice + 0.5) AS DECIMAL(12,2))       AS minimum,
-      CAST(floor(p_retailprice + 0.5) + 100 AS DECIMAL(12,2)) AS maximum,
+      -- floor(abs(x) + 0.5): the IDENTICAL expression the engine uses to
+      -- build the HTML salary ints (round() is a different function and
+      -- diverges on FP half-boundaries — the r6 driver-fail class; abs
+      -- keeps the synthetic salary non-negative so the reference's
+      -- sign-less salary regex round-trips it under ANY regeneration)
+      CAST(floor(abs(p_retailprice) + 0.5) AS DECIMAL(12,2))       AS minimum,
+      CAST(floor(abs(p_retailprice) + 0.5) + 100 AS DECIMAL(12,2)) AS maximum,
       'PLN'                         AS currency,
       'month'                       AS pay_period
     FROM part WHERE p_partkey < 100
@@ -247,8 +250,15 @@ def q_offers_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "<span>PLN/month</span></h6></li>",
                     F.col("p_partkey"),
                     F.col("p_name"),
-                    F.round("p_retailprice").cast("int"),
-                    (F.round("p_retailprice") + 100).cast("int"),
+                    # floor(abs(x) + 0.5) — the SAME expression the oracle
+                    # uses, so engine and oracle agree by construction even
+                    # on FP half-boundary prices (round() is a different
+                    # function and diverges there: r6 driver hash-fail
+                    # suspect class), and abs keeps the rendered salary
+                    # non-negative so the sign-less salary regex
+                    # round-trips it under any regeneration.
+                    F.floor(F.abs(F.col("p_retailprice")) + F.lit(0.5)).cast("int"),
+                    (F.floor(F.abs(F.col("p_retailprice")) + F.lit(0.5)) + 100).cast("int"),
                 )
             ),
         ),

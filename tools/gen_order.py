@@ -47,11 +47,21 @@ def main() -> None:
     latest: dict[str, bool] = {}
     latest_round: dict[str, int] = {}
     rows_only_latest_rows: dict[str, int] = {}
+    rows_only_zero_streak: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
         for k, v in json.load(open(path)).items():
             if v.get("err") == "no_oracle":
-                rows_only_latest_rows[k] = int(v.get("spark_rows") or 0)
+                n = int(v.get("spark_rows") or 0)
+                rows_only_latest_rows[k] = n
+                # Consecutive trailing 0-row runs: a rows-only key whose
+                # query legitimately returns 0 rows would otherwise stay
+                # "needy" forever and squat the driver budget's FIRST slots
+                # (advisor finding, round 6) — after 2 consecutive 0-row
+                # driver runs we accept the emptiness as by-design.
+                rows_only_zero_streak[k] = (
+                    0 if n > 0 else rows_only_zero_streak.get(k, 0) + 1
+                )
                 continue
             latest[k] = v.get("hash_match") is True
             latest_round[k] = rnd
@@ -74,9 +84,13 @@ def main() -> None:
     # Rows-only keys with no non-vacuous driver record ever (never ran, or
     # latest record shows 0 rows) go right after the never-verified
     # oracle-checked block so they can reach the driver budget at least
-    # once; the rest (already ran with rows) stay dead last.
+    # once; the rest (already ran with rows, or 0-row twice in a row —
+    # empty-by-design) stay dead last.
     rows_only_needy = [
-        k for k in rows_only if rows_only_latest_rows.get(k, 0) == 0
+        k
+        for k in rows_only
+        if rows_only_latest_rows.get(k, 0) == 0
+        and rows_only_zero_streak.get(k, 0) < 2
     ]
     rows_only_done = [k for k in rows_only if k not in set(rows_only_needy)]
     first = priority + unverified + rows_only_needy

@@ -245,6 +245,24 @@ MUTATIONS: dict[str, dict[str, str]] = {
                  ELSE embedding[1:48]
             END AS embedding)""",
     },
+    # FP rounding-boundary prices (the q_offers_pipeline r6 driver-fail
+    # class): values where round() and floor(x+0.5) are DIFFERENT functions
+    # — HALF_UP rounds -0.5 away from zero (-1) while floor(-0.5+0.5)=0, and
+    # 0.49999999999999994+0.5 == 1.0 in IEEE double (so floor says 1, exact
+    # HALF_UP says 0). Any engine/oracle pair that derives the same integer
+    # with round() on one side and floor(+0.5) on the other diverges here;
+    # the fix is sharing ONE expression on both sides. Exact .5 values at
+    # price magnitude (…WHEN 3/4) additionally probe ties-at-scale.
+    "halfbound": {
+        "part.parquet": """* REPLACE (
+            CASE p_partkey % 5
+              WHEN 0 THEN -0.5
+              WHEN 1 THEN 0.49999999999999994
+              WHEN 2 THEN -(p_retailprice + 0.5)
+              WHEN 3 THEN floor(p_retailprice) + 0.5
+              ELSE p_retailprice
+            END AS p_retailprice)""",
+    },
     "ties": {
         # CAST AS TIMESTAMP: date_trunc yields DATE and to_timestamp
         # TIMESTAMPTZ; unguarded, the CASE unifies to TIMESTAMPTZ and the
