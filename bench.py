@@ -41,14 +41,25 @@ def _restage(sf_dir: str, n_row_groups: int = 16) -> str:
 
     import pyarrow.parquet as pq
 
-    dst = os.path.join(
-        "/tmp",
-        "sf_restaged_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10],
-    )
-    os.makedirs(dst, exist_ok=True)
     import glob
 
-    for src in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+    # Cache key covers the restage PARAMETERS and source content identity
+    # (path + per-file sizes), not just the path: changing n_row_groups, or
+    # a source regenerated with a preserved older mtime but different bytes,
+    # must land in a fresh directory instead of silently reusing the stale
+    # layout (advisor finding, round 6).
+    srcs = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    ident = "|".join(
+        [sf_dir, f"rg={n_row_groups}"]
+        + [f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in srcs]
+    )
+    dst = os.path.join(
+        "/tmp",
+        "sf_restaged_" + hashlib.md5(ident.encode()).hexdigest()[:10],
+    )
+    os.makedirs(dst, exist_ok=True)
+
+    for src in srcs:
         out = os.path.join(dst, os.path.basename(src))
         if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
             continue

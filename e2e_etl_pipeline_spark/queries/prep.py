@@ -1227,22 +1227,37 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_hll_sketch")  # rows-only: estimates are engine-specific
+@register(
+    "q_hll_sketch",
+    oracle="""
+    SELECT n_regionkey,
+           count(DISTINCT c_custkey)   AS exact_customers,
+           count(DISTINCT c_nationkey) AS n_nations,
+           TRUE                        AS within_10pct
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_regionkey)
+    """,
+)
 def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-nation HyperLogLog sketches of the
-    customer key, unioned to region grain with hll_union_agg, plus the
-    exact distinct count at both grains for error audit. This is THE
-    100 TB pattern for distinct-count hierarchies — sketches are built
-    once at the fine grain (map-side combinable, fixed bytes per group)
-    and re-aggregate to ANY coarser grain without touching raw data,
-    unlike countDistinct whose exact shuffle must rerun per grain.
+    customer key re-aggregated to region grain AND the grand total with
+    hll_union_agg — THE 100 TB pattern for distinct-count hierarchies:
+    sketches are built once at the fine grain (map-side combinable, fixed
+    bytes per group) and re-aggregate to ANY coarser grain without
+    touching raw data, unlike countDistinct whose exact shuffle must
+    rerun per grain.
 
-    Rows-only by design: HLL estimates are deterministic for a given
-    engine but not portable across sketch implementations (DuckDB's
-    approx sketches differ), so there is no cross-engine oracle;
-    tests/test_llm_ops.py asserts < 2% relative error against the exact
-    counts instead. Output carries only scalar columns (estimates +
-    exacts), never the binary sketch (driver canonicalizer rule)."""
+    Upgraded from rows-only (round-6 verdict #8): the engine-specific
+    estimate stays OUT of the output; the exact distinct counts at every
+    rollup grain are SQL (sum of per-nation exacts is valid because a
+    customer belongs to exactly one nation), and a boolean asserts the
+    union-merged estimate landed within 10% of exact at EACH grain —
+    region rows and the NULL-keyed grand-total row alike. Differs from
+    q_hll_rollup_bound by certifying the re-aggregation at two grains,
+    including the grand total, in one rollup pass. Never emits the binary
+    sketch (driver canonicalizer rule); tests keep the tighter <2% error
+    assert on current data."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     per_nation = (
@@ -1253,14 +1268,12 @@ def q_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("c_custkey").alias("exact_nation"),
         )
     )
-    return (
-        per_nation.groupBy("n_regionkey")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_customers"),
-            F.sum("exact_nation").alias("exact_customers"),
-            F.count(F.lit(1)).alias("n_nations"),
-        )
-        .orderBy("n_regionkey")
+    est = F.hll_sketch_estimate(F.hll_union_agg("sk"))
+    exact = F.sum("exact_nation")
+    return per_nation.rollup("n_regionkey").agg(
+        exact.alias("exact_customers"),
+        F.count(F.lit(1)).alias("n_nations"),
+        (F.abs(est - exact) * 10 <= exact).alias("within_10pct"),
     )
 
 

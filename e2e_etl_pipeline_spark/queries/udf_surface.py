@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from e2e_etl_pipeline_spark.catalog import inline_frame, load_table
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.queries.scalars import SALARY_SAMPLES
 from e2e_etl_pipeline_spark.registry import ORACLES, register
 
@@ -144,16 +145,50 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_percentile")  # rows-only: sketch-based, engine-specific
+@register(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                          AS n_rows,
+           floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5)
+             / 10000.0                                       AS exact_median,
+           TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile: the constant-memory scale path for quantiles that
-    q_agg_percentiles computes exactly. Deterministic for fixed input, so
-    the rows-only hash is stable; no oracle because DuckDB's approximation
-    differs by construction."""
+    q_agg_percentiles computes exactly.
+
+    Upgraded from rows-only (round-6 verdict #8): the sketch guarantees
+    rank error <= 1/accuracy (0.001 at accuracy 1000), so each estimated
+    quartile MUST lie between the exact p±5-rank percentiles — a 50×
+    margin band. The exact median (SQL-reproducible) hash-checks the
+    value path; the three booleans hash-check the sketch at p25/p50/p75.
+    All-NULL groups degrade to TRUE on both engines (the oracle's
+    constant TRUE; here an explicit isNull branch). Distinct grain/column
+    from q_approx_percentile_bound (l_returnflag/l_quantity vs
+    l_linestatus/l_extendedprice)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_linestatus").agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("approx_median"),
+
+    def ok(p: float) -> F.Column:
+        apx = F.approx_percentile("l_quantity", F.lit(p), F.lit(1000))
+        lo = F.percentile("l_quantity", F.lit(p - 0.05))
+        hi = F.percentile("l_quantity", F.lit(p + 0.05))
+        # an all-NULL group yields NULL percentiles; the bound is vacuous
+        return F.when(lo.isNull(), F.lit(True)).otherwise(
+            (apx >= lo) & (apx <= hi)
+        )
+
+    return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        stable_round(F.percentile("l_quantity", F.lit(0.5)), 4).alias(
+            "exact_median"
+        ),
+        ok(0.25).alias("ok_p25"),
+        ok(0.50).alias("ok_p50"),
+        ok(0.75).alias("ok_p75"),
     )
 
 

@@ -81,28 +81,31 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
 
 
 def test_approx_distinct_within_tolerance(spark, sf_dir):
-    """q_agg_approx_distinct (rows-only key): HLL++ at rsd=0.02 must land
-    within 6% (≈3σ) of the exact per-group distinct count — a quantitative
-    bound, not just ran-without-error."""
+    """HLL++ at rsd=0.02 must land within 6% (≈3σ) of the exact per-group
+    distinct count — a quantitative bound, not just ran-without-error. The
+    key itself now emits the 10% bound boolean (oracle-checked); this test
+    keeps the tighter 6% on the raw estimate, which no longer reaches the
+    key's output."""
     from e2e_etl_pipeline_spark.catalog import load_table
     from e2e_etl_pipeline_spark.registry import QUERIES, load_all
 
     load_all()
-    approx = {
-        r.l_returnflag: r.approx_parts
-        for r in QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
-    }
-    exact = {
-        r.l_returnflag: r.n
+    rows = QUERIES["q_agg_approx_distinct"](spark, sf_dir).collect()
+    assert rows and all(r.within_10pct for r in rows)
+    stats = {
+        r.l_linestatus: (r.apx, r.n)
         for r in load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_partkey").alias("n"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.approx_count_distinct("l_suppkey", 0.02).alias("apx"),
+            F.countDistinct("l_suppkey").alias("n"),
+        )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for flag, n_exact in exact.items():
-        rel_err = abs(approx[flag] - n_exact) / n_exact
-        assert rel_err <= 0.06, (flag, approx[flag], n_exact, rel_err)
+    assert {r.l_linestatus for r in rows} == set(stats)
+    for status, (apx, n_exact) in stats.items():
+        rel_err = abs(apx - n_exact) / n_exact
+        assert rel_err <= 0.06, (status, apx, n_exact, rel_err)
 
 
 def test_dedup_near_recall_on_planted_pairs(spark):
@@ -260,26 +263,45 @@ def test_embedding_dedup_finds_planted_duplicates(spark, sf_dir):
         em.select("vec_id", "embedding", "label").schema,
     )
     corpus = em.unionByName(planted)
-    pairs = sim.lsh_bucketed_topk(corpus, corpus, k=5, n_planes=6, n_tables=6)
-    found = {
-        (r.query_id, r.neighbor_id): r.cosine
-        for r in pairs.where(F.col("cosine") >= 0.99).collect()
-    }
+    # the shipped dedup configuration (q_dedup_embedding)
+    pairs = sim.lsh_cosine_pairs(corpus, threshold=0.99, n_planes=5, n_tables=12)
+    found = {(r.id_a, r.id_b): r.cosine for r in pairs.collect()}
     # identical vectors hash into identical buckets in every table
-    assert (9001, 9002) in found or (9002, 9001) in found
+    assert (9001, 9002) in found
 
 
 def test_hll_sketch_rollup_error_bounded(spark, sf_dir):
-    """q_hll_sketch has no cross-engine oracle (sketch implementations are
-    engine-specific); assert instead that the region-grain HLL estimate
-    stays within 2% of the exact distinct count at default precision."""
+    """q_hll_sketch emits exact counts + a 10% bound boolean per rollup
+    grain (region rows + the NULL-keyed grand total). Assert the rollup
+    shape, the bound at every grain, and — since the estimate itself no
+    longer reaches the output — recompute the region-grain HLL estimate
+    here and hold it to the tighter 2% relative error."""
+    from e2e_etl_pipeline_spark.catalog import load_table
     from e2e_etl_pipeline_spark.registry import QUERIES, load_all
 
     load_all()
     rows = QUERIES["q_hll_sketch"](spark, sf_dir).collect()
-    assert len(rows) == 5
-    for r in rows:
-        rel_err = abs(r.est_customers - r.exact_customers) / r.exact_customers
+    assert len(rows) == 6  # 5 regions + grand total
+    total = [r for r in rows if r.n_regionkey is None]
+    regions = [r for r in rows if r.n_regionkey is not None]
+    assert len(total) == 1 and len(regions) == 5
+    assert total[0].exact_customers == sum(r.exact_customers for r in regions)
+    assert total[0].n_nations == sum(r.n_nations for r in regions)
+    assert all(r.within_10pct for r in rows)
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    est_rows = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("est"),
+            F.countDistinct("c_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in est_rows:
+        rel_err = abs(r.est - r.exact) / r.exact
         assert rel_err < 0.02, (r.n_regionkey, rel_err)
 
 

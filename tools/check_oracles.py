@@ -96,15 +96,28 @@ def main() -> int:
         # the engine factory's confs and a deliberately non-UTC timezone.
         # Every query must still pass — the registry wrapper alone carries
         # package shipping + UTC pinning (the verify-skill contract).
+        #
+        # Axis knobs (round-6 verdict #7): CHECK_ORACLES_TZ overrides the
+        # session timezone (e.g. Australia/Lord_Howe — a 30-minute-DST zone
+        # stresses the UTC pin harder than New York), and
+        # CHECK_ORACLES_EXTRA_CONF takes comma-separated key=value Spark
+        # confs (arrow fallback, codegen, …) so each sweep axis is one env
+        # var, not a code edit.
         from pyspark.sql import SparkSession
 
-        spark = (
+        builder = (
             SparkSession.builder.master("local[8]")
-            .config("spark.sql.session.timeZone", "America/New_York")
+            .config(
+                "spark.sql.session.timeZone",
+                os.environ.get("CHECK_ORACLES_TZ", "America/New_York"),
+            )
             .config("spark.ui.showConsoleProgress", "false")
             .appName("check_oracles_plain")
-            .getOrCreate()
         )
+        for kv in filter(None, os.environ.get("CHECK_ORACLES_EXTRA_CONF", "").split(",")):
+            k, _, v = kv.partition("=")
+            builder = builder.config(k.strip(), v.strip())
+        spark = builder.getOrCreate()
         # Same pre-existing-session hazard as the hostile branch.
         assert spark.sparkContext.master == "local[8]", (
             f"plain sweep got a pre-existing session "
