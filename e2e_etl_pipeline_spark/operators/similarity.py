@@ -112,18 +112,40 @@ def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.n
     return rng.randn(n_tables, n_planes, dim)
 
 
-def _bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
-    """Sign-pattern bucket id for one LSH table: Σ (dot(v, p_i) > 0) << i."""
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bucket
+def _planes_frame(spark, planes: np.ndarray) -> DataFrame:
+    """The hyperplane tensor as a TINY broadcastable DataFrame (one row per
+    table: table_id, array<array<double>> planes).
+
+    Shipping planes as data instead of literal expressions matters on the
+    driver: 32 tables × 6 planes × 64 dims as per-element F.lit Columns
+    cost ~40 s of py4j construction, and even a single-parse nested-array
+    literal leaves a 12k-node tree the analyzer re-walks on every
+    subsequent DataFrame op (~13 s) — round-7 profile. As rows, the
+    expression tree is O(1) and the executor-side work is identical."""
+    tensor = [[[float(x) for x in plane] for plane in table] for table in planes]
+    return spark.createDataFrame(
+        [(tensor,)], "_tensor array<array<array<double>>>"
+    )
+
+
+def _tables_expr(vec_col: str, n_planes: int) -> Column:
+    """(table_id, bucket) struct array for ALL tables from the joined
+    ``_tensor`` row. Sign-pattern bucket id per table:
+    Σ (dot(v, plane_i) > 0) << i. NULL vectors hash to bucket 0 in every
+    table (NULL dot → IF false → 0 per plane)."""
+    return F.expr(
+        f"""
+        transform(_tensor, (tbl, t) -> named_struct(
+          'table_id', t,
+          'bucket', aggregate(
+            zip_with(tbl, sequence(0, {n_planes - 1}), (p, i) ->
+              IF(aggregate(zip_with({vec_col}, p,
+                             (x, y) -> CAST(x AS DOUBLE) * y),
+                           CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) > 0,
+                 shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+            CAST(0 AS BIGINT), (acc, x) -> acc + x)))
+        """
+    )
 
 
 def ivf_topk(
@@ -308,14 +330,17 @@ def _lsh_scored_pairs(
         # misconfiguration.
         dim = 1 if row is None or row[0] is None else row[0]
     planes = _hyperplanes(dim, n_planes, n_tables, seed)
+    planes_df = _planes_frame(corpus.sparkSession, planes)
+    tables = _tables_expr(vec_col, n_planes)
 
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:
-        tables = F.array(*[
-            F.struct(F.lit(t).alias("table_id"), _bucket_expr(vec_col, planes[t]).alias("bucket"))
-            for t in range(n_tables)
-        ])
+        # single-row broadcast of the plane tensor + per-row transform →
+        # explode: the expression tree stays O(1) (see _planes_frame) and
+        # each vector is materialized once per (table, bucket), not once
+        # per plane
         return (
             with_vector_norm(df, vec_col)
+            .crossJoin(F.broadcast(planes_df))
             .select(
                 F.col(id_col).alias(f"{prefix}_id"),
                 F.col(vec_col).alias(f"{prefix}_vec"),

@@ -603,3 +603,21 @@ def test_token_shards_no_single_partition(spark, sf_dir):
     plan = _formatted(spark, "q_token_shards", sf_dir)
     assert "SinglePartition" not in plan
     assert "windowspecdefinition(__rank_pid" in plan
+
+
+def test_lsh_candidates_are_bucket_equi_join(spark, sf_dir):
+    """The LSH candidate stage must be an equi-join on (table_id, bucket) —
+    never an all-pairs product. The ONLY nested-loop join allowed is the
+    1-row hyperplane-tensor broadcast (planes ride as data, not as a
+    12k-node literal expression tree — see operators/similarity.py,
+    round-7 profile). A second BroadcastNestedLoopJoin or any
+    CartesianProduct means the bucket key fell out of the join."""
+    for key in ("q_dedup_embedding", "q_similarity_lsh"):
+        plan = _formatted(spark, key, sf_dir)
+        assert "CartesianProduct" not in plan, key
+        # one planes broadcast per bucketized side, nothing more (formatted
+        # explain prints each operator twice: tree + details section)
+        assert plan.count("BroadcastNestedLoopJoin") <= 4, key
+        joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin")
+        assert joins >= 1, f"{key}: bucket equi-join missing"
+        assert "table_id" in plan and "bucket" in plan, key

@@ -56,7 +56,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims] [src] [dst]
+    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
