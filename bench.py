@@ -43,15 +43,21 @@ def _restage(sf_dir: str, n_row_groups: int = 16) -> str:
 
     import glob
 
-    # Cache key covers the restage PARAMETERS and source content identity
-    # (path + per-file sizes), not just the path: changing n_row_groups, or
-    # a source regenerated with a preserved older mtime but different bytes,
-    # must land in a fresh directory instead of silently reusing the stale
-    # layout (advisor finding, round 6).
+    # Cache key covers the restage PARAMETERS and source identity (path +
+    # per-file size + mtime), not just the path: changing n_row_groups, or
+    # a regenerated source (even with a preserved older mtime, via the size
+    # component; even size-identical, via the mtime component) lands in a
+    # fresh directory instead of silently reusing the stale layout
+    # (advisor finding round 6 + review find round 7). Residual risk is
+    # same-size AND preserved-mtime AND different-bytes — content-hash
+    # territory, not worth GB-scale hashing in a bench warmup.
     srcs = sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
     ident = "|".join(
         [sf_dir, f"rg={n_row_groups}"]
-        + [f"{os.path.basename(p)}:{os.path.getsize(p)}" for p in srcs]
+        + [
+            f"{os.path.basename(p)}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+            for p in srcs
+        ]
     )
     dst = os.path.join(
         "/tmp",

@@ -20,6 +20,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.functions.vectors import dot, l2_norm
 
 
@@ -38,7 +39,11 @@ def _cosine_from_norms(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Col
 
 def _rank_topk(scored: DataFrame, k: int, extra_cols: list[str] | None = None) -> DataFrame:
     """Shared top-k epilogue: deterministic per-query ranking (cosine desc,
-    neighbor_id tiebreak), rank filter, 4-dp rounding."""
+    neighbor_id tiebreak), rank filter, 4-dp rounding. stable_round, not
+    round: the cosine is a division-derived double, so a 4-dp-midpoint
+    rendering would round apart across engines under plain round()
+    (functions/rounding.py — review find, round 7); the matching oracles
+    use the floor(x*1e4+0.5)/1e4 form."""
     win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(win))
@@ -46,7 +51,7 @@ def _rank_topk(scored: DataFrame, k: int, extra_cols: list[str] | None = None) -
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cosine", 4).alias("cosine"),
+            stable_round(F.col("cosine"), 4).alias("cosine"),
             "rank",
             *(extra_cols or []),
         )
@@ -237,6 +242,7 @@ def lsh_cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
     n_planes: int = 5,
     n_tables: int = 12,
     seed: int = 42,
@@ -255,12 +261,18 @@ def lsh_cosine_pairs(
     threshold 0.4 (tools-measured, round 7) — production corpora with
     true near-dups (cosine > 0.9) sit far above both."""
     pairs = _lsh_scored_pairs(
-        corpus, id_col, vec_col, n_planes=n_planes, n_tables=n_tables, seed=seed
+        corpus,
+        id_col,
+        vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
     )
     return pairs.where(F.col("cosine") >= threshold).select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
-        F.round("cosine", 4).alias("cosine"),
+        stable_round(F.col("cosine"), 4).alias("cosine"),
     )
 
 

@@ -62,7 +62,8 @@ from e2e_etl_pipeline_spark.queries import _order_r7
 
 
 def _reorder() -> None:
-    """Rebuild the registry dicts in the round-6 driver-verification order."""
+    """Rebuild the registry dicts in the generated driver-verification
+    order (whichever _order_r{N} module is imported above)."""
     known_first = [k for k in _order_r7.FIRST if k in _registry.QUERIES]
     known_last = [k for k in _order_r7.LAST if k in _registry.QUERIES]
     listed = set(known_first) | set(known_last)

@@ -581,8 +581,9 @@ def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed buckets over a decimated handful of vectors are near-singleton
     partitions whose recall legitimately collapses). Zero-norm vectors are
     excluded from pairs on both sides (nrm > 0 guards the division).
-    ``n_corpus`` is derived in-plan via a broadcast scalar aggregate so
-    building the DataFrame stays lazy (round-6 advice).
+    ``n_corpus`` is derived in-plan via a broadcast scalar aggregate
+    (round-6 advice: the eager count() is gone); the one remaining
+    construction-time job is the LSH dim probe, a 1-row limit scan.
 
     Scale: the exact all-pairs side is the verification harness, not the
     operator — it is quadratic BY DESIGN and runs on the bounded bench
@@ -678,7 +679,10 @@ def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM q CROSS JOIN c
       WHERE query_id != neighbor_id
     )
-    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+    SELECT query_id, neighbor_id,
+           -- stable_round twin (floor form): cosine is division-derived,
+           -- plain round() is the cross-engine midpoint hazard
+           floor(cosine * 10000.0 + 0.5) / 10000.0 AS cosine, rank
     FROM (
       SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
@@ -714,7 +718,8 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> CAST(qv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE))) / (qn * cn) AS cosine
       FROM q JOIN c ON q.ql = c.label AND q.query_id != c.neighbor_id
     )
-    SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank, label
+    SELECT query_id, neighbor_id,
+           floor(cosine * 10000.0 + 0.5) / 10000.0 AS cosine, rank, label
     FROM (
       SELECT *, CAST(row_number() OVER (
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
@@ -829,8 +834,9 @@ def q_similarity_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     never hash-match an oracle, but their accuracy contract can."""
     em = load_table(spark, sf_dir, "embeddings")
     queries = em.where(F.col("vec_id") < 20)
-    # in-plan corpus count (broadcast 1-row aggregate) — construction stays
-    # lazy instead of firing an eager count() job (round-6 advice).
+    # in-plan corpus count (broadcast 1-row aggregate) — the eager count()
+    # job is gone (round-6 advice); the LSH dim probe (1-row limit scan)
+    # remains the only construction-time job.
     counts = em.agg(F.count(F.lit(1)).cast("long").alias("_n_corpus"))
     exact = sim.brute_force_topk(em, queries, k=10).select(
         "query_id", "neighbor_id"

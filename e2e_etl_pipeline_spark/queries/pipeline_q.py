@@ -220,8 +220,13 @@ def q_layout_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- diverges on FP half-boundaries — the r6 driver-fail class; abs
       -- keeps the synthetic salary non-negative so the reference's
       -- sign-less salary regex round-trips it under ANY regeneration)
-      CAST(floor(abs(p_retailprice) + 0.5) AS DECIMAL(12,2))       AS minimum,
-      CAST(floor(abs(p_retailprice) + 0.5) + 100 AS DECIMAL(12,2)) AS maximum,
+      -- CAST AS DOUBLE pins IEEE semantics even if a regeneration turns
+      -- p_retailprice DECIMAL (DuckDB would otherwise evaluate the +0.5
+      -- in exact decimal while Spark promotes to double — review find)
+      CAST(floor(abs(CAST(p_retailprice AS DOUBLE)) + 0.5)
+           AS DECIMAL(12,2))                                        AS minimum,
+      CAST(floor(abs(CAST(p_retailprice AS DOUBLE)) + 0.5) + 100
+           AS DECIMAL(12,2))                                        AS maximum,
       'PLN'                         AS currency,
       'month'                       AS pay_period
     FROM part WHERE p_partkey < 100
@@ -250,15 +255,25 @@ def q_offers_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "<span>PLN/month</span></h6></li>",
                     F.col("p_partkey"),
                     F.col("p_name"),
-                    # floor(abs(x) + 0.5) — the SAME expression the oracle
-                    # uses, so engine and oracle agree by construction even
-                    # on FP half-boundary prices (round() is a different
-                    # function and diverges there: r6 driver hash-fail
-                    # suspect class), and abs keeps the rendered salary
+                    # floor(abs(double(x)) + 0.5) — the SAME expression the
+                    # oracle uses, so engine and oracle agree by
+                    # construction even on FP half-boundary prices (round()
+                    # is a different function and diverges there: r6 driver
+                    # hash-fail suspect class). The explicit double cast
+                    # pins IEEE arithmetic even if a regeneration turns the
+                    # column DECIMAL; abs keeps the rendered salary
                     # non-negative so the sign-less salary regex
                     # round-trips it under any regeneration.
-                    F.floor(F.abs(F.col("p_retailprice")) + F.lit(0.5)).cast("int"),
-                    (F.floor(F.abs(F.col("p_retailprice")) + F.lit(0.5)) + 100).cast("int"),
+                    F.floor(
+                        F.abs(F.col("p_retailprice").cast("double")) + F.lit(0.5)
+                    ).cast("int"),
+                    (
+                        F.floor(
+                            F.abs(F.col("p_retailprice").cast("double"))
+                            + F.lit(0.5)
+                        )
+                        + 100
+                    ).cast("int"),
                 )
             ),
         ),
