@@ -61,11 +61,12 @@ def register(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn
             # package on worker PYTHONPATH nor our UTC timezone pin; both are
             # engine-semantics requirements, so enforce them at the query
             # boundary (see shipping.py and session.pin_utc).
-            from e2e_etl_pipeline_spark.session import pin_utc
+            from e2e_etl_pipeline_spark.session import pin_root_locale, pin_utc
             from e2e_etl_pipeline_spark.shipping import ensure_package_shipped
 
             ensure_package_shipped(spark)
             pin_utc(spark)
+            pin_root_locale(spark)
             return fn(spark, sf_dir)
 
         shipped.__name__ = fn.__name__

@@ -68,3 +68,22 @@ def pin_utc(spark: SparkSession) -> None:
     don't control, and the DuckDB oracle computes in naive/UTC time.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def pin_root_locale(spark: SparkSession) -> None:
+    """Pin the JVM default locale to Locale.ROOT at runtime.
+
+    Spark's upper()/lower() case-map through the JVM DEFAULT locale: under
+    -Duser.language=tr, upper('i') = 'İ' and lower('I') = 'ı' (dotted /
+    dotless Turkish I — verified live, round-7 locale sweep; it split
+    q_str_clean.cleaned_upper from the DuckDB oracle, which case-maps via
+    locale-independent utf8proc). Every casing expression in the engine is
+    therefore locale-sensitive unless the JVM locale is pinned. Same
+    defensive posture as pin_utc: the driver's JVM is not ours to
+    configure, so enforce at the query boundary. On a real cluster the
+    matching deployment conf is
+    spark.executor.extraJavaOptions=-Duser.language=en (executor JVMs each
+    case-map locally); local[N] shares the driver JVM, which this covers.
+    """
+    jvm = spark._jvm  # noqa: SLF001
+    jvm.java.util.Locale.setDefault(jvm.java.util.Locale.ROOT)

@@ -95,3 +95,30 @@ def test_stable_round_never_negative_zero(spark):
     for r in sdf.select(stable_round(F.col("x"), N_DIGITS).alias("y")).collect():
         if r.y == 0.0:
             assert _bits(r.y) == _bits(0.0), f"-0.0 leaked for input batch {vals}"
+
+
+def test_casing_is_locale_pinned(spark):
+    """Spark's upper()/lower() case-map through the JVM default locale:
+    under Turkish, upper('i') = 'İ' (dotted) and lower('I') = 'ı'
+    (dotless) — found live by the round-7 tr_TR sweep via
+    q_str_clean.cleaned_upper. The registry wrapper pins Locale.ROOT per
+    query (session.pin_root_locale); simulate a Turkish driver JVM and
+    assert the pin restores locale-independent casing."""
+    from pyspark.sql import functions as F
+
+    from e2e_etl_pipeline_spark.session import pin_root_locale
+
+    jvm = spark._jvm  # noqa: SLF001
+    original = jvm.java.util.Locale.getDefault()
+    try:
+        jvm.java.util.Locale.setDefault(jvm.java.util.Locale("tr", "TR"))
+        pin_root_locale(spark)
+        row = (
+            spark.createDataFrame([("i I ñ",)], "s string")
+            .select(F.upper("s").alias("u"), F.lower("s").alias("l"))
+            .collect()[0]
+        )
+        assert row.u == "I I Ñ", row.u
+        assert row.l == "i i ñ", row.l
+    finally:
+        jvm.java.util.Locale.setDefault(original)
