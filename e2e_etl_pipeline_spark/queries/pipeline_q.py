@@ -1136,3 +1136,94 @@ def q_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# Fixed adversarial CSV lines for q_csv_malformed: every id parses (unique
+# total order for the driver hash); corruption lives in the other fields.
+_MALFORMED_CSV_LINES = [
+    "1,alice,10.5",        # clean
+    "2,bob,oops",          # unparseable amount
+    "3,carol",             # short row (missing column)
+    "4,dave,1.0,extra",    # long row (extra column)
+    '5,"e,e",2.5',         # quoted delimiter — clean
+    "6,,3.5",              # empty field → NULL, NOT corrupt
+    "7,g g,4.25",          # clean
+]
+
+
+@register(
+    "q_csv_malformed",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'alice', 10.5,              false, true),
+      (2, 'bob',   CAST(NULL AS DOUBLE), true,  false),
+      (3, 'carol', CAST(NULL AS DOUBLE), true,  false),
+      (4, 'dave',  1.0,               true,  false),
+      (5, 'e,e',   2.5,               false, true),
+      (6, CAST(NULL AS VARCHAR), 3.5, false, true),
+      (7, 'g g',   4.25,              false, true)
+    ) AS t(id, name, amount, is_corrupt, kept_dropmalformed)
+    """,
+)
+def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV ingest contract (the CSV twin of q_json_malformed):
+    seven fixed adversarial lines read back under PERMISSIVE with a
+    corrupt-record column, joined against a DROPMALFORMED read of the
+    same file. Pins the exact univocity semantics the warehouse relies
+    on: an unparseable typed field, a SHORT row, and a LONG row are all
+    corrupt (raw line lands in the corrupt column, salvageable fields
+    still parse — '4,dave,1.0,extra' keeps amount=1.0); an EMPTY field
+    is NULL, not corrupt; quoted delimiters are clean.
+
+    The DROPMALFORMED side deliberately routes through a JOIN, because
+    the naive ``df.count()`` on a DROPMALFORMED read returns the RAW
+    line count (7, not 4): count() prunes every column, and with no
+    column parsed nothing is ever detected as malformed — verified live,
+    round 7. The semi-join forces full-row parsing, so the kept flags
+    here are the materialized truth. tests/test_pipeline.py asserts the
+    footgun itself (naive count 7 vs materialized 4)."""
+    path = _tmpdir("badcsv")
+    try:
+        with open(os.path.join(path, "x.csv"), "w", encoding="utf-8") as f:
+            f.write("\n".join(_MALFORMED_CSV_LINES) + "\n")
+        schema = T.StructType(
+            [
+                T.StructField("id", T.IntegerType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("amount", T.DoubleType()),
+                T.StructField("_corrupt", T.StringType()),
+            ]
+        )
+        permissive = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .csv(path)
+        )
+        # localCheckpoint BEFORE the id projection: column pruning would
+        # otherwise push a select("id") into the scan, no typed column
+        # would ever fail to parse, and DROPMALFORMED would drop NOTHING —
+        # the same pruning footgun as the naive count() (it bit this very
+        # implementation on first run).
+        dropped = (
+            spark.read.schema(T.StructType(schema.fields[:3]))
+            .option("mode", "DROPMALFORMED")
+            .csv(path)
+            .localCheckpoint()
+            .select("id")
+        )
+        return (
+            permissive.join(dropped.withColumn("_kept", F.lit(True)), "id", "left")
+            .select(
+                "id",
+                "name",
+                "amount",
+                F.col("_corrupt").isNotNull().alias("is_corrupt"),
+                F.coalesce(F.col("_kept"), F.lit(False)).alias(
+                    "kept_dropmalformed"
+                ),
+            )
+            .localCheckpoint()  # materialize before the temp dir is removed
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -236,3 +236,32 @@ def test_wap_audit_blocks_bad_publish(spark, tmp_path):
     with pytest.raises(ValueError, match="audit failed"):
         wap_publish(spark, bad, root, key_col="o_orderkey")
     assert not os.path.exists(os.path.join(root, "live"))
+
+
+def test_dropmalformed_count_pruning_footgun(spark, tmp_path):
+    """DROPMALFORMED + count() is a silent lie: count() prunes every
+    column, no typed field is ever parsed, so nothing is detected as
+    malformed and the RAW line count comes back. Materializing the full
+    row (localCheckpoint) yields the true kept count. q_csv_malformed
+    routes through a materialized join for exactly this reason."""
+    from pyspark.sql import types as T
+
+    from e2e_etl_pipeline_spark.queries.pipeline_q import _MALFORMED_CSV_LINES
+
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "x.csv").write_text("\n".join(_MALFORMED_CSV_LINES) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert df.count() == 7  # the footgun: raw line count, nothing dropped
+    assert df.localCheckpoint().count() == 4  # the truth
