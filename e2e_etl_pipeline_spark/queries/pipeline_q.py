@@ -1227,3 +1227,64 @@ def q_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "q_binary_file_source",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS length,
+           text AS text_back
+    FROM documents
+    WHERE doc_id < 20 AND octet_length(encode(coalesce(text, ''))) > 0
+    """,
+)
+def q_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binaryFile source — the real multimodal ingest path (one opaque
+    file per asset → (path, modificationTime, length, content) rows, the
+    shape every image/audio corpus arrives in). Twenty documents are
+    staged as .bin files plus a decoy the pathGlobFilter must exclude;
+    the read-back re-derives doc_id from the filename and decodes the
+    payload, and the oracle asserts byte length AND full content
+    fidelity against the source table (UTF-8 encode/decode is an exact
+    round-trip, so no non-portable content hash is needed).
+
+    The 20-row driver collect is file-FIXTURE construction (same
+    metadata-scale pattern as q_text_source); the read side is the
+    production path and scales to millions of files — binaryFile splits
+    per file, pathGlobFilter prunes at listing time, and
+    spark.sql.files.maxPartitionBytes packs small files per task."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 20)
+        .select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    )
+    path = _tmpdir("binsrc")
+    try:
+        for r in d.collect():  # ≤20 rows: fixture staging, not a data path
+            payload = r.text.encode("utf-8")
+            if not payload:
+                # Spark's file listing SKIPS zero-byte files (found live:
+                # the nulls fuzz variant NULLed one doc's text and the
+                # read-back came up a row short) — pin the contract
+                # explicitly: a binary corpus contains only non-empty
+                # assets, mirrored by the oracle's octet_length > 0.
+                continue
+            with open(os.path.join(path, f"doc_{r.doc_id}.bin"), "wb") as f:
+                f.write(payload)
+        with open(os.path.join(path, "decoy.txt"), "w") as f:
+            f.write("must be excluded by pathGlobFilter")
+        back = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(path)
+        )
+        return back.select(
+            F.regexp_extract("path", r"doc_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "length",
+            F.col("content").cast("string").alias("text_back"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
