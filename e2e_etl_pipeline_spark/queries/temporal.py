@@ -39,14 +39,25 @@ from e2e_etl_pipeline_spark.registry import register
         FROM events WHERE event_type = 'purchase'
       ) WHERE rn = 1
     )
+    -- NULL-ts clicks are matched EXPLICITLY to nothing: SQL says
+    -- NULL >= ts is UNKNOWN (no match), and the engine implements that,
+    -- but DuckDB's ASOF sort puts NULL after every timestamp and happily
+    -- matches the user's LATEST purchase (found by the round-7 nulls
+    -- battery) — so they are split out of the ASOF and unioned back with
+    -- NULL annotations, making the no-match contract true by construction.
     SELECT
       c.event_id,
       c.user_id,
       p.value AS last_purchase_value,
       CAST(floor(epoch(c.ts)) - floor(epoch(p.ts)) AS BIGINT) AS gap_seconds
-    FROM clicks c
+    FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
     ASOF LEFT JOIN purchases p
       ON c.user_id = p.user_id AND c.ts >= p.ts
+    UNION ALL
+    SELECT event_id, user_id,
+           CAST(NULL AS DOUBLE) AS last_purchase_value,
+           CAST(NULL AS BIGINT) AS gap_seconds
+    FROM clicks WHERE ts IS NULL
     """,
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -314,10 +314,14 @@ def q_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 {"c_custkey": [], "n_orders": [], "spend": []}
             ).astype({"c_custkey": "int64", "n_orders": "int64", "spend": "float64"})
+        # dropna BEFORE the int cast: a NULL o_totalprice arrives as NaN and
+        # astype("int64") crashes on it (the canonical pandas-int gotcha) —
+        # and SQL sum() skips NULLs anyway, so skipping matches the oracle
+        # exactly (n_orders still counts the row; found by the round-7
+        # nulls-variant battery, which NULLs order payload columns).
+        prices = opdf["o_totalprice"].dropna()
         cents = (
-            (opdf["o_totalprice"] * 100).round().astype("int64").sum()
-            if len(opdf)
-            else 0
+            (prices * 100).round().astype("int64").sum() if len(prices) else 0
         )
         return pd.DataFrame(
             {
