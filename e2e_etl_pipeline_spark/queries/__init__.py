@@ -56,6 +56,7 @@ from e2e_etl_pipeline_spark.queries import (  # noqa: F401
     aggregates,
     joins,
     llm,
+    curation,
 )
 from e2e_etl_pipeline_spark import registry as _registry
 from e2e_etl_pipeline_spark.queries import _order_r7

@@ -1,0 +1,390 @@
+"""Corpus-curation composites: dedup cluster assignment (connected
+components), SemDeDup-style within-cluster embedding pruning, and a
+readability score — the last-mile operators a training-data curation
+pipeline runs AFTER the pairwise dedup/similarity stages produced their
+pair sets (queries/llm.py) and the k-means machinery produced clusters
+(queries/ml.py).
+
+The reference has no corpus surface; these generalize SURVEY.md §2's B.8
+dedup family the same way queries/corpus.py does. All three are fully
+oracle-checked — including the iterative connected-components pass, which
+DuckDB replays as a recursive CTE (the q_pagerank precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.functions import textstats as ts
+from e2e_etl_pipeline_spark.functions.rounding import stable_round, stable_round_sql
+from e2e_etl_pipeline_spark.functions.vectors import dot
+from e2e_etl_pipeline_spark.operators import dedup as dd
+from e2e_etl_pipeline_spark.operators import similarity as sim
+from e2e_etl_pipeline_spark.registry import register
+
+# The exact-Jaccard edge set shared with q_dedup_jaccard (same tokenizer
+# mirror, same max_df candidate-verify guard) — the CC key must cluster the
+# IDENTICAL pairs that key reports, so the CTE chain is shared verbatim.
+_JACCARD_EDGES_CTE = """raw_toks AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS token
+      FROM documents WHERE lang = 'de'
+    ),
+    toks AS (SELECT id, token FROM raw_toks WHERE token <> ''),
+    sizes AS (SELECT id, count(*) AS set_size FROM toks GROUP BY id),
+    keep AS (SELECT token FROM toks GROUP BY token HAVING count(*) <= 500),
+    jtoks AS (SELECT t.id, t.token FROM toks t JOIN keep USING (token)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM jtoks a JOIN jtoks b ON a.token = b.token AND a.id < b.id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_inter
+      FROM cand c
+      JOIN toks ta ON ta.id = c.id_a
+      JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE round(CAST(n_inter AS DOUBLE) /
+                  CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) >= 0.5
+    )"""
+
+
+@register(
+    "q_dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE
+    {_JACCARD_EDGES_CTE},
+    nodes AS (SELECT doc_id AS node FROM documents WHERE lang = 'de'),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+    ),
+    comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+    SELECT component_id,
+           CAST(count(*) AS BIGINT)                       AS n_members,
+           array_to_string(list_sort(list(node)), ',')    AS member_ids
+    FROM comp GROUP BY component_id
+    """,
+)
+def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup CLUSTER ASSIGNMENT: connected components over the exact
+    token-Jaccard >= 0.5 pair graph (the q_dedup_jaccard edge set, 'de'
+    slice), labeling every document with min(doc_id) of its component —
+    the survivor the keep-lowest-id dedup policy retains. Pairwise keys
+    (q_dedup_jaccard / q_dedup_near) emit EDGES; a pipeline needs the
+    transitive closure to drop n-1 of an n-way duplicate ring even when
+    not all C(n,2) pairs cleared the threshold. Singleton documents are
+    their own component, so the output is a full partition of the slice.
+
+    Spark side: operators/dedup.connected_components — iterative
+    min-label propagation to a fixpoint with per-round localCheckpoint
+    lineage truncation, a limit(1)-count convergence probe as the only
+    per-round driver action, and a hard non-convergence raise (the
+    q_pagerank loop discipline). Documents outside every pair (no edge at
+    all) join back in as singletons afterwards. DuckDB replays the
+    fixpoint as a recursive CTE (min over the transitive closure — same
+    answer, engine-independent).
+
+    Scale: each round shuffles the edge list once (join + groupBy); dup
+    clusters are shallow near-cliques so rounds ≈ 2-3. At 10^9 edges swap
+    the per-round neighbor-min for alternating large-star / small-star
+    rounds (Kiveris et al., public) — O(log n) rounds on any diameter,
+    identical fixpoint (the operator docstring carries the same note)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
+    pairs = (
+        dd.token_jaccard_pairs(d, "doc_id", "text", max_df=500)
+        .where(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+    )
+    comp = dd.connected_components(pairs)
+    nodes = d.select(F.col("doc_id").alias("node"))
+    labeled = nodes.join(comp, nodes["node"] == comp["id"], "left").select(
+        "node", F.coalesce(F.col("component"), F.col("node")).alias("comp")
+    )
+    return (
+        labeled.groupBy("comp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("node")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("member_ids"),
+        )
+        .select(
+            F.col("comp").alias("component_id"), "n_members", "member_ids"
+        )
+    )
+
+
+K_SEEDS = 8  # mirrors queries/ml.py's q_kmeans_step seeding
+SEMDEDUP_TAU = 0.4  # near-orthogonal synthetic corpus: same τ as q_dedup_embedding
+
+
+@register(
+    "q_semdedup_prune",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM embeddings WHERE vec_id < {K_SEEDS}
+    ),
+    dists AS (
+      SELECT e.vec_id, s.cid,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))
+               AS sq
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cid
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY sq, cid) AS rn
+            FROM dists)
+      WHERE rn = 1
+    ),
+    v AS (
+      SELECT a.cid, e.vec_id, e.embedding,
+             sqrt(list_sum(list_transform(e.embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM assigned a JOIN embeddings e USING (vec_id)
+    ),
+    dropped AS (
+      SELECT DISTINCT a.cid, b.vec_id AS victim
+      FROM v a JOIN v b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND {stable_round_sql(
+            "list_sum(list_transform(range(1, len(a.embedding) + 1), "
+            "i -> CAST(a.embedding[i] AS DOUBLE) "
+            "* CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm)", 4
+        )} >= {SEMDEDUP_TAU}
+    ),
+    per_cluster AS (
+      SELECT cid, count(*) AS n_dropped FROM dropped GROUP BY cid
+    )
+    SELECT t.cid                                          AS cluster_id,
+           CAST(count(*) AS BIGINT)                       AS n_total,
+           CAST(coalesce(any_value(p.n_dropped), 0) AS BIGINT) AS n_dropped,
+           CAST(count(*) - coalesce(any_value(p.n_dropped), 0) AS BIGINT)
+                                                          AS n_kept
+    FROM v t LEFT JOIN per_cluster p ON p.cid = t.cid
+    GROUP BY t.cid
+    """,
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023, public): cluster
+    embeddings (here: one deterministic assignment step against the first
+    K_SEEDS vectors as centroids — the q_kmeans_step seeding, so the
+    oracle can replay it), then WITHIN each cluster drop every vector
+    whose cosine to a LOWER-vec_id cluster-mate reaches τ; report
+    per-cluster totals. The clustering is what makes semantic dedup
+    sub-quadratic: pairs are only scored inside a cluster, never across.
+
+    Cross-engine exactness: cosines compare on the stable-rounded (4dp)
+    value with identical left-to-right summation order in both engines
+    (functions/rounding.py); zero-norm vectors never match anything
+    (nrm > 0 guards both sides); counts are integers.
+
+    Scale: the k-centroid assignment broadcasts K rows (no corpus
+    shuffle); the within-cluster self-join shuffles each vector once on
+    cluster id. Cluster population is corpus/K — in production K scales
+    with the corpus (SemDeDup uses ~10^5 clusters for 10^9 docs) keeping
+    per-cluster pair counts bounded; the pairwise stage inside a cluster
+    is then Σ|C|², not |corpus|²."""
+    em = load_table(spark, sf_dir, "embeddings")
+    seeds = em.where(F.col("vec_id") < K_SEEDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    diff_sq = F.zip_with(
+        F.col("embedding"),
+        F.col("cv"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dists = em.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x).alias("sq"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("sq", "cid")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    # One corpus-sized relation feeds THREE consumers (both self-join sides
+    # and the per-cluster totals); without a checkpoint Spark re-runs the
+    # k×corpus assignment subtree per consumer (three corpus scans at 100
+    # TB). Lazy localCheckpoint materializes it once at first action while
+    # keeping query CONSTRUCTION job-free (the round-6 advice rule).
+    v = (
+        sim.with_vector_norm(assigned.join(em, "vec_id"))
+        .select("cid", "vec_id", "embedding", F.col("norm").alias("nrm"))
+        .localCheckpoint(eager=False)
+    )
+    a = v.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos4 = stable_round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
+    dropped = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0) & (cos4 >= SEMDEDUP_TAU))
+        .select("cid", F.col("id_b").alias("victim"))
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    z = F.lit(0).cast("long")
+    n_dropped = F.coalesce(F.col("n_dropped"), z)
+    return (
+        v.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+        .join(dropped, "cid", "left")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_total",
+            n_dropped.cast("long").alias("n_dropped"),
+            (F.col("n_total") - n_dropped).cast("long").alias("n_kept"),
+        )
+    )
+
+
+@register(
+    "q_text_readability",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS ws,
+             len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))
+               AS n_sentences_raw
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(n_sentences_raw AS BIGINT) AS n_sentences,
+             CAST(coalesce(list_sum(list_transform(ws,
+               w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')),
+                             1))), 0) AS BIGINT) AS n_syllables
+      FROM base
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           {stable_round_sql(
+               "206.835"
+               " - 1.015 * (CAST(n_words AS DOUBLE)"
+               "            / CAST(greatest(n_sentences, 1) AS DOUBLE))"
+               " - 84.6 * (CAST(n_syllables AS DOUBLE)"
+               "           / CAST(nullif(n_words, 0) AS DOUBLE))", 4
+           )} AS flesch,
+           CASE WHEN n_words = 0 THEN 'empty'
+                WHEN {stable_round_sql(
+                    "206.835"
+                    " - 1.015 * (CAST(n_words AS DOUBLE)"
+                    "            / CAST(greatest(n_sentences, 1) AS DOUBLE))"
+                    " - 84.6 * (CAST(n_syllables AS DOUBLE)"
+                    "           / CAST(nullif(n_words, 0) AS DOUBLE))", 4
+                )} >= 60.0 THEN 'easy'
+                WHEN {stable_round_sql(
+                    "206.835"
+                    " - 1.015 * (CAST(n_words AS DOUBLE)"
+                    "            / CAST(greatest(n_sentences, 1) AS DOUBLE))"
+                    " - 84.6 * (CAST(n_syllables AS DOUBLE)"
+                    "           / CAST(nullif(n_words, 0) AS DOUBLE))", 4
+                )} >= 30.0 THEN 'medium'
+                ELSE 'hard' END AS band
+    FROM counted
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic ASCII
+    vowel-group syllable heuristic (vowel runs [aeiouy]+ per lowercased
+    word, min 1/word) and sentence count = runs of [.!?]+ — the
+    readability axis of a quality-scoring stage (complements
+    q_text_quality's length/punct ratios and q_quality_gopher's rules).
+    Zero-word documents report NULL flesch and band 'empty'; zero
+    detected sentences clamp to 1 so one-liner documents score rather
+    than divide by zero.
+
+    Cross-engine exactness: counts are integers; the score divides the
+    SAME integers in the same expression shape in both engines then
+    stable-rounds to 4dp, and the band thresholds compare that rounded
+    double — no engine-specific rounding anywhere.
+
+    Scale: pure per-row column expressions inside the scan stage
+    (higher-order functions, no UDF, no shuffle) — the plan is a single
+    WholeStageCodegen projection at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    ws = ts.words(txt)
+    syl_per_word = F.transform(
+        ws,
+        lambda w: F.greatest(
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), F.lit(0))),
+            F.lit(1),
+        ).cast("long"),
+    )
+    counted = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.size(F.regexp_extract_all(txt, F.lit("[.!?]+"), F.lit(0)))
+        .cast("long")
+        .alias("n_sentences"),
+        F.aggregate(
+            syl_per_word, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("n_syllables"),
+    )
+    flesch = stable_round(
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (
+            F.col("n_words").cast("double")
+            / F.greatest(F.col("n_sentences"), F.lit(1)).cast("double")
+        )
+        - F.lit(84.6)
+        * (
+            F.col("n_syllables").cast("double")
+            / F.nullif(F.col("n_words"), F.lit(0)).cast("double")
+        ),
+        4,
+    )
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        flesch.alias("flesch"),
+        F.when(F.col("n_words") == 0, F.lit("empty"))
+        .when(flesch >= 60.0, F.lit("easy"))
+        .when(flesch >= 30.0, F.lit("medium"))
+        .otherwise(F.lit("hard"))
+        .alias("band"),
+    )
