@@ -110,7 +110,11 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b")
     )
-    comp = dd.connected_components(pairs)
+    # max_iters bounds the rounds at ~the graph diameter; dup clusters are
+    # near-cliques (2-3 rounds), but a mutated/regenerated corpus could
+    # plant a longer path — 64 rounds of headroom costs nothing when
+    # convergence is early (the loop exits on the first no-change round).
+    comp = dd.connected_components(pairs, max_iters=64)
     nodes = d.select(F.col("doc_id").alias("node"))
     labeled = nodes.join(comp, nodes["node"] == comp["id"], "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("comp")

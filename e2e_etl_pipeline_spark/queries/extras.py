@@ -836,3 +836,76 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", F.col("price").cast("double").alias("price"), "n_ship")
         .orderBy("price", "p_partkey")
     )
+
+
+@register(
+    "q_agg_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_suppkey, l_extendedprice,
+             row_number() OVER (PARTITION BY l_suppkey
+                                ORDER BY l_extendedprice NULLS LAST,
+                                         l_orderkey, l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_suppkey)                AS n,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_suppkey)                       AS s_all
+      FROM lineitem
+    )
+    SELECT l_suppkey,
+           CAST(any_value(n) AS BIGINT)      AS n_rows,
+           CAST(count(*) AS BIGINT)          AS n_kept,
+           floor(CAST(any_value(s_all) AS DOUBLE) / any_value(n)
+                 * 10000.0 + 0.5) / 10000.0  AS mean_all,
+           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*) * 10000.0 + 0.5) / 10000.0 AS trimmed_mean
+    FROM ranked
+    WHERE rn > floor(n / 10.0) AND rn <= n - floor(n / 10.0)
+    GROUP BY l_suppkey
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of extended price per supplier — the robust
+    location estimate that completes the outlier-resistant family
+    (q_mad's dispersion, q_winsorize's clipping): drop the lowest and
+    highest floor(n/10) rows BY RANK, then average what remains. Rank
+    trimming (not value thresholds) keeps the kept multiset exact when
+    ties straddle the cut; the (price, orderkey, linenumber) tiebreak and
+    NULLS LAST pin the identical kept set in both engines, and trimming
+    either of two equal boundary values leaves the same value multiset
+    either way.
+
+    Cross-engine exactness: sums accumulate in DECIMAL(18,2) before the
+    cast-to-double division (partition-order-independent), and the means
+    stable-round at 4dp.
+
+    Scale: one shuffle on l_suppkey feeds rank, group size, and full-group
+    sum from the SAME window exchange, then a partial-aggregated groupBy
+    on the same key (ReusedExchange). Per-supplier groups are bounded
+    (orders spread across suppliers), so no single task inherits the
+    table — unlike a returnflag-keyed trim, which would funnel the corpus
+    through 3 partitions at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    w_rank = Window.partitionBy("l_suppkey").orderBy(
+        F.asc_nulls_last("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_suppkey")
+    ranked = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum(price_dec).over(w_all).alias("s_all"),
+    )
+    k = F.floor(F.col("n") / F.lit(10.0))
+    kept = ranked.where((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k))
+    return kept.groupBy("l_suppkey").agg(
+        F.first("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        stable_round(
+            F.first("s_all").cast("double") / F.first("n"), 4
+        ).alias("mean_all"),
+        stable_round(
+            F.sum(price_dec).cast("double") / F.count(F.lit(1)), 4
+        ).alias("trimmed_mean"),
+    )

@@ -621,3 +621,28 @@ def test_lsh_candidates_are_bucket_equi_join(spark, sf_dir):
         joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") + plan.count("BroadcastHashJoin")
         assert joins >= 1, f"{key}: bucket equi-join missing"
         assert "table_id" in plan and "bucket" in plan, key
+
+
+def test_readability_is_shuffle_free_scan(spark, sf_dir):
+    """Readability is a pure per-row projection: no Exchange of any kind,
+    no Python eval — the plan must be a single scan stage at any corpus
+    size."""
+    plan = _formatted(spark, "q_text_readability", sf_dir)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semdedup_pairs_join_on_cluster_not_cross(spark, sf_dir):
+    """SemDeDup's pairwise stage must equi-join on the cluster id — the
+    clustering is what keeps semantic dedup sub-quadratic, so a
+    CartesianProduct here means the cluster key fell out of the join. The
+    only nested-loop join allowed is the K-centroid broadcast used by the
+    assignment step."""
+    plan = _formatted(spark, "q_semdedup_prune", sf_dir)
+    assert "CartesianProduct" not in plan
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastHashJoin")
+    )
+    assert joins >= 1, "cluster-keyed pair join missing"
