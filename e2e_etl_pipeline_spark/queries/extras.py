@@ -909,3 +909,74 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(price_dec).cast("double") / F.count(F.lit(1)), 4
         ).alias("trimmed_mean"),
     )
+
+
+@register(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH f AS (
+      SELECT l_suppkey, l_extendedprice, l_orderkey, l_linenumber,
+             CAST(l_quantity AS DECIMAL(12,2)) AS wgt
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    r AS (
+      SELECT l_suppkey, l_extendedprice, wgt,
+             sum(wgt) OVER (PARTITION BY l_suppkey
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             sum(wgt) OVER (PARTITION BY l_suppkey) AS tot
+      FROM f
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT)          AS n_rows,
+           CAST(any_value(tot) AS DOUBLE)    AS total_weight,
+           min(CASE WHEN cum * 2 >= tot THEN l_extendedprice END)
+                                             AS weighted_median_price
+    FROM r GROUP BY l_suppkey
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median of extended price per supplier, weighted by
+    quantity: the smallest price whose cumulative weight reaches half the
+    group total (2·cum >= tot, divisionless). Quantile-by-weight is the
+    estimator inventory-style pipelines need where each row represents
+    many units — plain median (q_mad's 0.5 quantile) treats a 50-unit
+    line like a 1-unit line.
+
+    Cross-engine exactness: weights accumulate in DECIMAL(12,2) (the
+    running cum is additionally pinned by the total order (price,
+    orderkey, linenumber)), the half-total comparison runs in DECIMAL,
+    and the selected median is an INPUT value — no division or rounding
+    anywhere. NULL price/weight rows are excluded up front on both sides
+    (an explicit contract, since a NULL weight would poison the running
+    sum in engine-specific ways).
+
+    Scale: same single-exchange shape as q_agg_trimmed_mean — one shuffle
+    on l_suppkey feeds the ordered cumulative window, the group total,
+    and the final groupBy (ReusedExchange); per-supplier groups stay
+    bounded at any corpus size."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    )
+    wgt = F.col("l_quantity").cast("decimal(12,2)")
+    w_ord = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_suppkey")
+    r = li.select(
+        "l_suppkey",
+        "l_extendedprice",
+        F.sum(wgt).over(w_ord).alias("cum"),
+        F.sum(wgt).over(w_all).alias("tot"),
+    )
+    return r.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.first("tot").cast("double").alias("total_weight"),
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("l_extendedprice"))
+        ).alias("weighted_median_price"),
+    )
