@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from e2e_etl_pipeline_spark.functions.rounding import stable_round
+
 
 # ---------------------------------------------------------------------------
 # Exact dedup (A24 generalized; q_dedup_exact)
@@ -428,7 +430,12 @@ def token_jaccard_pairs(
     return inter.join(sa, "id_a").join(sb, "id_b").select(
         "id_a",
         "id_b",
-        F.round(
+        # stable_round, not F.round: downstream thresholds compare the
+        # ROUNDED value, and integer ratios can land on exact 4dp midpoints
+        # where Spark's HALF_UP and DuckDB's half-even round() split —
+        # flipping pair MEMBERSHIP, not just a display cell (round-7
+        # review; functions/rounding.py documents the class).
+        stable_round(
             F.col("n_inter").cast("double")
             / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
             4,

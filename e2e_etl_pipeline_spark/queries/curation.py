@@ -22,47 +22,19 @@ from e2e_etl_pipeline_spark.functions.rounding import stable_round, stable_round
 from e2e_etl_pipeline_spark.functions.vectors import dot
 from e2e_etl_pipeline_spark.operators import dedup as dd
 from e2e_etl_pipeline_spark.operators import similarity as sim
+from e2e_etl_pipeline_spark.queries.llm import JACCARD_PAIRS_CTE
 from e2e_etl_pipeline_spark.registry import register
-
-# The exact-Jaccard edge set shared with q_dedup_jaccard (same tokenizer
-# mirror, same max_df candidate-verify guard) — the CC key must cluster the
-# IDENTICAL pairs that key reports, so the CTE chain is shared verbatim.
-_JACCARD_EDGES_CTE = """raw_toks AS (
-      SELECT DISTINCT doc_id AS id,
-             unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS token
-      FROM documents WHERE lang = 'de'
-    ),
-    toks AS (SELECT id, token FROM raw_toks WHERE token <> ''),
-    sizes AS (SELECT id, count(*) AS set_size FROM toks GROUP BY id),
-    keep AS (SELECT token FROM toks GROUP BY token HAVING count(*) <= 500),
-    jtoks AS (SELECT t.id, t.token FROM toks t JOIN keep USING (token)),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM jtoks a JOIN jtoks b ON a.token = b.token AND a.id < b.id
-    ),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS n_inter
-      FROM cand c
-      JOIN toks ta ON ta.id = c.id_a
-      JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
-      GROUP BY c.id_a, c.id_b
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM inter
-      JOIN sizes sa ON sa.id = id_a
-      JOIN sizes sb ON sb.id = id_b
-      WHERE round(CAST(n_inter AS DOUBLE) /
-                  CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) >= 0.5
-    )"""
 
 
 @register(
     "q_dedup_cluster_cc",
     oracle=f"""
     WITH RECURSIVE
-    {_JACCARD_EDGES_CTE},
-    nodes AS (SELECT doc_id AS node FROM documents WHERE lang = 'de'),
+    {JACCARD_PAIRS_CTE},
+    nodes AS (
+      SELECT DISTINCT doc_id AS node FROM documents
+      WHERE lang = 'de' AND doc_id IS NOT NULL
+    ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION ALL
@@ -115,7 +87,16 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plant a longer path — 64 rounds of headroom costs nothing when
     # convergence is early (the loop exits on the first no-change round).
     comp = dd.connected_components(pairs, max_iters=64)
-    nodes = d.select(F.col("doc_id").alias("node"))
+    # DISTINCT + NOT NULL pin the node-set contract: a NULL doc_id cannot
+    # participate in identity-keyed dedup (and the oracle's recursive
+    # UNION would dedup (NULL, NULL) reach rows while Spark counted every
+    # input row), and duplicate doc_id rows must be ONE node on both
+    # sides (round-7 review).
+    nodes = (
+        d.where(F.col("doc_id").isNotNull())
+        .select(F.col("doc_id").alias("node"))
+        .distinct()
+    )
     labeled = nodes.join(comp, nodes["node"] == comp["id"], "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("comp")
     )
@@ -144,9 +125,19 @@ SEMDEDUP_TAU = 0.4  # near-orthogonal synthetic corpus: same τ as q_dedup_embed
 @register(
     "q_semdedup_prune",
     oracle=f"""
-    WITH seeds AS (
+    WITH emb AS (
+      -- NULL-element guard: Spark's zip_with/aggregate NULL-propagates
+      -- while DuckDB's list_sum NULL-skips, so a vector containing a
+      -- NULL element would get a NULL distance in one engine and a
+      -- partial sum in the other — exclude them from the contract on
+      -- BOTH sides (round-7 review).
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    seeds AS (
       SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id < {K_SEEDS}
+      FROM emb WHERE vec_id < {K_SEEDS}
     ),
     dists AS (
       SELECT e.vec_id, s.cid,
@@ -154,12 +145,12 @@ SEMDEDUP_TAU = 0.4  # near-orthogonal synthetic corpus: same τ as q_dedup_embed
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))
                AS sq
-      FROM embeddings e CROSS JOIN seeds s
+      FROM emb e CROSS JOIN seeds s
     ),
     assigned AS (
       SELECT vec_id, cid
       FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                                         ORDER BY sq, cid) AS rn
+                                         ORDER BY sq NULLS LAST, cid) AS rn
             FROM dists)
       WHERE rn = 1
     ),
@@ -167,7 +158,7 @@ SEMDEDUP_TAU = 0.4  # near-orthogonal synthetic corpus: same τ as q_dedup_embed
       SELECT a.cid, e.vec_id, e.embedding,
              sqrt(list_sum(list_transform(e.embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM assigned a JOIN embeddings e USING (vec_id)
+      FROM assigned a JOIN emb e USING (vec_id)
     ),
     dropped AS (
       SELECT DISTINCT a.cid, b.vec_id AS victim
@@ -211,7 +202,15 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus (SemDeDup uses ~10^5 clusters for 10^9 docs) keeping
     per-cluster pair counts bounded; the pairwise stage inside a cluster
     is then Σ|C|², not |corpus|²."""
-    em = load_table(spark, sf_dir, "embeddings")
+    # NULL-element guard mirroring the oracle's emb CTE (zip_with
+    # NULL-propagates vs list_sum NULL-skips — round-7 review). Vectors of
+    # a DIFFERENT length than the seeds remain out of contract, like the
+    # rest of the embedding family (the dims fuzz variant re-dimensions
+    # uniformly).
+    em = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
     seeds = em.where(F.col("vec_id") < K_SEEDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -226,7 +225,9 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x).alias("sq"),
     )
-    w = Window.partitionBy("vec_id").orderBy("sq", "cid")
+    # NULLS LAST pins the (out-of-contract but possible) NULL-sq order to
+    # the oracle's ORDER BY sq NULLS LAST (family-wide pinning rule).
+    w = Window.partitionBy("vec_id").orderBy(F.asc_nulls_last("sq"), "cid")
     assigned = (
         dists.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

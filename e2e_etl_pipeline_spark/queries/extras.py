@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
-from e2e_etl_pipeline_spark.functions.rounding import stable_round
+from e2e_etl_pipeline_spark.functions.rounding import stable_round, stable_round_sql
 from e2e_etl_pipeline_spark.operators.skew import salted_agg, salted_join
 from e2e_etl_pipeline_spark.registry import register
 
@@ -840,24 +840,28 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_agg_trimmed_mean",
-    oracle="""
+    oracle=f"""
     WITH ranked AS (
       SELECT l_suppkey, l_extendedprice,
              row_number() OVER (PARTITION BY l_suppkey
                                 ORDER BY l_extendedprice NULLS LAST,
-                                         l_orderkey, l_linenumber) AS rn,
-             count(*) OVER (PARTITION BY l_suppkey)                AS n,
+                                         l_orderkey NULLS LAST,
+                                         l_linenumber NULLS LAST) AS rn,
+             count(*) OVER (PARTITION BY l_suppkey)               AS n,
              sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-               OVER (PARTITION BY l_suppkey)                       AS s_all
+               OVER (PARTITION BY l_suppkey)                      AS s_all
       FROM lineitem
     )
     SELECT l_suppkey,
            CAST(any_value(n) AS BIGINT)      AS n_rows,
            CAST(count(*) AS BIGINT)          AS n_kept,
-           floor(CAST(any_value(s_all) AS DOUBLE) / any_value(n)
-                 * 10000.0 + 0.5) / 10000.0  AS mean_all,
-           floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*) * 10000.0 + 0.5) / 10000.0 AS trimmed_mean
+           {stable_round_sql(
+               "CAST(any_value(s_all) AS DOUBLE) / any_value(n)", 4
+           )} AS mean_all,
+           {stable_round_sql(
+               "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+               " / count(*)", 4
+           )} AS trimmed_mean
     FROM ranked
     WHERE rn > floor(n / 10.0) AND rn <= n - floor(n / 10.0)
     GROUP BY l_suppkey
@@ -886,8 +890,13 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     through 3 partitions at any scale."""
     li = load_table(spark, sf_dir, "lineitem")
     price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    # NULLS LAST on the tiebreaks too (family-wide pinning rule): under a
+    # mutation that NULLs a tiebreak key, Spark's bare ASC (NULLS FIRST)
+    # would order equal-price rows oppositely to the DuckDB window default.
     w_rank = Window.partitionBy("l_suppkey").orderBy(
-        F.asc_nulls_last("l_extendedprice"), "l_orderkey", "l_linenumber"
+        F.asc_nulls_last("l_extendedprice"),
+        F.asc_nulls_last("l_orderkey"),
+        F.asc_nulls_last("l_linenumber"),
     )
     w_all = Window.partitionBy("l_suppkey")
     ranked = li.select(
@@ -923,7 +932,9 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT l_suppkey, l_extendedprice, wgt,
              sum(wgt) OVER (PARTITION BY l_suppkey
-                            ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                            ORDER BY l_extendedprice,
+                                     l_orderkey NULLS LAST,
+                                     l_linenumber NULLS LAST
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS cum,
              sum(wgt) OVER (PARTITION BY l_suppkey) AS tot
@@ -961,9 +972,15 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
     )
     wgt = F.col("l_quantity").cast("decimal(12,2)")
+    # Tiebreak NULLS LAST pins (family-wide rule; price itself is
+    # filtered non-NULL above).
     w_ord = (
         Window.partitionBy("l_suppkey")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .orderBy(
+            "l_extendedprice",
+            F.asc_nulls_last("l_orderkey"),
+            F.asc_nulls_last("l_linenumber"),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_all = Window.partitionBy("l_suppkey")

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.functions import textstats as ts
-from e2e_etl_pipeline_spark.functions.rounding import stable_round
+from e2e_etl_pipeline_spark.functions.rounding import stable_round, stable_round_sql
 from e2e_etl_pipeline_spark.functions.vectors import dot, l2_norm
 from e2e_etl_pipeline_spark.operators import dedup as dd
 from e2e_etl_pipeline_spark.operators import multimodal as mm
@@ -354,17 +354,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_fingerprints(d, "doc_id", "text")
 
 
-@register(
-    "q_dedup_jaccard",
-    # Oracle tokenization mirrors the engine's _words exactly: split on the
-    # explicit [ \t\n\x0B\f\r]+ whitespace class
-    # and drop empty tokens (a single-space split would diverge on tabs /
-    # doubled spaces). The df-cutoff (HAVING count(*) <= 500) mirrors the
-    # engine's max_df candidate-verify guard: candidates come from rare
-    # tokens only, intersections are re-counted on the full token sets, so
-    # Jaccard values stay exact.
-    oracle="""
-    WITH raw_toks AS (
+# THE exact-Jaccard contract, shared by every consumer (q_dedup_jaccard,
+# q_minhash_accuracy_bound, curation's q_dedup_cluster_cc): oracle
+# tokenization mirrors the engine's _words exactly (split on the explicit
+# [ \t\n\x0B\f\r]+ whitespace class, drop empty tokens — a single-space
+# split would diverge on tabs / doubled spaces); the df-cutoff
+# (HAVING count(*) <= 500) mirrors the engine's max_df candidate-verify
+# guard: candidates come from rare tokens only, intersections are
+# re-counted on the full token sets, so Jaccard values stay exact. A
+# semantic change here changes every consumer at once — by construction,
+# not by three copies staying in sync (round-7 review).
+JACCARD_CORE_CTE = """raw_toks AS (
       SELECT DISTINCT doc_id AS id,
              unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS token
       FROM documents WHERE lang = 'de'
@@ -383,16 +383,42 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN toks ta ON ta.id = c.id_a
       JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
       GROUP BY c.id_a, c.id_b
-    )
+    )"""
+
+# stable_round_sql, not round(): the threshold compares the ROUNDED value,
+# and an integer ratio can land on an exact 4dp midpoint (9999/20000 =
+# 0.49995) where DuckDB's half-even round drops the pair while Spark's
+# HALF_UP keeps it — a structural edge-set split, not just a display-cell
+# flip (round-7 review; functions/rounding.py documents the class). The
+# engine side (operators/dedup.token_jaccard_pairs) uses stable_round.
+JACCARD_RATIO_SQL = stable_round_sql(
+    "CAST(n_inter AS DOUBLE) /"
+    " CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE)",
+    4,
+)
+
+# Core + the >= 0.5 pair selection, for consumers that only need edges.
+JACCARD_PAIRS_CTE = f"""{JACCARD_CORE_CTE},
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE {JACCARD_RATIO_SQL} >= 0.5
+    )"""
+
+
+@register(
+    "q_dedup_jaccard",
+    oracle=f"""
+    WITH {JACCARD_CORE_CTE}
     SELECT
       id_a, id_b,
-      round(CAST(n_inter AS DOUBLE) /
-            CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) AS jaccard
+      {JACCARD_RATIO_SQL} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
-    WHERE round(CAST(n_inter AS DOUBLE) /
-                CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) >= 0.5
+    WHERE {JACCARD_RATIO_SQL} >= 0.5
     """,
 )
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,42 +433,15 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_minhash_accuracy_bound",
-    # Same exact-Jaccard CTE chain as q_dedup_jaccard (tokenization mirror
-    # of the engine's _words; max_df guard) — the oracle reproduces the
-    # pair count and asserts the estimator bound as a literal.
-    oracle="""
-    WITH raw_toks AS (
-      SELECT DISTINCT doc_id AS id,
-             unnest(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+')) AS token
-      FROM documents WHERE lang = 'de'
-    ),
-    toks AS (SELECT id, token FROM raw_toks WHERE token <> ''),
-    sizes AS (SELECT id, count(*) AS set_size FROM toks GROUP BY id),
-    keep AS (SELECT token FROM toks GROUP BY token HAVING count(*) <= 500),
-    jtoks AS (SELECT t.id, t.token FROM toks t JOIN keep USING (token)),
-    cand AS (
-      SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM jtoks a JOIN jtoks b ON a.token = b.token AND a.id < b.id
-    ),
-    inter AS (
-      SELECT c.id_a, c.id_b, count(*) AS n_inter
-      FROM cand c
-      JOIN toks ta ON ta.id = c.id_a
-      JOIN toks tb ON tb.id = c.id_b AND tb.token = ta.token
-      GROUP BY c.id_a, c.id_b
-    ),
-    exact AS (
-      SELECT id_a, id_b
-      FROM inter
-      JOIN sizes sa ON sa.id = id_a
-      JOIN sizes sb ON sb.id = id_b
-      WHERE round(CAST(n_inter AS DOUBLE) /
-                  CAST(sa.set_size + sb.set_size - n_inter AS DOUBLE), 4) >= 0.5
-    )
+    # The shared exact-Jaccard CTE chain (JACCARD_PAIRS_CTE — one
+    # definition for every consumer) — the oracle reproduces the pair
+    # count and asserts the estimator bound as a literal.
+    oracle=f"""
+    WITH {JACCARD_PAIRS_CTE}
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            TRUE                     AS mean_err_ok,
            TRUE                     AS max_err_ok
-    FROM exact
+    FROM pairs
     """,
 )
 def q_minhash_accuracy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -41,6 +41,10 @@ def test_cluster_cc_merges_transitive_chain(spark, tmp_path):
             (12, c, "de", "s", len(c)),
             (13, d, "de", "s", len(d)),
             (14, "english text outside the slice", "en", "s", 31),
+            # NULL doc_id: identity-less rows are OUT of the cluster
+            # contract (the oracle's recursive UNION would dedup
+            # (NULL, NULL) reach rows while Spark counted every input row)
+            (None, d, "de", "s", len(d)),
         ],
     )
     out = {r.component_id: r for r in QUERIES["q_dedup_cluster_cc"](spark, sf).collect()}
