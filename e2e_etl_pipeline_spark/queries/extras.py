@@ -476,8 +476,9 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b,
-           round(CAST(n_inter AS DOUBLE) /
-                 (sa.set_size + sb.set_size - n_inter), 4) AS jaccard
+           floor(CAST(n_inter AS DOUBLE) /
+                 (sa.set_size + sb.set_size - n_inter)
+                 * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b
@@ -525,7 +526,11 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .where(jac >= 0.4)
-        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+        # stable_round: the displayed cell is a ratio of ints that can
+        # land on an exact 4dp midpoint where F.round (HALF_UP) and
+        # DuckDB round (half-even) split (membership is safe — the
+        # threshold compares the UNROUNDED ratio on both sides).
+        .select("id_a", "id_b", stable_round(jac, 4).alias("jaccard"))
     )
 
 
