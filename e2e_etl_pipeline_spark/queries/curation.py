@@ -1,12 +1,13 @@
 """Corpus-curation composites: dedup cluster assignment (connected
-components), SemDeDup-style within-cluster embedding pruning, and a
-readability score — the last-mile operators a training-data curation
-pipeline runs AFTER the pairwise dedup/similarity stages produced their
-pair sets (queries/llm.py) and the k-means machinery produced clusters
-(queries/ml.py).
+components), SemDeDup-style within-cluster embedding pruning, a
+readability score, and the embedding-aware curation capstone
+(quality → exact dedup → semantic dedup funnel) — the last-mile
+operators a training-data curation pipeline runs AFTER the pairwise
+dedup/similarity stages produced their pair sets (queries/llm.py) and
+the k-means machinery produced clusters (queries/ml.py).
 
 The reference has no corpus surface; these generalize SURVEY.md §2's B.8
-dedup family the same way queries/corpus.py does. All three are fully
+dedup family the same way queries/corpus.py does. All keys are fully
 oracle-checked — including the iterative connected-components pass, which
 DuckDB replays as a recursive CTE (the q_pagerank precedent).
 """
@@ -122,10 +123,11 @@ K_SEEDS = 8  # mirrors queries/ml.py's q_kmeans_step seeding
 SEMDEDUP_TAU = 0.4  # near-orthogonal synthetic corpus: same τ as q_dedup_embedding
 
 
-@register(
-    "q_semdedup_prune",
-    oracle=f"""
-    WITH emb AS (
+# The SemDeDup oracle chain (cleaned corpus → deterministic seed
+# assignment → within-cluster above-τ victims), shared by
+# q_semdedup_prune and the curation capstone — one definition, every
+# consumer (the JACCARD_PAIRS_CTE discipline).
+SEMDEDUP_CTE = f"""emb AS (
       -- NULL-element guard: Spark's zip_with/aggregate NULL-propagates
       -- while DuckDB's list_sum NULL-skips, so a vector containing a
       -- NULL element would get a NULL distance in one engine and a
@@ -169,7 +171,85 @@ SEMDEDUP_TAU = 0.4  # near-orthogonal synthetic corpus: same τ as q_dedup_embed
             "i -> CAST(a.embedding[i] AS DOUBLE) "
             "* CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm)", 4
         )} >= {SEMDEDUP_TAU}
-    ),
+    )"""
+
+
+def _semdedup_v_and_victims(spark: SparkSession, sf_dir: str):
+    """Spark twin of SEMDEDUP_CTE: (v, victim_pairs) — the cleaned
+    cluster-assigned corpus (cid, vec_id, embedding, nrm; materialized
+    once via lazy localCheckpoint for its multiple consumers) and the
+    distinct (cid, victim) above-τ pairs."""
+    # NULL-element guard mirroring the oracle's emb CTE (zip_with
+    # NULL-propagates vs list_sum NULL-skips — round-7 review). Vectors of
+    # a DIFFERENT length than the seeds remain out of contract, like the
+    # rest of the embedding family (the dims fuzz variant re-dimensions
+    # uniformly).
+    em = load_table(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    seeds = em.where(F.col("vec_id") < K_SEEDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    diff_sq = F.zip_with(
+        F.col("embedding"),
+        F.col("cv"),
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    dists = em.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "cid",
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x).alias("sq"),
+    )
+    # NULLS LAST pins the (out-of-contract but possible) NULL-sq order to
+    # the oracle's ORDER BY sq NULLS LAST (family-wide pinning rule).
+    w = Window.partitionBy("vec_id").orderBy(F.asc_nulls_last("sq"), "cid")
+    assigned = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    # One corpus-sized relation feeds multiple consumers (both self-join
+    # sides and the per-cluster totals); without a checkpoint Spark
+    # re-runs the k×corpus assignment subtree per consumer (three corpus
+    # scans at 100 TB). Lazy localCheckpoint materializes it once at
+    # first action while keeping query CONSTRUCTION job-free (the
+    # round-6 advice rule).
+    v = (
+        sim.with_vector_norm(assigned.join(em, "vec_id"))
+        .select("cid", "vec_id", "embedding", F.col("norm").alias("nrm"))
+        .localCheckpoint(eager=False)
+    )
+    a = v.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("cid").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos4 = stable_round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
+    victim_pairs = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .where((F.col("na") > 0) & (F.col("nb") > 0) & (cos4 >= SEMDEDUP_TAU))
+        .select("cid", F.col("id_b").alias("victim"))
+        .distinct()
+    )
+    return v, victim_pairs
+
+
+@register(
+    "q_semdedup_prune",
+    oracle=f"""
+    WITH {SEMDEDUP_CTE},
     per_cluster AS (
       SELECT cid, count(*) AS n_dropped FROM dropped GROUP BY cid
     )
@@ -202,70 +282,9 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the corpus (SemDeDup uses ~10^5 clusters for 10^9 docs) keeping
     per-cluster pair counts bounded; the pairwise stage inside a cluster
     is then Σ|C|², not |corpus|²."""
-    # NULL-element guard mirroring the oracle's emb CTE (zip_with
-    # NULL-propagates vs list_sum NULL-skips — round-7 review). Vectors of
-    # a DIFFERENT length than the seeds remain out of contract, like the
-    # rest of the embedding family (the dims fuzz variant re-dimensions
-    # uniformly).
-    em = load_table(spark, sf_dir, "embeddings").where(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda x: x.isNull())
-    )
-    seeds = em.where(F.col("vec_id") < K_SEEDS).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    diff_sq = F.zip_with(
-        F.col("embedding"),
-        F.col("cv"),
-        lambda x, y: (x.cast("double") - y.cast("double"))
-        * (x.cast("double") - y.cast("double")),
-    )
-    dists = em.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        "cid",
-        F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x).alias("sq"),
-    )
-    # NULLS LAST pins the (out-of-contract but possible) NULL-sq order to
-    # the oracle's ORDER BY sq NULLS LAST (family-wide pinning rule).
-    w = Window.partitionBy("vec_id").orderBy(F.asc_nulls_last("sq"), "cid")
-    assigned = (
-        dists.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
-    # One corpus-sized relation feeds THREE consumers (both self-join sides
-    # and the per-cluster totals); without a checkpoint Spark re-runs the
-    # k×corpus assignment subtree per consumer (three corpus scans at 100
-    # TB). Lazy localCheckpoint materializes it once at first action while
-    # keeping query CONSTRUCTION job-free (the round-6 advice rule).
-    v = (
-        sim.with_vector_norm(assigned.join(em, "vec_id"))
-        .select("cid", "vec_id", "embedding", F.col("norm").alias("nrm"))
-        .localCheckpoint(eager=False)
-    )
-    a = v.select(
-        F.col("cid"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = v.select(
-        F.col("cid").alias("cid_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    cos4 = stable_round(dot("va", "vb") / (F.col("na") * F.col("nb")), 4)
-    dropped = (
-        a.join(
-            b,
-            (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b")),
-        )
-        .where((F.col("na") > 0) & (F.col("nb") > 0) & (cos4 >= SEMDEDUP_TAU))
-        .select("cid", F.col("id_b").alias("victim"))
-        .distinct()
-        .groupBy("cid")
-        .agg(F.count(F.lit(1)).alias("n_dropped"))
+    v, victim_pairs = _semdedup_v_and_victims(spark, sf_dir)
+    dropped = victim_pairs.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dropped")
     )
     z = F.lit(0).cast("long")
     n_dropped = F.coalesce(F.col("n_dropped"), z)
@@ -392,4 +411,106 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(flesch >= 30.0, F.lit("medium"))
         .otherwise(F.lit("hard"))
         .alias("band"),
+    )
+
+
+@register(
+    "q_curation_pipeline",
+    oracle=f"""
+    WITH {SEMDEDUP_CTE},
+    victims AS (SELECT DISTINCT victim FROM dropped),
+    base AS (
+      SELECT doc_id, source, text,
+             (len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                              '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) >= 10
+              AND coalesce(n_chars, 0) >= 50) AS is_q
+      FROM documents
+    ),
+    surv AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY text
+                                  ORDER BY doc_id NULLS LAST) AS rn
+        FROM base WHERE is_q
+      ) WHERE rn = 1
+    )
+    SELECT b.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN b.is_q THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality,
+           CAST(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN s.doc_id IS NOT NULL AND v.victim IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+    FROM base b
+    LEFT JOIN surv s ON s.doc_id = b.doc_id
+    LEFT JOIN victims v ON v.victim = b.doc_id
+    GROUP BY b.source
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-aware curation capstone (the semantic sibling of
+    q_training_pipeline): quality gate (>= 10 words and >= 50 chars) →
+    exact dedup (keep the lowest doc_id per text group AMONG quality
+    survivors) → semantic dedup (drop docs whose embedding — joined on
+    doc_id = vec_id, a partial mapping: unembedded docs simply carry no
+    semantic signal — is a SemDeDup victim), reported as a per-source
+    funnel (n_docs → n_quality → n_exact → n_final), the table a curation
+    run publishes as its acceptance evidence. ONE composed Catalyst plan:
+    the three stages share the document scan, and each count is a
+    conditional aggregate over stage flags rather than three re-scans.
+
+    Cross-engine exactness: the exact-dedup survivor rank pins
+    ORDER BY doc_id NULLS LAST (a NULL-id doc in a dup group must not
+    steal rank 1 in one engine only); quality flags are never NULL
+    (coalesced inputs); the engine groups on xxhash64(text) where the
+    oracle groups on text — identical short of a 64-bit collision (the
+    q_dup_cluster_sizes bound).
+
+    Scale: quality is scan-stage math; exact dedup shuffles the 8-byte
+    digest; the semantic stage is the SemDeDup cluster-keyed pair join
+    (Σ|cluster|², never corpus²) with victims broadcast back against the
+    funnel (|victims| << corpus). The funnel aggregate is one grouped
+    pass over flags — no stage re-reads the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    is_q = (F.size(ts.words(txt)) >= 10) & (
+        F.coalesce(F.col("n_chars"), F.lit(0)) >= 50
+    )
+    base = d.select("doc_id", "source", "text", is_q.alias("is_q"))
+    w_txt = Window.partitionBy(F.xxhash64("text")).orderBy(
+        F.asc_nulls_last("doc_id")
+    )
+    surv = (
+        base.where(F.col("is_q"))
+        .withColumn("rn", F.row_number().over(w_txt))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.lit(1).alias("is_ex"))
+    )
+    _, victim_pairs = _semdedup_v_and_victims(spark, sf_dir)
+    victims = (
+        victim_pairs.select(F.col("victim").alias("doc_id"))
+        .distinct()
+        .withColumn("is_victim", F.lit(1))
+    )
+    enr = base.join(surv, "doc_id", "left").join(
+        F.broadcast(victims), "doc_id", "left"
+    )
+    one = F.lit(1)
+    zero = F.lit(0)
+    return enr.groupBy("source").agg(
+        F.count(one).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("is_q"), one).otherwise(zero))
+        .cast("long")
+        .alias("n_quality"),
+        F.sum(F.when(F.col("is_ex") == 1, one).otherwise(zero))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(
+            F.when(
+                (F.col("is_ex") == 1) & F.col("is_victim").isNull(), one
+            ).otherwise(zero)
+        )
+        .cast("long")
+        .alias("n_final"),
     )

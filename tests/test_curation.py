@@ -109,3 +109,35 @@ def test_readability_hand_computed(spark, tmp_path):
         assert out[i].band == "empty"
         assert out[i].flesch is None
         assert (out[i].n_words, out[i].n_syllables) == (0, 0)
+
+
+def test_curation_pipeline_funnel_counts(spark, tmp_path):
+    """Planted funnel: 11 docs — one quality-fail, one exact-dup of doc 0,
+    one semantic victim (embedding identical to seed 0) — must report
+    n_docs=11 → n_quality=10 → n_exact=9 → n_final=8."""
+    import numpy as np
+
+    def one_hot(i, sign=1.0):
+        v = np.zeros(8, dtype="float32")
+        v[i] = sign
+        return [float(x) for x in v]
+
+    texts = {i: " ".join(f"w{i}x{j}" for j in range(12)) for i in range(9)}
+    texts[9] = texts[0]  # exact duplicate of doc 0
+    texts[10] = "tiny"   # quality fail (<10 words, <50 chars)
+    docs = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    em = [(i, one_hot(i), i) for i in range(8)]
+    em.append((8, one_hot(0), 0))            # semantic victim of seed 0
+    em.append((9, one_hot(1, sign=-1.0), 1))  # orthogonal to cluster-0 mates
+    em.append((10, one_hot(2, sign=-1.0), 2))
+    spark.createDataFrame(
+        em, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.source: r for r in QUERIES["q_curation_pipeline"](spark, str(tmp_path)).collect()}
+    r = out["s"]
+    assert (r.n_docs, r.n_quality, r.n_exact, r.n_final) == (11, 10, 9, 8)
