@@ -2224,3 +2224,158 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman"
         ),
     )
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      -- Same (user, ts) dedup as q_join_asof: ASOF picks ambiguously
+      -- among equal keys, so the tie winner is pinned to max event_id.
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+        WHERE event_type = 'purchase' AND ts IS NOT NULL
+              AND user_id IS NOT NULL
+      ) WHERE rn = 1
+    ),
+    back AS (
+      SELECT c.event_id, p.value AS bv,
+             floor(epoch(c.ts)) - floor(epoch(p.ts)) AS bgap
+      FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
+      ASOF LEFT JOIN purchases p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    fwd AS (
+      SELECT c.event_id, f.value AS fv,
+             floor(epoch(f.ts)) - floor(epoch(c.ts)) AS fgap
+      FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
+      ASOF LEFT JOIN purchases f
+        ON c.user_id = f.user_id AND c.ts <= f.ts
+    )
+    SELECT c.event_id, c.user_id,
+           CASE WHEN b.bgap IS NOT NULL
+                     AND (f.fgap IS NULL OR b.bgap <= f.fgap)
+                THEN b.bv ELSE f.fv END                    AS nearest_value,
+           CAST(CASE WHEN b.bgap IS NOT NULL
+                          AND (f.fgap IS NULL OR b.bgap <= f.fgap)
+                THEN -b.bgap ELSE f.fgap END AS BIGINT)    AS gap_seconds,
+           CASE WHEN b.bgap IS NOT NULL
+                     AND (f.fgap IS NULL OR b.bgap <= f.fgap) THEN 'back'
+                WHEN f.fgap IS NOT NULL THEN 'fwd'
+                ELSE NULL END                              AS direction
+    FROM clicks c
+    LEFT JOIN back b ON b.event_id = c.event_id
+    LEFT JOIN fwd f ON f.event_id = c.event_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each click annotated with the user's CLOSEST
+    purchase in time, looking both backward and forward; equal distance
+    (in whole seconds — the family's floored-epoch contract) breaks
+    toward the BACKWARD match, and a same-second purchase is gap 0 in
+    both directions so the tie rule makes it unambiguous. gap_seconds is
+    SIGNED: <= 0 when the purchase precedes the click.
+
+    Spark side: the q_join_asof union-then-window shape run in BOTH
+    directions over one shuffle — purchases dedup to (user, ts) with a
+    max-event_id winner, then an ascending window carries the last
+    preceding purchase and a descending window the first following one;
+    the nearest pick is a plain CASE over the two carried structs. Still
+    no range join, still linear per user. NULL contracts mirror
+    q_join_asof exactly: NULL-ts clicks match nothing in either
+    direction, NULL-ts / NULL-user purchases never enter the carry.
+
+    Scale: two windows over the SAME (user_id)-partitioned sort — one
+    exchange, two linear passes; at 10^12 events this is the same
+    single-shuffle cost as the backward-only as-of."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    # is_p rides in the dedup partition key: the rank must count
+    # PURCHASES at a (user, ts) only — a same-timestamp click with a
+    # higher event_id must not displace the purchase's rank 1 (the ties
+    # fuzz variant manufactures exactly these collisions).
+    w_dedup = Window.partitionBy("user_id", "ts", "is_p").orderBy(
+        F.desc("event_id")
+    )
+    is_purchase = (
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    # Dedup purchases to the max-event_id row per (user, ts) BEFORE the
+    # union so both direction windows see the identical purchase relation
+    # (the oracle's rn = 1). Non-purchase rows pass through untouched.
+    dedup_rn = F.row_number().over(w_dedup)
+    tagged = (
+        ev.withColumn(
+            "is_p", is_purchase
+        )
+        .withColumn(
+            "p_rn", F.when(F.col("is_p"), dedup_rn)
+        )
+        .where(~F.col("is_p") | (F.col("p_rn") == 1))
+        .withColumn(
+            "p",
+            F.when(
+                F.col("is_p"),
+                F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
+            ),
+        )
+    )
+    # Ascending pass (backward match): NULLS FIRST so NULL-ts clicks see
+    # nothing; purchases sort before same-ts clicks (gap-0 visibility).
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.asc_nulls_first("ts"),
+            F.asc(F.col("p").isNull()),
+            F.asc("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Descending pass (forward match): NULL-ts clicks must STILL see no
+    # purchase, so NULLs again sort before every real timestamp
+    # (desc_nulls_first); purchases again precede same-ts clicks.
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.desc_nulls_first("ts"),
+            F.asc(F.col("p").isNull()),
+            F.desc("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = (
+        tagged.withColumn("back_p", F.last("p", ignorenulls=True).over(w_back))
+        .withColumn("fwd_p", F.last("p", ignorenulls=True).over(w_fwd))
+        .where(F.col("event_type") == "click")
+    )
+    c_ep = F.floor(F.col("ts").cast("double"))
+    bgap = c_ep - F.floor(F.col("back_p.ts").cast("double"))
+    fgap = F.floor(F.col("fwd_p.ts").cast("double")) - c_ep
+    back_wins = F.col("back_p").isNotNull() & (
+        F.col("fwd_p").isNull() | (bgap <= fgap)
+    )
+    return enriched.select(
+        "event_id",
+        "user_id",
+        F.when(back_wins, F.col("back_p.value"))
+        .otherwise(F.col("fwd_p.value"))
+        .alias("nearest_value"),
+        F.when(back_wins, -bgap)
+        .otherwise(fgap)
+        .cast("long")
+        .alias("gap_seconds"),
+        F.when(back_wins, F.lit("back"))
+        .when(F.col("fwd_p").isNotNull(), F.lit("fwd"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("direction"),
+    )

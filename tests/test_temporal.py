@@ -101,3 +101,44 @@ def test_mannwhitney_u_within_bounds(spark, sf_dir):
     if row:  # empty cohorts yield no row
         r = row[0]
         assert 0.0 <= r.u_stat <= r.n_a * r.n_b
+
+
+def test_asof_nearest_directions_and_ties(spark, tmp_path):
+    """Planted nearest-match scenarios: forward wins when strictly closer,
+    equal whole-second distance breaks backward, a same-second purchase is
+    a gap-0 backward match, and a user with no purchases matches nothing."""
+    from datetime import datetime, timezone
+
+    def t(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        # user 1: purchase@100, click@103, purchase@105 → fwd (gap 2) beats back (3)
+        (1, t(100), 1, "purchase", 10.0, None),
+        (2, t(103), 1, "click", None, None),
+        (3, t(105), 1, "purchase", 20.0, None),
+        # user 1: click@98 → nothing behind, purchase@100 ahead → fwd +2
+        (4, t(98), 1, "click", None, None),
+        # user 2: tie (2s each way) → backward wins
+        (5, t(10), 2, "purchase", 1.0, None),
+        (6, t(12), 2, "click", None, None),
+        (7, t(14), 2, "purchase", 2.0, None),
+        # user 2: click exactly AT a purchase second → gap-0 backward
+        (8, t(14), 2, "click", None, None),
+        # user 3: click with no purchases at all
+        (9, t(50), 3, "click", None, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.event_id: r
+        for r in QUERIES["q_join_asof_nearest"](spark, str(tmp_path)).collect()
+    }
+    assert (out[2].nearest_value, out[2].gap_seconds, out[2].direction) == (20.0, 2, "fwd")
+    assert (out[4].nearest_value, out[4].gap_seconds, out[4].direction) == (10.0, 2, "fwd")
+    assert (out[6].nearest_value, out[6].gap_seconds, out[6].direction) == (1.0, -2, "back")
+    assert (out[8].nearest_value, out[8].gap_seconds, out[8].direction) == (2.0, 0, "back")
+    assert (out[9].nearest_value, out[9].gap_seconds, out[9].direction) == (None, None, None)
