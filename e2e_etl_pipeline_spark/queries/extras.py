@@ -462,7 +462,7 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_ngram",
-    oracle="""
+    oracle=f"""
     WITH grams AS (
       SELECT DISTINCT doc_id AS id,
              unnest(list_transform(range(1, length(text) - 1),
@@ -476,9 +476,10 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.id, b.id
     )
     SELECT id_a, id_b,
-           floor(CAST(n_inter AS DOUBLE) /
-                 (sa.set_size + sb.set_size - n_inter)
-                 * 10000.0 + 0.5) / 10000.0 AS jaccard
+           {stable_round_sql(
+               "CAST(n_inter AS DOUBLE) /"
+               " (sa.set_size + sb.set_size - n_inter)", 4
+           )} AS jaccard
     FROM inter
     JOIN sizes sa ON sa.id = id_a
     JOIN sizes sb ON sb.id = id_b

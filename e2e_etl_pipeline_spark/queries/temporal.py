@@ -2244,34 +2244,36 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
               AND user_id IS NOT NULL
       ) WHERE rn = 1
     ),
-    back AS (
-      SELECT c.event_id, p.value AS bv,
-             floor(epoch(c.ts)) - floor(epoch(p.ts)) AS bgap
+    nearby AS (
+      -- Chained ASOF joins keep the click row's identity positional —
+      -- no re-join on event_id, so a NULL or duplicated event_id (the
+      -- driver has changed this table's shape between rounds) cannot
+      -- NULL-out or fan out annotations (round-7 review).
+      SELECT c.event_id, c.user_id,
+             b.value AS bv, floor(epoch(c.ts)) - floor(epoch(b.ts)) AS bgap,
+             f.value AS fv, floor(epoch(f.ts)) - floor(epoch(c.ts)) AS fgap
       FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
-      ASOF LEFT JOIN purchases p
-        ON c.user_id = p.user_id AND c.ts >= p.ts
-    ),
-    fwd AS (
-      SELECT c.event_id, f.value AS fv,
-             floor(epoch(f.ts)) - floor(epoch(c.ts)) AS fgap
-      FROM (SELECT * FROM clicks WHERE ts IS NOT NULL) c
+      ASOF LEFT JOIN purchases b
+        ON c.user_id = b.user_id AND c.ts >= b.ts
       ASOF LEFT JOIN purchases f
         ON c.user_id = f.user_id AND c.ts <= f.ts
     )
-    SELECT c.event_id, c.user_id,
-           CASE WHEN b.bgap IS NOT NULL
-                     AND (f.fgap IS NULL OR b.bgap <= f.fgap)
-                THEN b.bv ELSE f.fv END                    AS nearest_value,
-           CAST(CASE WHEN b.bgap IS NOT NULL
-                          AND (f.fgap IS NULL OR b.bgap <= f.fgap)
-                THEN -b.bgap ELSE f.fgap END AS BIGINT)    AS gap_seconds,
-           CASE WHEN b.bgap IS NOT NULL
-                     AND (f.fgap IS NULL OR b.bgap <= f.fgap) THEN 'back'
-                WHEN f.fgap IS NOT NULL THEN 'fwd'
+    SELECT event_id, user_id,
+           CASE WHEN bgap IS NOT NULL AND (fgap IS NULL OR bgap <= fgap)
+                THEN bv ELSE fv END                        AS nearest_value,
+           CAST(CASE WHEN bgap IS NOT NULL AND (fgap IS NULL OR bgap <= fgap)
+                THEN -bgap ELSE fgap END AS BIGINT)        AS gap_seconds,
+           CASE WHEN bgap IS NOT NULL AND (fgap IS NULL OR bgap <= fgap)
+                THEN 'back'
+                WHEN fgap IS NOT NULL THEN 'fwd'
                 ELSE NULL END                              AS direction
-    FROM clicks c
-    LEFT JOIN back b ON b.event_id = c.event_id
-    LEFT JOIN fwd f ON f.event_id = c.event_id
+    FROM nearby
+    UNION ALL
+    SELECT event_id, user_id,
+           CAST(NULL AS DOUBLE)  AS nearest_value,
+           CAST(NULL AS BIGINT)  AS gap_seconds,
+           CAST(NULL AS VARCHAR) AS direction
+    FROM clicks WHERE ts IS NULL
     """,
 )
 def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2284,13 +2286,15 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIGNED: <= 0 when the purchase precedes the click.
 
     Spark side: the q_join_asof union-then-window shape run in BOTH
-    directions over one shuffle — purchases dedup to (user, ts) with a
-    max-event_id winner, then an ascending window carries the last
-    preceding purchase and a descending window the first following one;
-    the nearest pick is a plain CASE over the two carried structs. Still
-    no range join, still linear per user. NULL contracts mirror
-    q_join_asof exactly: NULL-ts clicks match nothing in either
-    direction, NULL-ts / NULL-user purchases never enter the carry.
+    directions over one shuffle — an ascending window carries the last
+    preceding purchase and a descending window the first following one,
+    each with purchases ordered by ascending event_id so the carry
+    lands on the max-event_id winner of any (user, ts) tie group (the
+    oracle's dedup rn = 1) without a separate dedup exchange; the
+    nearest pick is a plain CASE over the two carried structs. Still no
+    range join, still linear per user. NULL contracts mirror q_join_asof
+    exactly: NULL-ts clicks match nothing in either direction, NULL-ts /
+    NULL-user purchases never enter the carry.
 
     Scale: two windows over the SAME (user_id)-partitioned sort — one
     exchange, two linear passes; at 10^12 events this is the same
@@ -2298,37 +2302,23 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts", "event_type", "value"
     )
-    # is_p rides in the dedup partition key: the rank must count
-    # PURCHASES at a (user, ts) only — a same-timestamp click with a
-    # higher event_id must not displace the purchase's rank 1 (the ties
-    # fuzz variant manufactures exactly these collisions).
-    w_dedup = Window.partitionBy("user_id", "ts", "is_p").orderBy(
-        F.desc("event_id")
-    )
     is_purchase = (
         (F.col("event_type") == "purchase")
         & F.col("ts").isNotNull()
         & F.col("user_id").isNotNull()
     )
-    # Dedup purchases to the max-event_id row per (user, ts) BEFORE the
-    # union so both direction windows see the identical purchase relation
-    # (the oracle's rn = 1). Non-purchase rows pass through untouched.
-    dedup_rn = F.row_number().over(w_dedup)
-    tagged = (
-        ev.withColumn(
-            "is_p", is_purchase
-        )
-        .withColumn(
-            "p_rn", F.when(F.col("is_p"), dedup_rn)
-        )
-        .where(~F.col("is_p") | (F.col("p_rn") == 1))
-        .withColumn(
-            "p",
-            F.when(
-                F.col("is_p"),
-                F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
-            ),
-        )
+    # No explicit (user, ts) dedup pass: ordering purchases by ASCENDING
+    # event_id in BOTH direction windows makes last(ignorenulls) carry the
+    # max-event_id purchase of every (user, ts) tie group — the oracle's
+    # rn = 1 winner — with zero extra exchange (round-7 review replaced a
+    # second full-events shuffle on (user, ts) with this implicit carry,
+    # the same trick q_join_asof's tie contract documents).
+    tagged = ev.withColumn(
+        "p",
+        F.when(
+            is_purchase,
+            F.struct(F.col("ts").alias("ts"), F.col("value").alias("value")),
+        ),
     )
     # Ascending pass (backward match): NULLS FIRST so NULL-ts clicks see
     # nothing; purchases sort before same-ts clicks (gap-0 visibility).
@@ -2343,13 +2333,15 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Descending pass (forward match): NULL-ts clicks must STILL see no
     # purchase, so NULLs again sort before every real timestamp
-    # (desc_nulls_first); purchases again precede same-ts clicks.
+    # (desc_nulls_first); purchases again precede same-ts clicks, and the
+    # event_id stays ASCENDING so the tie group's last frame row — what
+    # last() carries — is the max-event_id purchase, as in w_back.
     w_fwd = (
         Window.partitionBy("user_id")
         .orderBy(
             F.desc_nulls_first("ts"),
             F.asc(F.col("p").isNull()),
-            F.desc("event_id"),
+            F.asc("event_id"),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

@@ -25,11 +25,9 @@ def main() -> int:
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
-    from pandas.util import hash_pandas_object
-
     from e2e_etl_pipeline_spark.registry import ORACLES, QUERIES, load_all
     from e2e_etl_pipeline_spark.session import get_session
-    from e2e_etl_pipeline_spark.testing import canonical
+    from e2e_etl_pipeline_spark.testing import canonical, values_match
 
     load_all()
     spark = get_session("check_idempotence")
@@ -44,14 +42,14 @@ def main() -> int:
         try:
             a = QUERIES[key](spark, sf_dir).toPandas()
             b = QUERIES[key](spark, sf_dir).toPandas()
+            # Same comparator stack as the oracle gate (testing.canonical +
+            # values_match(exact=True)) so this gate can never diverge from
+            # check_oracles' semantics (round-7 review).
             strict = key in ORACLES
-            ca = canonical(a, strict_cells=strict).reset_index(drop=True)
-            cb = canonical(b, strict_cells=strict).reset_index(drop=True)
-            same = (
-                list(ca.columns) == list(cb.columns)
-                and len(ca) == len(cb)
-                and hash_pandas_object(ca.astype(str), index=False).tolist()
-                == hash_pandas_object(cb.astype(str), index=False).tolist()
+            ca = canonical(a, strict_cells=strict)
+            cb = canonical(b, strict_cells=strict)
+            same = list(ca.columns) == list(cb.columns) and values_match(
+                ca, cb, exact=True
             )
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             print(f"ERROR {key}: {type(e).__name__}: {e}")
