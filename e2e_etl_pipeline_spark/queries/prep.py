@@ -1718,3 +1718,71 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("w").alias("checksum"),
     )
+
+
+@register(
+    "q_sft_split",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                         '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS ws
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, ws,
+             CAST(len(ws) AS BIGINT)            AS n_tokens,
+             CAST((len(ws) * 7) // 10 AS BIGINT) AS n_prompt_tokens
+      FROM w
+    )
+    SELECT doc_id, n_tokens, n_prompt_tokens,
+           coalesce(array_to_string(ws[1:n_prompt_tokens], ' '), '')
+             AS prompt,
+           coalesce(array_to_string(ws[n_prompt_tokens + 1:len(ws)], ' '), '')
+             AS completion
+    FROM k
+    """,
+)
+def q_sft_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt/completion splitting for supervised fine-tuning: each
+    document splits at the 70% token boundary (integer math — (n·7) div
+    10, no FP) into a prompt prefix and a completion suffix, with the
+    boundary reported so a loss mask can be built downstream. The
+    degenerate cases pin explicitly: an empty or NULL document yields two
+    empty strings (oracle coalesces array_to_string([]) → NULL to ''
+    per the registry rule), and a 1-token document puts everything in
+    the completion (7 div 10 = 0) so no example ever trains on an empty
+    target.
+
+    Scale: pure per-row array expressions inside the scan stage — no
+    shuffle, no UDF; the same map-only class as q_text_readability."""
+    from e2e_etl_pipeline_spark.functions import textstats as ts
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = ts.words(F.coalesce(F.col("text"), F.lit("")))
+    base = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).cast("long").alias("n_tokens"),
+    ).withColumn(
+        # integer `div`, derived from the SAME tokenization as n_tokens —
+        # no second tokenizer expression to drift from ts.words
+        "n_prompt_tokens",
+        F.expr("CAST((n_tokens * 7) div 10 AS BIGINT)"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_prompt_tokens",
+        F.array_join(
+            F.slice(F.col("ws"), 1, F.col("n_prompt_tokens").cast("int")), " "
+        ).alias("prompt"),
+        F.array_join(
+            F.slice(
+                F.col("ws"),
+                (F.col("n_prompt_tokens") + 1).cast("int"),
+                (F.col("n_tokens") - F.col("n_prompt_tokens")).cast("int"),
+            ),
+            " ",
+        ).alias("completion"),
+    )
