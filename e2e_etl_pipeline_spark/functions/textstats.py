@@ -37,6 +37,19 @@ def words(col: Column | str) -> Column:
     return F.filter(F.split(_c(col), r"[ \t\n\x0B\f\r]+"), lambda w: w != "")
 
 
+def words_sql(expr: str) -> str:
+    """The DuckDB-side twin of ``words()`` for oracle f-strings: the SAME
+    whitespace class, empty tokens removed. One definition so an oracle
+    cannot drift from the engine tokenizer (round-7 review; several
+    pre-round-7 oracles still carry the fragment verbatim — byte-identical
+    to this rendering, safe to migrate opportunistically)."""
+    return (
+        "list_filter(regexp_split_to_array("
+        + expr
+        + ", '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')"
+    )
+
+
 def whitespace_tokens(col: Column | str) -> Column:
     """Token count under whitespace tokenization."""
     return F.size(words(col))

@@ -306,8 +306,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(coalesce(text, ''),
-                         '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '') AS ws,
+             {ts.words_sql("coalesce(text, '')")} AS ws,
              len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))
                AS n_sentences_raw
       FROM documents
@@ -421,8 +420,7 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     victims AS (SELECT DISTINCT victim FROM dropped),
     base AS (
       SELECT doc_id, source, text,
-             (len(list_filter(regexp_split_to_array(coalesce(text, ''),
-                              '[ \\t\\n\\x0B\\f\\r]+'), w -> w <> '')) >= 10
+             (len({ts.words_sql("coalesce(text, '')")}) >= 10
               AND coalesce(n_chars, 0) >= 50) AS is_q
       FROM documents
     ),

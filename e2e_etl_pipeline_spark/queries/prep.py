@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table, read_events_stream
+from e2e_etl_pipeline_spark.functions import textstats as ts
 from e2e_etl_pipeline_spark.operators.ranks import (
     distributed_cumsum,
     distributed_ntile,
@@ -1722,11 +1723,10 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_sft_split",
-    oracle="""
+    oracle=f"""
     WITH w AS (
       SELECT doc_id,
-             list_filter(regexp_split_to_array(coalesce(text, ''),
-                         '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '') AS ws
+             {ts.words_sql("coalesce(text, '')")} AS ws
       FROM documents
     ),
     k AS (
