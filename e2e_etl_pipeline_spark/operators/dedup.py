@@ -379,7 +379,15 @@ def token_jaccard_pairs(
     Jaccard values are exact. What's lost is only pairs whose entire overlap
     is ultra-common tokens, which cannot be high-Jaccard pairs unless their
     sets are tiny. None = no cutoff (exact all-pairs semantics)."""
-    toks = df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(_words(text_col))).alias("token"))
+    # .distinct() mirrors the oracle's SELECT DISTINCT (id, token): a
+    # DUPLICATED document row (the pk fuzz variant; a regenerated table
+    # could carry one) would otherwise double its set_size and
+    # intersection counts engine-side only. array_distinct dedups within
+    # a row; this dedups across rows of the same id.
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_words(text_col))).alias("token"),
+    ).distinct()
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     if max_df is None:
         a = toks.alias("a")

@@ -277,7 +277,7 @@ def q_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DuckDB window ORDER BY to NULLS LAST — one NULL ts would flip the
     # survivor between engines.
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_last(), "event_id"
+        F.col("ts").asc_nulls_last(), F.asc_nulls_last("event_id")
     )
     return (
         e.withColumn("rn", F.row_number().over(w))

@@ -174,7 +174,7 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        F.asc_nulls_last(F.md5(F.col("doc_id").cast("string"))), F.asc_nulls_last("doc_id")
     )
     return (
         d.select("doc_id", "lang")
@@ -227,7 +227,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appears once and ReuseExchange serves both join inputs.
     tok = _tokens(spark, sf_dir)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # count("doc_id"), not count(*): SQL count(DISTINCT doc_id) ignores a
+    # NULL doc_id, so the NULL-id tf row must not inflate df (pk variant).
+    df = tf.groupBy("token").agg(F.count(F.col("doc_id")).alias("df"))
     n_docs = (
         load_table(spark, sf_dir, "documents")
         .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -401,7 +403,7 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     w_lang = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        F.asc_nulls_last(F.md5(F.col("doc_id").cast("string"))), F.asc_nulls_last("doc_id")
     )
     return (
         clean.select("doc_id", "lang", "quality", "n_tokens")
@@ -1388,10 +1390,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.floor(F.col("score") * F.lit(1e4)).cast("bigint").alias("bm25_q4"),
         )
-        .orderBy(F.desc("bm25_q4"), F.asc("doc_id"))
+        .orderBy(F.desc("bm25_q4"), F.asc_nulls_last("doc_id"))
         .limit(20)
     )
-    w = Window.orderBy(F.desc("bm25_q4"), F.asc("doc_id"))
+    w = Window.orderBy(F.desc("bm25_q4"), F.asc_nulls_last("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
 
 

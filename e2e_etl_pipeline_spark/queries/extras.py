@@ -509,7 +509,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("gram"),
-    )
+    ).distinct()  # dedup across DUPLICATED doc rows too (oracle DISTINCT)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = grams.alias("a")
     b = grams.alias("b")

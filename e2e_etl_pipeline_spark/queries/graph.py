@@ -57,7 +57,7 @@ def _transition_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (the round-3 windows.py/aggregates.py fix, applied here too)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     return ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")

@@ -200,9 +200,11 @@ def q_dup_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bits=128) of the gram, which shrinks shuffle bytes ~4× with the same
     plan shape."""
     d = load_table(spark, sf_dir, "documents")
+    # .distinct() = the oracle's SELECT DISTINCT (doc, source, gram): a
+    # duplicated doc row must not self-flag its document (pk variant).
     grams = d.select(
         "doc_id", "source", F.explode(dd.word_shingles("text", 8)).alias("gram")
-    )
+    ).distinct()
     dup = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -498,7 +500,12 @@ def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driven here by exact-duplicate pairs so DuckDB can state the expected
     survivor set directly; the same operator consumes MinHash/SimHash pair
     sets unchanged (covered in tests/test_llm_ops.py)."""
-    d = load_table(spark, sf_dir, "documents")
+    # NULL-id docs are outside identity-keyed dedup (the oracle's
+    # min(doc_id)-then-join drops them implicitly; the engine must too —
+    # pk variant) — same contract as q_dedup_cluster_cc's node set.
+    d = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     # Pair-gen joins on the 8-byte xxhash64 digest, not the document body:
     # the shuffle exchange is then keyed (hashed, sorted, compared) on a
     # long instead of full text — the design note in operators/dedup.py. The

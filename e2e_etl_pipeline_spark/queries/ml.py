@@ -115,7 +115,7 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x).alias("sq"),
     )
-    w = Window.partitionBy("vec_id").orderBy("sq", "cid")
+    w = Window.partitionBy("vec_id").orderBy(F.asc_nulls_last("sq"), "cid")
     assigned = (
         dists.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)

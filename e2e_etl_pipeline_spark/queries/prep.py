@@ -505,7 +505,7 @@ def q_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("lang")
-        .orderBy("doc_id")
+        .orderBy(F.asc_nulls_last("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = toks.withColumn(

@@ -547,7 +547,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # default, so a NULL ts in regenerated testdata cannot diverge session
     # boundaries (the round-3 windows.py fix, applied family-wide).
     w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     lagged = ev.withColumn(
         "is_new",
@@ -565,7 +565,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     w_sess = Window.partitionBy("user_id", "session_no").orderBy(
-        F.asc_nulls_last("ts"), "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     touched = islands.withColumn(
         "first_touch", F.first("event_type").over(w_sess)
@@ -661,7 +661,7 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
@@ -720,7 +720,7 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than dividing by zero."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     t = F.col("ts").cast("long")
     s = ev.select(
@@ -917,7 +917,7 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_prev = (
         Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
+        .orderBy(F.asc_nulls_last("s"), F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     flagged = iv.select(
@@ -1456,7 +1456,7 @@ def q_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_local = (
         Window.partitionBy("day")
-        .orderBy(F.col("t"), F.col("d").desc(), F.col("event_id"))
+        .orderBy(F.asc_nulls_last("t"), F.col("d").desc(), F.asc_nulls_last("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = deltas.select(
@@ -1512,7 +1512,7 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique total order."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     seq = ev.select(
         F.lag("event_type", 2).over(w).alias("e1"),
@@ -1861,7 +1861,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group inherits a non-NULL lag and joins the previous session, so an
     # unpinned tie order made that session's n_event_types nondeterministic.
     w = Window.partitionBy("user_id").orderBy(
-        F.asc_nulls_last("ts"), "event_id"
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
     )
     gap = F.floor(F.col("ts").cast("double")) - F.floor(
         F.lag("ts").over(w).cast("double")

@@ -96,7 +96,7 @@ def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULLS LAST pinned (Spark ASC default is NULLS FIRST, DuckDB's window
     # default NULLS LAST — one NULL ts would shift every neighbor pair)
     w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc_nulls_last(), "event_id"
+        F.col("ts").asc_nulls_last(), F.asc_nulls_last("event_id")
     )
     prev_ts = F.lag("ts").over(w)
     return e.select(
@@ -156,7 +156,7 @@ def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), F.asc_nulls_last("event_id"))
         .rowsBetween(-2, 0)
     )
     # Exact-DECIMAL frame sum / count instead of avg(double): DuckDB

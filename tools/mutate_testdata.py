@@ -56,7 +56,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound] [src] [dst]
+    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -75,6 +75,36 @@ import duckdb
 
 # variant -> {table_file: REPLACE clause}
 MUTATIONS: dict[str, dict[str, str]] = {
+    # Variant "pk" (round-7 review class): the battery never violated
+    # primary-key integrity, yet the driver has changed table shapes
+    # between rounds — NULL ids and duplicated rows probe NULL-equality
+    # joins (NULL = NULL is UNKNOWN, so annotations must drop, not fan
+    # out), rn=1 survivor picks whose tiebreak is the id itself, and
+    # count parity when the same id appears twice.
+    "pk": {
+        "events.parquet": """SELECT * FROM (
+            SELECT * REPLACE (
+              CASE WHEN event_id % 149 = 0 THEN NULL ELSE event_id END
+                AS event_id)
+            FROM src_table
+            UNION ALL
+            SELECT * FROM src_table WHERE event_id % 101 = 0
+        )""",
+        "documents.parquet": """SELECT * FROM (
+            SELECT * REPLACE (
+              CASE WHEN doc_id % 97 = 0 THEN NULL ELSE doc_id END AS doc_id)
+            FROM src_table
+            UNION ALL
+            SELECT * FROM src_table WHERE doc_id % 83 = 0
+        )""",
+        "embeddings.parquet": """SELECT * FROM (
+            SELECT * REPLACE (
+              CASE WHEN vec_id % 91 = 0 THEN NULL ELSE vec_id END AS vec_id)
+            FROM src_table
+            UNION ALL
+            SELECT * FROM src_table WHERE vec_id % 73 = 0
+        )""",
+    },
     "whitespace": {
         "documents.parquet": """* REPLACE (
             CASE doc_id % 7
