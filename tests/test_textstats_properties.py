@@ -88,3 +88,44 @@ def test_dedup_primitives_are_total_on_short_text(spark, texts):
     assert sum(per_doc.values()) == 8 * n_shingled
     fps = dd.simhash_fingerprints(df, "doc_id", "text").collect()
     assert len(fps) <= len(texts)
+
+
+def test_every_oracle_tokenizer_matches_the_canonical_class():
+    """Drift lock (round-7 review): ~30 oracles still carry the
+    whitespace-split fragment verbatim rather than interpolating
+    textstats.words_sql. Any copy whose character class or empty-token
+    filter drifts from the canonical rendering would silently split
+    Spark/DuckDB parity — so every regexp_split_to_array occurrence in a
+    registered oracle must use exactly the canonical class, and the
+    engine-side words() regex must equal it too."""
+    import re
+
+    from e2e_etl_pipeline_spark.functions import textstats as ts
+    from e2e_etl_pipeline_spark.registry import ORACLES, load_all
+
+    load_all()
+    canonical_class = r"[ \t\n\x0B\f\r]+"
+    # words_sql renders the canonical class (single point of truth)
+    assert canonical_class in ts.words_sql("text")
+    hits = 0
+    for key, sql in ORACLES.items():
+        for m in re.finditer(r"regexp_split_to_array", sql):
+            hits += 1
+            # the split's pattern argument (a quoted literal) must be the
+            # canonical class within this call's argument window
+            window = sql[m.start() : m.start() + 160]
+            assert "'[ \\t\\n\\x0B\\f\\r]+'" in window, (
+                f"{key}: split without the canonical whitespace class "
+                f"nearby — use textstats.words_sql ({window[:80]!r})"
+            )
+        # every split must also drop empty tokens — either inline
+        # (list_filter(... , w -> w <> '')) or via a downstream
+        # WHERE token <> '' (the shared Jaccard CTE's spelling)
+        if "regexp_split_to_array" in sql:
+            assert re.search(
+                r"list_filter\(\s*regexp_split_to_array", sql
+            ) or "<> ''" in sql, (
+                f"{key}: split without any empty-token filter — a doubled "
+                "space would mint empty tokens"
+            )
+    assert hits >= 25, f"expected the fragment across the registry, saw {hits}"
