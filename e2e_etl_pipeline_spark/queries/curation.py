@@ -512,3 +512,78 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_final"),
     )
+
+
+@register(
+    "q_dataset_card",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, source, text, n_chars,
+             CAST(len({ts.words_sql("coalesce(text, '')")}) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT
+      CAST(count(*) AS BIGINT)                           AS n_docs,
+      CAST(sum(n_tokens) AS BIGINT)                      AS n_tokens,
+      CAST(count(DISTINCT lang) AS BIGINT)               AS n_langs,
+      CAST(count(DISTINCT source) AS BIGINT)             AS n_sources,
+      CAST(sum(CASE WHEN n_tokens = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                         AS n_empty,
+      CAST(count(*) - count(DISTINCT text) AS BIGINT)    AS n_exact_dups,
+      {stable_round_sql(
+          "CAST(sum(n_tokens) AS DOUBLE) / nullif(count(*), 0)", 4
+      )} AS avg_tokens,
+      {stable_round_sql(
+          "CAST(count(*) - count(DISTINCT text) AS DOUBLE)"
+          " / nullif(count(*), 0)", 4
+      )} AS dup_ratio
+    FROM w
+    """,
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the summary block a dataset release
+    publishes (docs, total/average tokens, language and source spread,
+    empty-doc and exact-duplicate counts, duplicate ratio). Each number
+    is independently available from other keys; the card's value is ONE
+    scan producing the whole block (count, sum, conditional sum, and two
+    count-distincts share a single aggregate).
+
+    Cross-engine exactness: counts are integers; count(DISTINCT text)
+    ignores NULL text in SQL, so the engine counts distinct xxhash64
+    digests guarded by isNotNull (the q_source_stats rule; collision
+    bound as q_dup_cluster_sizes); ratios divide the same integers and
+    stable-round, with nullif guarding the empty corpus.
+
+    Scale: text dedup counting shuffles 8-byte digests, never bodies;
+    everything else is map-side partial aggregation into one row."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(ts.words(F.coalesce(F.col("text"), F.lit("")))).cast(
+        "long"
+    )
+    w = d.select(
+        "lang",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+    )
+    n = F.count(F.lit(1))
+    n_distinct_text = F.countDistinct(
+        F.when(F.col("text").isNotNull(), F.xxhash64("text"))
+    )
+    return w.agg(
+        n.cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.sum(F.when(F.col("n_tokens") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_empty"),
+        (n - n_distinct_text).cast("long").alias("n_exact_dups"),
+        stable_round(
+            F.sum("n_tokens").cast("double") / F.nullif(n, F.lit(0)), 4
+        ).alias("avg_tokens"),
+        stable_round(
+            (n - n_distinct_text).cast("double") / F.nullif(n, F.lit(0)), 4
+        ).alias("dup_ratio"),
+    )
