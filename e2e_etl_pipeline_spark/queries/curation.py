@@ -587,3 +587,79 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n - n_distinct_text).cast("double") / F.nullif(n, F.lit(0)), 4
         ).alias("dup_ratio"),
     )
+
+
+@register(
+    "q_text_char_entropy",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+                    i -> substr(text, CAST(i AS INTEGER), 3))) AS gram
+      FROM documents WHERE length(text) >= 3
+    ),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    t AS (
+      SELECT doc_id, cnt,
+             sum(cnt) OVER (PARTITION BY doc_id) AS total
+      FROM c
+    ),
+    e AS (
+      SELECT doc_id,
+             CAST(max(total) AS BIGINT) AS n_trigrams,
+             -- + 0.0: a single-repeated-trigram doc yields -0.0 under
+             -- DuckDB's sign-preserving round (negative-zero hash rule)
+             round(-sum((CAST(cnt AS DOUBLE) / total)
+                        * log2(CAST(cnt AS DOUBLE) / total)), 4) + 0.0
+               AS entropy_bits
+      FROM t GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(e.n_trigrams, 0) AS n_trigrams,
+           e.entropy_bits
+    FROM documents d LEFT JOIN e USING (doc_id)
+    """,
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-trigram Shannon entropy (bits) — the
+    compression-ratio-style quality signal corpus filters threshold on
+    (Gopher-family heuristics): near-zero bits means a repetition loop,
+    high bits means diverse text; random bytes score near the uniform
+    bound. Documents shorter than 3 chars (or NULL) report 0 trigrams
+    and NULL entropy on both sides.
+
+    Cross-engine exactness: the q_entropy pattern — probabilities are
+    ratios of exact integers, terms sum per document over bounded type
+    counts, round(4) swallows last-bit FP accumulation-order noise, and
+    the + 0.0 kills DuckDB's sign-preserving -0.0 on single-trigram docs.
+    The trigram construction mirrors q_dedup_ngram's sequence guard (a
+    <3-char doc must not trip sequence's negative-step default).
+
+    Scale: text reduces to (doc, gram, cnt) in one partial-agg'd shuffle;
+    the per-doc total rides a window over that reduced frame on the same
+    key, and the entropy aggregate sees |distinct trigrams| rows per doc
+    — bodies never move twice."""
+    d = load_table(spark, sf_dir, "documents")
+    raw_grams = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.substring(F.col("text"), i, F.lit(3)),
+    )
+    grams = d.where(F.length("text") >= 3).select(
+        "doc_id", F.explode(raw_grams).alias("gram")
+    )
+    c = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id")
+    t = c.withColumn("total", F.sum("cnt").over(w))
+    p = F.col("cnt").cast("double") / F.col("total")
+    e = t.groupBy("doc_id").agg(
+        F.max("total").cast("bigint").alias("n_trigrams"),
+        (F.round(-F.sum(p * F.log2(p)), 4) + F.lit(0.0)).alias(
+            "entropy_bits"
+        ),
+    )
+    return d.select("doc_id").join(e, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_trigrams"), F.lit(0).cast("bigint")).alias(
+            "n_trigrams"
+        ),
+        "entropy_bits",
+    )
