@@ -663,3 +663,96 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "entropy_bits",
     )
+
+
+@register(
+    "q_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({ts.words_sql("coalesce(text, '')")}) AS token
+      FROM documents
+    ),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    ranked AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM counts
+    ),
+    q AS (
+      -- ln() quantized to DECIMAL(18,9) BEFORE summing: the sums are then
+      -- exact and order-independent; a last-ulp libm difference between
+      -- java Math.log and C log can flip at most the 9th decimal of one
+      -- term, perturbing the slope ~1e-13 — far inside the 4dp round.
+      SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+             CAST(ln(CAST(cnt AS DOUBLE)) AS DECIMAL(18,9)) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS n,
+             CAST(sum(x) AS DOUBLE)     AS sx,
+             CAST(sum(y) AS DOUBLE)     AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           {stable_round_sql(
+               "(CAST(n AS DOUBLE) * sxy - sx * sy)"
+               " / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)", 4
+           )} AS zipf_slope,
+           {stable_round_sql(
+               "(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)"
+               " / nullif(CAST(n AS DOUBLE) * sxx - sx * sx, 0.0)) * sx)"
+               " / nullif(CAST(n AS DOUBLE), 0.0)", 4
+           )} AS intercept
+    FROM s
+    """,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus token distribution: OLS slope of
+    ln(count) against ln(rank) over the full vocabulary — the classic
+    corpus-health diagnostic (natural language sits near -1; a scrape
+    loop or template farm bends the tail). Single-row output with the
+    fitted intercept.
+
+    Cross-engine exactness: the q_regression_ols discipline applied to
+    logs — each ln() value quantizes to DECIMAL(18,9), the sufficient
+    statistics sum EXACTLY (partition-order-independent), then one
+    identical closed-form double expression per engine, stable-rounded;
+    nullif guards the degenerate one-token vocabulary.
+
+    Scale: counts are a partial-agg'd token shuffle; the global rank runs
+    over the VOCABULARY (bounded, ~10^5-10^6 at web scale — the same
+    vocabulary-sized single partition q_vocab_topk documents), and the
+    regression reduces to one 5-number aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(ts.words(F.coalesce(F.col("text"), F.lit("")))).alias(
+            "token"
+        )
+    )
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.select(
+        "cnt", F.row_number().over(w).alias("rnk")
+    )
+    x = F.log(F.col("rnk").cast("double")).cast("decimal(18,9)")
+    y = F.log(F.col("cnt").cast("double")).cast("decimal(18,9)")
+    s = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.nullif(nd * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    slope = num / den
+    return s.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        stable_round(slope, 4).alias("zipf_slope"),
+        stable_round(
+            (F.col("sy") - slope * F.col("sx")) / F.nullif(nd, F.lit(0.0)), 4
+        ).alias("intercept"),
+    )
