@@ -1003,3 +1003,143 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("cum") * 2 >= F.col("tot"), F.col("l_extendedprice"))
         ).alias("weighted_median_price"),
     )
+
+
+@register(
+    "q_agg_geometric_mean",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_suppkey,
+             CAST(ln(CAST(l_extendedprice AS DOUBLE)) AS DECIMAL(18,9)) AS lx
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {stable_round_sql(
+               "exp(CAST(sum(lx) AS DOUBLE) / count(*))", 4
+           )} AS geo_mean_price
+    FROM q GROUP BY l_suppkey
+    """,
+)
+def q_agg_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean of extended price per supplier — the multiplicative
+    average skew-heavy money data wants (exp of the mean log). Rows with
+    non-positive or NULL price are excluded by contract on both sides
+    (ln is undefined there; ANSI Spark would raise).
+
+    Cross-engine exactness: the q_zipf_slope discipline — ln() quantizes
+    to DECIMAL(18,9) so the per-group sums are exact and
+    partition-order-independent; one identical exp/div expression per
+    engine, stable-rounded at 4dp.
+
+    Scale: a single partial-agg'd groupBy on the supplier key; the log
+    runs inside the scan projection."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull() & (F.col("l_extendedprice") > 0)
+    )
+    lx = F.log(F.col("l_extendedprice").cast("double")).cast("decimal(18,9)")
+    return (
+        li.select("l_suppkey", lx.alias("lx"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            stable_round(
+                F.exp(F.sum("lx").cast("double") / F.count(F.lit(1))), 4
+            ).alias("geo_mean_price"),
+        )
+    )
+
+
+@register(
+    "q_chi2_independence",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type, user_id % 2 AS cohort, count(*) AS o
+      FROM events
+      WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.event_type, o.cohort, o.o,
+             sum(o.o) OVER (PARTITION BY o.event_type) AS row_total,
+             sum(o.o) OVER (PARTITION BY o.cohort)     AS col_total,
+             sum(o.o) OVER ()                          AS grand
+      FROM obs o
+    ),
+    cells AS (
+      SELECT CAST(o AS DOUBLE) AS od,
+             CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+               / CAST(grand AS DOUBLE) AS e,
+             row_total, col_total
+      FROM margins
+    ),
+    agg AS (
+      SELECT sum((od - e) * (od - e) / e)           AS chi2,
+             count(*)                               AS n_cells,
+             count(DISTINCT row_total)              AS _r_dummy
+      FROM cells
+    ),
+    dims AS (
+      SELECT count(DISTINCT event_type) AS r, count(DISTINCT cohort) AS c
+      FROM obs
+    )
+    SELECT CAST((SELECT r FROM dims) AS BIGINT)                  AS n_rows_dim,
+           CAST((SELECT c FROM dims) AS BIGINT)                  AS n_cols_dim,
+           CAST(((SELECT r FROM dims) - 1)
+                * ((SELECT c FROM dims) - 1) AS BIGINT)          AS dof,
+           {stable_round_sql("(SELECT chi2 FROM agg)", 4)}       AS chi2
+    """,
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and the
+    even/odd user cohort (the q_abtest cohort split): the contingency
+    statistic an experimentation pipeline computes before trusting a
+    segmentation. Emits the statistic and degrees of freedom; the
+    caller compares against the critical value for its alpha.
+
+    Cross-engine exactness: observed counts and margins are exact
+    integers; each cell's (O-E)²/E derives from the SAME integers in the
+    same expression shape, and the ≤ |types|·2 cell terms sum well inside
+    the 4dp round (the q_entropy bounded-term rule). NULL user/type rows
+    are excluded by contract on both sides.
+
+    Scale: one partial-agg'd groupBy to the contingency cells
+    (|types|×2 rows), margins via windows over that tiny frame, one
+    closed-form aggregate — the fact table is read once."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    obs = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("cohort")
+    w_g = Window.partitionBy()
+    m = obs.select(
+        "event_type",
+        "cohort",
+        "o",
+        F.sum("o").over(w_r).alias("row_total"),
+        F.sum("o").over(w_c).alias("col_total"),
+        F.sum("o").over(w_g).alias("grand"),
+    )
+    od = F.col("o").cast("double")
+    e = (
+        F.col("row_total").cast("double")
+        * F.col("col_total").cast("double")
+        / F.col("grand").cast("double")
+    )
+    agg = m.agg(
+        F.sum((od - e) * (od - e) / e).alias("chi2"),
+        F.countDistinct("event_type").cast("long").alias("n_rows_dim"),
+        F.countDistinct("cohort").cast("long").alias("n_cols_dim"),
+    )
+    return agg.select(
+        "n_rows_dim",
+        "n_cols_dim",
+        ((F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1))
+        .cast("long")
+        .alias("dof"),
+        stable_round(F.col("chi2"), 4).alias("chi2"),
+    )
