@@ -204,31 +204,102 @@ def q_layout_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
 
 
-@register(
-    "q_offers_pipeline",
-    oracle="""
-    SELECT
+# --- q_offers_pipeline + driver probes -------------------------------------
+#
+# The synthetic-HTML offers pipeline renders part rows into the reference's
+# jjit DOM contract, parses them back (pipeline/offers.py), and hash-verifies
+# every typed field against an oracle that re-derives it algebraically from
+# part. Hardening (round 8, VERDICT task 2): p_name is sanitized with the
+# ORACLE'S OWN whitelist expression BEFORE it is embedded in HTML, so the
+# rendered document can never contain markup-active characters (& < > ' ")
+# — html.parser's entity decoding / tag recovery therefore cannot diverge
+# from the oracle's regex-on-raw-string view no matter what characters a
+# regenerated p_name carries. clean_position (the parse path's cleaner) is
+# idempotent on already-sanitized text, so the composite's output is
+# algebraically sanitize(p_name) on both sides. All part payload columns are
+# NULL-proofed with mirrored coalesce (a NULL format_string argument would
+# otherwise silently DROP the <li> engine-side while the oracle keeps the
+# row). The four q_offers_probe_* keys are single-field variants that let
+# the DRIVER bisect any residual divergence: rawhtml red = the HTML build
+# itself differs; idx/position/salary red names the diverging parsed field.
+
+# Oracle-side sanitize: IDENTICAL semantics to functions/text.clean_position
+# (whitelist [A-Za-z0-9 .,()-], collapse space runs, trim).
+_PNAME_SQL = (
+    "trim(regexp_replace(regexp_replace(coalesce(p_name, ''),"
+    " '[^A-Za-z0-9 .,()-]', '', 'g'), ' {2,}', ' ', 'g'))"
+)
+# floor(abs(x) + 0.5): the IDENTICAL expression the engine uses to build
+# the HTML salary ints (round() is a different function and diverges on FP
+# half-boundaries — the r6 driver-fail class; abs keeps the synthetic
+# salary non-negative so the reference's sign-less salary regex round-trips
+# it under ANY regeneration). CAST AS DOUBLE pins IEEE semantics even if a
+# regeneration turns p_retailprice DECIMAL; coalesce(…, 0.0) keeps a NULL
+# price from dropping the rendered <li>.
+_SALARY_SQL = "floor(abs(coalesce(CAST(p_retailprice AS DOUBLE), 0.0)) + 0.5)"
+_OFFERS_ORACLE_FIELDS = f"""
       CAST(p_partkey % 4 AS BIGINT) AS doc_id,
       'jjit'                        AS site,
       CAST(p_partkey AS INTEGER)    AS offer_idx,
-      trim(regexp_replace(regexp_replace(p_name,
-             '[^A-Za-z0-9 .,()-]', '', 'g'), ' {2,}', ' ', 'g'))
-                                    AS position,
+      {_PNAME_SQL}                  AS position,
       ''                            AS company_name,
-      -- floor(abs(x) + 0.5): the IDENTICAL expression the engine uses to
-      -- build the HTML salary ints (round() is a different function and
-      -- diverges on FP half-boundaries — the r6 driver-fail class; abs
-      -- keeps the synthetic salary non-negative so the reference's
-      -- sign-less salary regex round-trips it under ANY regeneration)
-      -- CAST AS DOUBLE pins IEEE semantics even if a regeneration turns
-      -- p_retailprice DECIMAL (DuckDB would otherwise evaluate the +0.5
-      -- in exact decimal while Spark promotes to double — review find)
-      CAST(floor(abs(CAST(p_retailprice AS DOUBLE)) + 0.5)
-           AS DECIMAL(12,2))                                        AS minimum,
-      CAST(floor(abs(CAST(p_retailprice AS DOUBLE)) + 0.5) + 100
-           AS DECIMAL(12,2))                                        AS maximum,
+      TRY_CAST({_SALARY_SQL} AS DECIMAL(12,2))       AS minimum,
+      TRY_CAST({_SALARY_SQL} + 100 AS DECIMAL(12,2)) AS maximum,
       'PLN'                         AS currency,
-      'month'                       AS pay_period
+      'month'                       AS pay_period"""
+
+
+def _offers_pname() -> F.Column:
+    """Engine-side p_name sanitize: clean_position over coalesce — the same
+    whitelist/collapse/trim algebra as _PNAME_SQL, applied BEFORE embedding
+    so the HTML is markup-inert by construction."""
+    from e2e_etl_pipeline_spark.functions.text import clean_position
+
+    return clean_position(F.coalesce(F.col("p_name"), F.lit("")))
+
+
+def _offers_salary() -> F.Column:
+    return F.floor(
+        F.abs(F.coalesce(F.col("p_retailprice").cast("double"), F.lit(0.0)))
+        + F.lit(0.5)
+    ).cast("long")
+
+
+def _offers_li() -> F.Column:
+    """One rendered <li> per part row (the reference's jjit DOM contract,
+    DataTransform/transform_data.py:91-107)."""
+    return F.format_string(
+        '<li data-index="%d"><h3>%s</h3><h6><span>%d</span><span>%d</span>'
+        "<span>PLN/month</span></h6></li>",
+        F.col("p_partkey"),
+        _offers_pname(),
+        _offers_salary(),
+        _offers_salary() + F.lit(100),
+    )
+
+
+def _offers_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → synthetic jjit HTML docs → mapInPandas DOM parse → typed
+    offers. Shared by the composite key and all four driver probes so a
+    probe verdict speaks for the exact same plan."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    jjit_html = F.concat(
+        F.lit("<ul>"),
+        F.concat_ws("", F.collect_list(_offers_li())),
+        F.lit("</ul>"),
+    )
+    docs = (
+        p.groupBy((F.col("p_partkey") % 4).alias("doc_id"))
+        .agg(jjit_html.alias("html"))
+        .select("doc_id", F.lit("jjit").alias("site"), "html")
+    )
+    return parse_offers(docs)
+
+
+@register(
+    "q_offers_pipeline",
+    oracle=f"""
+    SELECT{_OFFERS_ORACLE_FIELDS}
     FROM part WHERE p_partkey < 100
     """,
 )
@@ -238,52 +309,118 @@ def q_offers_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas DOM parse → codegen'd clean + salary parse → typed offers.
     Golden-file correctness lives in tests/test_pipeline.py.
 
-    Upgraded from rows-only: every parsed field is an algebraic function
-    of the part row that built its HTML (offer_idx is the data-index
-    attribute = p_partkey, salaries are the formatted round(price) ints,
-    the en-dash span join pins currency/period) — so the oracle
-    re-derives the typed offers directly from part and hash-verifies the
-    whole DOM-walk + clean + salary-parse path end-to-end."""
-    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
-    jjit_html = F.concat(
-        F.lit("<ul>"),
-        F.concat_ws(
-            "",
-            F.collect_list(
-                F.format_string(
-                    '<li data-index="%d"><h3>%s</h3><h6><span>%d</span><span>%d</span>'
-                    "<span>PLN/month</span></h6></li>",
-                    F.col("p_partkey"),
-                    F.col("p_name"),
-                    # floor(abs(double(x)) + 0.5) — the SAME expression the
-                    # oracle uses, so engine and oracle agree by
-                    # construction even on FP half-boundary prices (round()
-                    # is a different function and diverges there: r6 driver
-                    # hash-fail suspect class). The explicit double cast
-                    # pins IEEE arithmetic even if a regeneration turns the
-                    # column DECIMAL; abs keeps the rendered salary
-                    # non-negative so the sign-less salary regex
-                    # round-trips it under any regeneration.
-                    F.floor(
-                        F.abs(F.col("p_retailprice").cast("double")) + F.lit(0.5)
-                    ).cast("int"),
-                    (
-                        F.floor(
-                            F.abs(F.col("p_retailprice").cast("double"))
-                            + F.lit(0.5)
-                        )
-                        + 100
-                    ).cast("int"),
-                )
-            ),
-        ),
-        F.lit("</ul>"),
+    Every parsed field is an algebraic function of the part row that built
+    its HTML (offer_idx is the data-index attribute = p_partkey, salaries
+    are the formatted floor(abs(price)+0.5) ints, the en-dash span join
+    pins currency/period) — so the oracle re-derives the typed offers
+    directly from part and hash-verifies the whole DOM-walk + clean +
+    salary-parse path end-to-end. p_name is sanitized before embedding
+    (see block comment above) making the parse content-proof."""
+    return _offers_parsed(spark, sf_dir).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_offers_probe_idx",
+    oracle="""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      'jjit'                        AS site,
+      CAST(p_partkey AS INTEGER)    AS offer_idx
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_offers_probe_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver probe 1/4 for the q_offers_pipeline bisect (VERDICT r7 task
+    1): structural fields only — doc routing and the data-index attribute.
+    Red here = the DOM walk loses/renumbers offers."""
+    return _offers_parsed(spark, sf_dir).select(
+        "doc_id", "site", "offer_idx"
+    ).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_offers_probe_position",
+    oracle=f"""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      CAST(p_partkey AS INTEGER)    AS offer_idx,
+      {_PNAME_SQL}                  AS position
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_offers_probe_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver probe 2/4: the parsed+cleaned position text alone. Red here =
+    the h3 text path (entity decode / clean_position vs oracle regex)
+    diverges on the driver's part content."""
+    return _offers_parsed(spark, sf_dir).select(
+        "doc_id", "offer_idx", "position"
+    ).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_offers_probe_salary",
+    oracle=f"""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      CAST(p_partkey AS INTEGER)    AS offer_idx,
+      TRY_CAST({_SALARY_SQL} AS DECIMAL(12,2))       AS minimum,
+      TRY_CAST({_SALARY_SQL} + 100 AS DECIMAL(12,2)) AS maximum,
+      'PLN'                         AS currency,
+      'month'                       AS pay_period
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_offers_probe_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver probe 3/4: the salary-span parse alone (span join → en-dash
+    split → number regex → DECIMAL cast). Red here = the numeric render or
+    parse_salary path diverges on the driver's prices."""
+    return _offers_parsed(spark, sf_dir).select(
+        "doc_id", "offer_idx", "minimum", "maximum", "currency", "pay_period"
+    ).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_offers_probe_rawhtml",
+    oracle=f"""
+    WITH li AS (
+      SELECT
+        CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+        p_partkey,
+        '<li data-index="' || CAST(p_partkey AS VARCHAR) || '"><h3>'
+          || {_PNAME_SQL} || '</h3><h6><span>'
+          || CAST(CAST({_SALARY_SQL} AS BIGINT) AS VARCHAR)
+          || '</span><span>'
+          || CAST(CAST({_SALARY_SQL} + 100 AS BIGINT) AS VARCHAR)
+          || '</span><span>PLN/month</span></h6></li>' AS item
+      FROM part WHERE p_partkey < 100
     )
-    docs = p.groupBy((F.col("p_partkey") % 4).alias("doc_id")).agg(
-        jjit_html.alias("html")
-    ).select("doc_id", F.lit("jjit").alias("site"), "html")
-    offers = parse_offers(docs)
-    return offers.orderBy("doc_id", "offer_idx")
+    SELECT doc_id,
+           '<ul>' || string_agg(item, '' ORDER BY p_partkey) || '</ul>'
+             AS html
+    FROM li GROUP BY doc_id
+    """,
+)
+def q_offers_probe_rawhtml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver probe 4/4: the synthetic HTML document text ITSELF, before any
+    parsing, with a pinned p_partkey item order (the composite's collect_list
+    order is free because per-<li> parsing is order-independent; a full-text
+    compare is not). Red here = the HTML BUILD diverges (format_string vs SQL
+    concat, sanitize expression mismatch); green here + red parse probes =
+    the divergence is inside the DOM walk."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
+    items = p.groupBy((F.col("p_partkey") % 4).alias("doc_id")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("p_partkey").alias("k"), _offers_li().alias("s")))
+        ).alias("arr")
+    )
+    return items.select(
+        "doc_id",
+        F.concat(
+            F.lit("<ul>"),
+            F.concat_ws("", F.transform("arr", lambda x: x["s"])),
+            F.lit("</ul>"),
+        ).alias("html"),
+    ).orderBy("doc_id")
 
 
 @register(

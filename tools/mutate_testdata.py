@@ -56,7 +56,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound] [src] [dst]
+    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound|markup] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -292,6 +292,29 @@ MUTATIONS: dict[str, dict[str, str]] = {
               WHEN 3 THEN floor(p_retailprice) + 0.5
               ELSE p_retailprice
             END AS p_retailprice)""",
+    },
+    # Markup-hostile part names (the q_offers_pipeline r6/r7 driver-fail
+    # suspect class): entities, tags, quotes and even a forged sibling
+    # <li data-index> injected into p_name. Pre-hardening these split the
+    # html.parser view (entity-decodes &amp;→&, swallows <tags>, the forged
+    # <li> spawns a phantom offer row) from the oracle's regex-on-raw-string
+    # view; post-hardening (round 8: p_name sanitized with the oracle's own
+    # whitelist BEFORE HTML embedding) the rendered document is markup-inert
+    # by construction and the variant must be bit-exact.
+    "markup": {
+        "part.parquet": """* REPLACE (
+            CASE p_partkey % 8
+              WHEN 0 THEN p_name || ' & <b>bold</b>'
+              WHEN 1 THEN 'Tom &amp; Jerry ' || p_name
+              WHEN 2 THEN p_name || ' &#65;&#x42; &nbsp;'
+              WHEN 3 THEN '<h3>' || p_name || '</h3>'
+              WHEN 4 THEN p_name || ' <span>999</span>'
+              WHEN 5 THEN '"' || p_name || ''' <li data-index="7">'
+              WHEN 6 THEN NULL
+              ELSE p_name
+            END AS p_name,
+            CASE WHEN p_partkey % 11 = 0 THEN NULL ELSE p_retailprice END
+              AS p_retailprice)""",
     },
     "ties": {
         # CAST AS TIMESTAMP: date_trunc yields DATE and to_timestamp
