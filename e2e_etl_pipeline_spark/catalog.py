@@ -60,7 +60,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     and glob-filter down to the events file. Schema comes from a batch read
     of the same footer (streams can't infer)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw_schema = _dataset_schema(spark, f"{sf_dir}/events.parquet")
     stream = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
@@ -70,17 +70,49 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(stream)
 
 
+# session -> {(path, mtime_ns, size) -> inferred Spark schema}. A bare
+# spark.read.parquet launches a 1-task schema-inference job PER CALL —
+# the registry's only construction-time jobs once the operators went lazy
+# (round-8). Caching the inference (keyed by file identity, so a
+# regenerated path re-infers) and passing it back via .schema() keeps the
+# semantics byte-identical to Spark's own inference while making repeat
+# loads job-free. Keyed per SESSION (weakly): inference honors session
+# confs (nanosAsLong, NTZ inference), so a cache shared across two
+# differently-configured sessions could leak one session's physical-type
+# view into the other.
+import weakref
+
+_SCHEMA_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _dataset_schema(spark: SparkSession, path: str):
+    import os
+
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    per_session = _SCHEMA_CACHE.setdefault(spark, {})
+    schema = per_session.get(key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        per_session[key] = schema
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one logical table. Columns/filters prune at the parquet scan.
 
     ``events`` gets its ts column normalized (see normalize_events_ts);
     ``nanosAsLong`` is set pre-read so the nanos variant of the testdata
     doesn't fail schema resolution ([PARQUET_TYPE_ILLEGAL])."""
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = spark.read.schema(_dataset_schema(spark, path)).parquet(path)
         return normalize_events_ts(df)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.schema(_dataset_schema(spark, path)).parquet(path)
 
 
 def inline_frame(spark: SparkSession, rows: list[dict], columns: list[str]) -> DataFrame:

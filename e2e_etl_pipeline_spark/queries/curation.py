@@ -127,7 +127,7 @@ SEMDEDUP_TAU = 0.4  # near-orthogonal synthetic corpus: same τ as q_dedup_embed
 # assignment → within-cluster above-τ victims), shared by
 # q_semdedup_prune and the curation capstone — one definition, every
 # consumer (the JACCARD_PAIRS_CTE discipline).
-SEMDEDUP_CTE = f"""emb AS (
+SEMDEDUP_CTE = f"""emb0 AS (
       -- NULL-element guard: Spark's zip_with/aggregate NULL-propagates
       -- while DuckDB's list_sum NULL-skips, so a vector containing a
       -- NULL element would get a NULL distance in one engine and a
@@ -136,6 +136,18 @@ SEMDEDUP_CTE = f"""emb AS (
       SELECT vec_id, embedding FROM embeddings
       WHERE embedding IS NOT NULL
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    dim AS (
+      -- Modal dimension (ties → smaller), pinned IN the contract: a
+      -- ragged-length vector would otherwise split the engines silently
+      -- (DuckDB list_sum skips the out-of-range NULL terms giving a
+      -- partial distance; Spark zip_with NULL-propagates) — round-7
+      -- advice. Off-dimension vectors are excluded on BOTH sides.
+      SELECT len(embedding) AS d FROM emb0
+      GROUP BY 1 ORDER BY count(*) DESC, d ASC LIMIT 1
+    ),
+    emb AS (
+      SELECT vec_id, embedding FROM emb0, dim WHERE len(embedding) = dim.d
     ),
     seeds AS (
       SELECT vec_id AS cid, embedding AS cv
@@ -179,15 +191,26 @@ def _semdedup_v_and_victims(spark: SparkSession, sf_dir: str):
     cluster-assigned corpus (cid, vec_id, embedding, nrm; materialized
     once via lazy localCheckpoint for its multiple consumers) and the
     distinct (cid, victim) above-τ pairs."""
-    # NULL-element guard mirroring the oracle's emb CTE (zip_with
-    # NULL-propagates vs list_sum NULL-skips — round-7 review). Vectors of
-    # a DIFFERENT length than the seeds remain out of contract, like the
-    # rest of the embedding family (the dims fuzz variant re-dimensions
-    # uniformly).
-    em = load_table(spark, sf_dir, "embeddings").where(
+    # NULL-element guard mirroring the oracle's emb0 CTE (zip_with
+    # NULL-propagates vs list_sum NULL-skips — round-7 review).
+    em0 = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
         & ~F.exists("embedding", lambda x: x.isNull())
     )
+    # Modal-dimension gate mirroring the oracle's dim CTE (round-7 advice:
+    # ragged lengths previously diverged silently instead of failing
+    # loudly). A 1-row broadcast join keeps query construction job-free —
+    # no collect of the scalar.
+    dim = (
+        em0.groupBy(F.size("embedding").alias("d"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("d"))
+        .limit(1)
+        .select("d")
+    )
+    em = em0.join(
+        F.broadcast(dim), F.size("embedding") == F.col("d")
+    ).select("vec_id", "embedding")
     seeds = em.where(F.col("vec_id") < K_SEEDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
@@ -211,15 +234,19 @@ def _semdedup_v_and_victims(spark: SparkSession, sf_dir: str):
         .select("vec_id", "cid")
     )
     # One corpus-sized relation feeds multiple consumers (both self-join
-    # sides and the per-cluster totals); without a checkpoint Spark
-    # re-runs the k×corpus assignment subtree per consumer (three corpus
-    # scans at 100 TB). Lazy localCheckpoint materializes it once at
-    # first action while keeping query CONSTRUCTION job-free (the
-    # round-6 advice rule).
+    # sides and the per-cluster totals); uncached, Spark re-runs the
+    # k×corpus assignment subtree per consumer (three corpus scans at
+    # 100 TB). persist(), not localCheckpoint: under AQE even a LAZY
+    # checkpoint materializes the upstream stages at .rdd-conversion time
+    # (round-8 find — construction triggered 5 jobs), while persist()
+    # builds the same materialize-once InMemoryRelation with zero
+    # construction jobs. v is deterministic under any partitioning (no
+    # sampled boundaries), so cache-recompute divergence — the one hazard
+    # checkpointing guards that persist doesn't — cannot occur here.
     v = (
         sim.with_vector_norm(assigned.join(em, "vec_id"))
         .select("cid", "vec_id", "embedding", F.col("norm").alias("nrm"))
-        .localCheckpoint(eager=False)
+        .persist()
     )
     a = v.select(
         F.col("cid"),
@@ -591,7 +618,7 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_text_char_entropy",
-    oracle="""
+    oracle=f"""
     WITH grams AS (
       SELECT doc_id,
              unnest(list_transform(range(1, length(text) - 1),
@@ -607,10 +634,12 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     e AS (
       SELECT doc_id,
              CAST(max(total) AS BIGINT) AS n_trigrams,
-             -- + 0.0: a single-repeated-trigram doc yields -0.0 under
-             -- DuckDB's sign-preserving round (negative-zero hash rule)
-             round(-sum((CAST(cnt AS DOUBLE) / total)
-                        * log2(CAST(cnt AS DOUBLE) / total)), 4) + 0.0
+             -- stable_round (repo doctrine): floor-form half-up is the
+             -- same IEEE op sequence in both engines AND never emits the
+             -- -0.0 a single-repeated-trigram doc would otherwise produce
+             {stable_round_sql(
+                 "-sum((CAST(cnt AS DOUBLE) / total)"
+                 " * log2(CAST(cnt AS DOUBLE) / total))", 4)}
                AS entropy_bits
       FROM t GROUP BY doc_id
     )
@@ -629,8 +658,10 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cross-engine exactness: the q_entropy pattern — probabilities are
     ratios of exact integers, terms sum per document over bounded type
-    counts, round(4) swallows last-bit FP accumulation-order noise, and
-    the + 0.0 kills DuckDB's sign-preserving -0.0 on single-trigram docs.
+    counts, and stable_round(4) swallows last-bit FP accumulation-order
+    noise with the SAME IEEE op sequence in both engines (its floor form
+    also never emits the -0.0 a single-repeated-trigram doc produces, so
+    no + 0.0 workaround is needed).
     The trigram construction mirrors q_dedup_ngram's sequence guard (a
     <3-char doc must not trip sequence's negative-step default).
 
@@ -652,9 +683,7 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.col("cnt").cast("double") / F.col("total")
     e = t.groupBy("doc_id").agg(
         F.max("total").cast("bigint").alias("n_trigrams"),
-        (F.round(-F.sum(p * F.log2(p)), 4) + F.lit(0.0)).alias(
-            "entropy_bits"
-        ),
+        stable_round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"),
     )
     return d.select("doc_id").join(e, "doc_id", "left").select(
         "doc_id",

@@ -562,8 +562,6 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums merge exactly and shard boundaries are bit-identical across any
     partitioning. NULL text coalesces to 0 tokens on both sides."""
     d = load_table(spark, sf_dir, "documents")
-    from e2e_etl_pipeline_spark.functions import textstats as ts
-
     # coalesce the TEXT, not the size: on an ANSI-off session (the
     # harness controls its own confs) size(NULL array) is -1, not NULL,
     # so a post-size coalesce never fires and a NULL-text doc would
@@ -1756,8 +1754,6 @@ def q_sft_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pure per-row array expressions inside the scan stage — no
     shuffle, no UDF; the same map-only class as q_text_readability."""
-    from e2e_etl_pipeline_spark.functions import textstats as ts
-
     d = load_table(spark, sf_dir, "documents")
     ws = ts.words(F.coalesce(F.col("text"), F.lit("")))
     base = d.select(

@@ -32,10 +32,13 @@ from e2e_etl_pipeline_spark.registry import register
       -- Dedupe same-(user, ts) purchases to the max-event_id row: ASOF
       -- picks ambiguously among equal keys, so the tie winner must be
       -- pinned explicitly for cross-engine parity (ties fuzz variant).
+      -- value DESC final tiebreak: an all-NULL-event_id tie group
+      -- (pk-variant shape) is otherwise unpinned in both engines; value
+      -- is the only payload the carry exposes (round-7 advice).
       SELECT user_id, ts, value FROM (
         SELECT user_id, ts, value,
                row_number() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
+                                  ORDER BY event_id DESC, value DESC) AS rn
         FROM events WHERE event_type = 'purchase'
       ) WHERE rn = 1
     )
@@ -118,6 +121,9 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("ts"),
             F.asc(F.col("p").isNull()),  # purchases before same-ts clicks
             F.asc("event_id"),
+            # all-NULL-id tie groups pin on value (oracle: value DESC
+            # NULLS LAST ↔ ASC NULLS FIRST here — round-7 advice)
+            F.asc_nulls_first("value"),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -2235,10 +2241,14 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases AS (
       -- Same (user, ts) dedup as q_join_asof: ASOF picks ambiguously
       -- among equal keys, so the tie winner is pinned to max event_id.
+      -- value DESC final tiebreak: a tie group whose event_ids are ALL
+      -- NULL (pk-variant shape) is otherwise unpinned in both engines —
+      -- value is the only payload the carry exposes, so pinning it pins
+      -- the output (round-7 advice).
       SELECT user_id, ts, value FROM (
         SELECT user_id, ts, value,
                row_number() OVER (PARTITION BY user_id, ts
-                                  ORDER BY event_id DESC) AS rn
+                                  ORDER BY event_id DESC, value DESC) AS rn
         FROM events
         WHERE event_type = 'purchase' AND ts IS NOT NULL
               AND user_id IS NOT NULL
@@ -2322,12 +2332,17 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Ascending pass (backward match): NULLS FIRST so NULL-ts clicks see
     # nothing; purchases sort before same-ts clicks (gap-0 visibility).
+    # event_id stays ASC NULLS FIRST (Spark default) so the LAST frame row
+    # is the max non-NULL id — the mirror of the oracle's DESC NULLS LAST
+    # rn=1; value ASC NULLS FIRST pins the all-NULL-id tie group the same
+    # way (oracle: value DESC NULLS LAST — round-7 advice).
     w_back = (
         Window.partitionBy("user_id")
         .orderBy(
             F.asc_nulls_first("ts"),
             F.asc(F.col("p").isNull()),
             F.asc("event_id"),
+            F.asc_nulls_first("value"),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -2342,6 +2357,7 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.desc_nulls_first("ts"),
             F.asc(F.col("p").isNull()),
             F.asc("event_id"),
+            F.asc_nulls_first("value"),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

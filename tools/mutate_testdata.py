@@ -56,7 +56,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound|markup] [src] [dst]
+    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound|markup|ragged] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -273,6 +273,22 @@ MUTATIONS: dict[str, dict[str, str]] = {
                  THEN list_transform(embedding[1:48],
                                      x -> CAST(0.0 AS FLOAT))
                  ELSE embedding[1:48]
+            END AS embedding)""",
+    },
+    # Ragged embedding lengths (round-7 advice, SemDeDup family): a FEW
+    # vectors shortened/lengthened while the bulk keeps the modal dim.
+    # Cross-engine hazard: DuckDB list_sum skips the NULL out-of-range
+    # terms of a length-mismatched zip (partial distance) while Spark
+    # zip_with/aggregate NULL-propagates — the SemDeDup contract now pins
+    # the modal dimension on BOTH sides, so off-dimension vectors are
+    # excluded rather than silently diverging.
+    "ragged": {
+        "embeddings.parquet": """* REPLACE (
+            CASE vec_id % 17
+              WHEN 0 THEN embedding[1:32]
+              WHEN 1 THEN list_concat(embedding,
+                                      [CAST(0.25 AS FLOAT)])
+              ELSE embedding
             END AS embedding)""",
     },
     # FP rounding-boundary prices (the q_offers_pipeline r6 driver-fail
