@@ -29,6 +29,40 @@ def with_vector_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", l2_norm(vec_col))
 
 
+# DuckDB-side twin of filter_modal_dim (embed as `__dim AS (...)` and gate
+# consumers with `len(embedding) = (SELECT d FROM __dim)`).
+MODAL_DIM_SQL = """
+      SELECT len(embedding) AS d FROM embeddings
+      WHERE embedding IS NOT NULL
+      GROUP BY 1 ORDER BY count(*) DESC, d ASC LIMIT 1
+"""
+
+
+def filter_modal_dim(em: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Keep only rows whose vector length equals the corpus's MODAL length
+    (ties → smaller) — the cross-engine contract for every pairwise
+    vector op (round-7 advice, extended repo-wide by the round-8 ragged
+    fuzz variant): a length-mismatched zip gives DuckDB's list_sum a
+    PARTIAL sum (NULL terms skipped) but Spark's zip_with/aggregate a NULL
+    — silent divergence. Pinning the dimension excludes ragged vectors
+    identically on both sides instead. NULL vectors drop too (size(NULL)
+    is NULL under ANSI, -1 without — never equal to a real length).
+
+    The modal frame is a 1-row broadcast join, so query construction stays
+    job-free and the gate costs one tiny keyed aggregate at action time."""
+    dim = (
+        em.where(F.col(vec_col).isNotNull())
+        .groupBy(F.size(vec_col).alias("__d"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("__d"))
+        .limit(1)
+        .select("__d")
+    )
+    return em.join(
+        F.broadcast(dim), F.size(vec_col) == F.col("__d")
+    ).drop("__d")
+
+
 def _cosine_from_norms(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Column) -> Column:
     """cosine via vectors.dot, reusing precomputed norms (cheaper than
     cosine_similarity, which would re-derive both norms per pair)."""

@@ -541,19 +541,22 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures 0.83 recall at sf0.01 / 0.74 at sf0.1 against the exact
     above-threshold ground truth (was 0.37/0.32 at 6×6 with k=5) — the
     bound twin asserts ≥ 0.5, and planted-duplicate recall is asserted in
-    tests/test_llm_ops.py."""
-    em = load_table(spark, sf_dir, "embeddings")
+    tests/test_llm_ops.py. Modal-dimension gate keeps the corpus aligned
+    with the bound twin's exact ground truth under a ragged
+    regeneration."""
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     return sim.lsh_cosine_pairs(em, threshold=0.4, n_planes=5, n_tables=12)
 
 
 @register(
     "q_dedup_embedding_bound",
-    oracle="""
-    WITH v AS (
+    oracle=f"""
+    WITH __dim AS ({sim.MODAL_DIM_SQL}),
+    v AS (
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding,
                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) = (SELECT d FROM __dim)
     ),
     p AS (
       SELECT list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -596,8 +599,10 @@ def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exact all-pairs side is the verification harness, not the
     operator — it is quadratic BY DESIGN and runs on the bounded bench
     corpus; the certified artifact (LSH bucketing) is the linear scale
-    path."""
-    em = load_table(spark, sf_dir, "embeddings")
+    path. Modal-dimension gate on both sides (``__dim`` CTE /
+    filter_modal_dim — the ragged fuzz variant's contract): n_corpus
+    counts gated vectors."""
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     counts = em.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
     a = sim.with_vector_norm(em).select(
         F.col("vec_id").alias("id_a"),
@@ -669,16 +674,18 @@ def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_similarity_topk",
-    oracle="""
-    WITH q AS (
+    oracle=f"""
+    WITH __dim AS ({sim.MODAL_DIM_SQL}),
+    q AS (
       SELECT vec_id AS query_id, embedding AS qv,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
       FROM embeddings WHERE vec_id < 20
+        AND len(embedding) = (SELECT d FROM __dim)
     ),
     c AS (
       SELECT vec_id AS neighbor_id, embedding AS cv,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) = (SELECT d FROM __dim)
     ),
     scored AS (
       SELECT query_id, neighbor_id,
@@ -701,24 +708,28 @@ def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for 20 query vectors — the
-    correctness baseline; the LSH variant (below) is the scale path."""
-    em = load_table(spark, sf_dir, "embeddings")
+    correctness baseline; the LSH variant (below) is the scale path.
+    Modal-dimension gate on both sides (similarity.filter_modal_dim):
+    ragged vectors are excluded, not silently zip-diverged."""
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     queries = em.where(F.col("vec_id") < 20)
     return sim.brute_force_topk(em, queries, k=10)
 
 
 @register(
     "q_similarity_filtered",
-    oracle="""
-    WITH q AS (
+    oracle=f"""
+    WITH __dim AS ({sim.MODAL_DIM_SQL}),
+    q AS (
       SELECT vec_id AS query_id, embedding AS qv, label AS ql,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
       FROM embeddings WHERE vec_id < 20
+        AND len(embedding) = (SELECT d FROM __dim)
     ),
     c AS (
       SELECT vec_id AS neighbor_id, embedding AS cv, label,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) = (SELECT d FROM __dim)
     ),
     scored AS (
       SELECT query_id, neighbor_id, label,
@@ -748,8 +759,10 @@ def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd equality predicate; at corpus scale the same label-equality
     composes with the LSH/IVF bucket join by simply appending the
     metadata column to the bucket key (then buckets are per-label —
-    strictly fewer collisions)."""
-    em = load_table(spark, sf_dir, "embeddings")
+    strictly fewer collisions). Modal-dimension gate on both sides
+    (similarity.filter_modal_dim): ragged vectors excluded, not
+    silently zip-diverged."""
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     queries = em.where(F.col("vec_id") < 20)
     return sim.brute_force_topk(em, queries, k=5, match_on="label")
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
+from e2e_etl_pipeline_spark.operators import similarity as sim
 from e2e_etl_pipeline_spark.registry import register
 
 K_SEEDS = 8
@@ -56,9 +57,18 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_kmeans_step",
     oracle=f"""
-    WITH seeds AS (
+    WITH __dim AS ({sim.MODAL_DIM_SQL}),
+    emb AS (
+      -- modal-dimension gate (ragged fuzz variant contract): a
+      -- length-mismatched vector must be EXCLUDED on both engines, not
+      -- zip-diverge (DuckDB list_sum skips NULL terms, Spark zip_with
+      -- NULL-propagates)
+      SELECT vec_id, embedding FROM embeddings
+      WHERE len(embedding) = (SELECT d FROM __dim)
+    ),
+    seeds AS (
       SELECT vec_id AS cid, embedding AS cv
-      FROM embeddings WHERE vec_id < {K_SEEDS}
+      FROM emb WHERE vec_id < {K_SEEDS}
     ),
     dists AS (
       SELECT e.vec_id, s.cid,
@@ -66,7 +76,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))
                   * (CAST(e.embedding[i] AS DOUBLE) - CAST(s.cv[i] AS DOUBLE))))
                AS sq
-      FROM embeddings e CROSS JOIN seeds s
+      FROM emb e CROSS JOIN seeds s
     ),
     assigned AS (
       SELECT vec_id, cid
@@ -80,7 +90,7 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.cid,
              generate_subscripts(e.embedding, 1) AS dim,
              unnest(e.embedding)                 AS v
-      FROM assigned a JOIN embeddings e USING (vec_id)
+      FROM assigned a JOIN emb e USING (vec_id)
     )
     SELECT c.cid                                AS cluster_id,
            CAST(c.dim AS BIGINT)                AS dim,
@@ -99,8 +109,10 @@ def q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus shuffle for assignment; the mean-recompute shuffles k·d
     (cluster, dim, partial-sum) cells after map-side combine. Iterating
     this to convergence is the same loop with the output fed back as
-    ``seeds`` (and a localCheckpoint per round, the q_pagerank pattern)."""
-    em = load_table(spark, sf_dir, "embeddings")
+    ``seeds`` (and a localCheckpoint per round, the q_pagerank pattern).
+    Modal-dimension gate on both sides (similarity.filter_modal_dim):
+    ragged vectors are excluded, not silently zip-diverged."""
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     seeds = em.where(F.col("vec_id") < K_SEEDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )
