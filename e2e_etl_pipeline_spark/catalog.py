@@ -90,9 +90,12 @@ def _dataset_schema(spark: SparkSession, path: str):
 
     try:
         st = os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
-        key = (path, None, None)
+        # A path os.stat can't see (URI form, odd permissions) has no
+        # invalidation signal — never cache it, or a same-process
+        # regeneration would silently read through a stale schema.
+        return spark.read.parquet(path).schema
+    key = (path, st.st_mtime_ns, st.st_size)
     per_session = _SCHEMA_CACHE.setdefault(spark, {})
     schema = per_session.get(key)
     if schema is None:

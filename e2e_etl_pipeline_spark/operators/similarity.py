@@ -50,6 +50,10 @@ def filter_modal_dim(em: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
     The modal frame is a 1-row broadcast join, so query construction stays
     job-free and the gate costs one tiny keyed aggregate at action time."""
+    # persist(): the gated frame typically feeds several consumer subtrees
+    # (self-join sides, counts, LSH bucketize ×2) and each would otherwise
+    # embed its own copy of this full-corpus aggregate; the 1-row cache
+    # pays it once per action and stays construction-job-free (lazy).
     dim = (
         em.where(F.col(vec_col).isNotNull())
         .groupBy(F.size(vec_col).alias("__d"))
@@ -57,6 +61,7 @@ def filter_modal_dim(em: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .orderBy(F.desc("__c"), F.asc("__d"))
         .limit(1)
         .select("__d")
+        .persist()
     )
     return em.join(
         F.broadcast(dim), F.size(vec_col) == F.col("__d")
@@ -202,7 +207,15 @@ def _planes_frame_lazy(
             ]
             yield pd.DataFrame({"_tensor": [tensor]})
 
-    return dim_df.mapInPandas(gen, schema="_tensor array<array<array<double>>>")
+    # persist(): the planes frame is crossJoined by BOTH bucketize sides;
+    # uncached, each side would re-evaluate the limit-1 dim scan
+    # independently, and on a ragged corpus two evaluations could in
+    # principle sample different lengths (different hyperplanes per side →
+    # broken buckets). The 1-row cache materializes once per action; still
+    # no construction-time job (persist is lazy).
+    return dim_df.mapInPandas(
+        gen, schema="_tensor array<array<array<double>>>"
+    ).persist()
 
 
 def _tables_expr(vec_col: str, n_planes: int) -> Column:

@@ -192,25 +192,16 @@ def _semdedup_v_and_victims(spark: SparkSession, sf_dir: str):
     once via lazy localCheckpoint for its multiple consumers) and the
     distinct (cid, victim) above-τ pairs."""
     # NULL-element guard mirroring the oracle's emb0 CTE (zip_with
-    # NULL-propagates vs list_sum NULL-skips — round-7 review).
+    # NULL-propagates vs list_sum NULL-skips — round-7 review), then the
+    # shared modal-dimension gate mirroring the dim CTE (round-7 advice:
+    # ragged lengths previously diverged silently instead of failing
+    # loudly). The modal is computed over em0 — the same population as the
+    # oracle's histogram.
     em0 = load_table(spark, sf_dir, "embeddings").where(
         F.col("embedding").isNotNull()
         & ~F.exists("embedding", lambda x: x.isNull())
     )
-    # Modal-dimension gate mirroring the oracle's dim CTE (round-7 advice:
-    # ragged lengths previously diverged silently instead of failing
-    # loudly). A 1-row broadcast join keeps query construction job-free —
-    # no collect of the scalar.
-    dim = (
-        em0.groupBy(F.size("embedding").alias("d"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .orderBy(F.desc("c"), F.asc("d"))
-        .limit(1)
-        .select("d")
-    )
-    em = em0.join(
-        F.broadcast(dim), F.size("embedding") == F.col("d")
-    ).select("vec_id", "embedding")
+    em = sim.filter_modal_dim(em0).select("vec_id", "embedding")
     seeds = em.where(F.col("vec_id") < K_SEEDS).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
     )

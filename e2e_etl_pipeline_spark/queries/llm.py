@@ -772,7 +772,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (coarse quantizer + probe-2): the training-free
     alternative scale path to LSH. Recall vs the exact baseline is asserted
     in tests/test_llm_ops.py."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     queries = em.where(F.col("vec_id") < 20)
     return sim.ivf_topk(em, queries, k=10, n_centroids=16, n_probe=2)
 
@@ -790,23 +790,25 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall roughly linearly in cost; more planes buy selectivity
     exponentially (at 4 planes/16 buckets the per-query candidate union
     approaches the whole corpus — recall 0.95 but no longer ANN)."""
-    em = load_table(spark, sf_dir, "embeddings")
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     queries = em.where(F.col("vec_id") < 20)
     return sim.lsh_bucketed_topk(em, queries, k=10, n_planes=6, n_tables=32)
 
 
 @register(
     "q_similarity_recall_bound",
-    oracle="""
-    WITH q AS (
+    oracle=f"""
+    WITH __dim AS ({sim.MODAL_DIM_SQL}),
+    q AS (
       SELECT vec_id AS query_id, embedding AS qv,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS qn
       FROM embeddings WHERE vec_id < 20
+        AND len(embedding) = (SELECT d FROM __dim)
     ),
     c AS (
       SELECT vec_id AS neighbor_id, embedding AS cv,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS cn
-      FROM embeddings
+      FROM embeddings WHERE len(embedding) = (SELECT d FROM __dim)
     ),
     scored AS (
       SELECT query_id, neighbor_id,
@@ -852,12 +854,16 @@ def q_similarity_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     degrade to TRUE on both engines.
 
     Follows the q_approx_distinct_bound pattern: approximate outputs can
-    never hash-match an oracle, but their accuracy contract can."""
-    em = load_table(spark, sf_dir, "embeddings")
+    never hash-match an oracle, but their accuracy contract can.
+    Modal-dimension gate on both sides (similarity.filter_modal_dim /
+    ``__dim`` CTE): the exact baseline, both ANN paths and the corpus
+    floor all see the same gated corpus, so a ragged regeneration cannot
+    split the recall booleans from the oracle's literal TRUE."""
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     queries = em.where(F.col("vec_id") < 20)
     # in-plan corpus count (broadcast 1-row aggregate) — the eager count()
-    # job is gone (round-6 advice); the LSH dim probe (1-row limit scan)
-    # remains the only construction-time job.
+    # job is gone (round-6 advice), and since round 8 the LSH dim probe is
+    # in-plan too: construction runs zero jobs.
     counts = em.agg(F.count(F.lit(1)).cast("long").alias("_n_corpus"))
     exact = sim.brute_force_topk(em, queries, k=10).select(
         "query_id", "neighbor_id"

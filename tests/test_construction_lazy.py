@@ -84,15 +84,19 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         load_table(spark, sf_dir, t)
 
     tracker = sc.statusTracker()
-    eager: dict[str, int] = {}
     for key, fn in QUERIES.items():
-        group = f"construct-{key}"
-        sc.setJobGroup(group, key)
+        sc.setJobGroup(f"construct-{key}", key)
         try:
             fn(spark, sf_dir)
         finally:
             sc.setJobGroup("construct-idle", "idle")
-        jobs = tracker.getJobIdsForGroup(group)
+    # The status tracker is fed by the async listener bus; drain it before
+    # reading or just-submitted jobs can be invisible (flaky misses /
+    # flaky stale-allowlist failures).
+    sc._jsc.sc().listenerBus().waitUntilEmpty(30_000)
+    eager: dict[str, int] = {}
+    for key in QUERIES:
+        jobs = tracker.getJobIdsForGroup(f"construct-{key}")
         if jobs:
             eager[key] = len(jobs)
 
