@@ -71,3 +71,55 @@ def test_cauchy_schwarz(batch):
     a, b, rows = batch
     for i in range(1, N):
         assert abs(rows[i]["dot"]) <= rows[i]["na"] * rows[i]["nb"] + 1e-6
+
+
+def test_filter_modal_dim_contract(spark, tmp_path):
+    """filter_modal_dim must agree with MODAL_DIM_SQL on every clause of
+    the contract: modal length wins, ties break to the SMALLER length,
+    NULL vectors and off-modal vectors drop, and empty input yields empty
+    output (not an error)."""
+    import duckdb
+
+    from e2e_etl_pipeline_spark.operators.similarity import (
+        MODAL_DIM_SQL,
+        filter_modal_dim,
+    )
+
+    rows = [
+        # 3 × len-4 and 3 × len-2: a TIE — modal must break to 2
+        (1, [1.0, 2.0, 3.0, 4.0]),
+        (2, [1.0, 2.0, 3.0, 4.0]),
+        (3, [1.0, 2.0, 3.0, 4.0]),
+        (4, [1.0, 2.0]),
+        (5, [1.0, 2.0]),
+        (6, [5.0, 6.0]),
+        (7, [9.0]),  # minority length
+        (8, None),  # NULL vector: not counted, not kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    kept = sorted(
+        r.vec_id for r in filter_modal_dim(df).select("vec_id").collect()
+    )
+    assert kept == [4, 5, 6]
+
+    # SQL twin on the same rows, via a parquet round-trip
+    path = str(tmp_path / "embeddings.parquet")
+    df.write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    sql_kept = sorted(
+        r[0]
+        for r in con.execute(
+            f"WITH __dim AS ({MODAL_DIM_SQL}) "
+            "SELECT vec_id FROM embeddings "
+            "WHERE len(embedding) = (SELECT d FROM __dim)"
+        ).fetchall()
+    )
+    assert sql_kept == kept
+
+    empty = df.where(F.lit(False))
+    assert filter_modal_dim(empty).count() == 0
