@@ -367,9 +367,22 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank — same physical shape as q_window_topk_per_group — rather than
     executing |customer| probes. Deterministic via the (o_orderdate DESC,
     o_orderkey) unique order; customers with no orders drop (inner
-    lateral), matching the oracle."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    lateral), matching the oracle.
+
+    The correlation keys are pre-normalized to BIGINT in the views: the
+    LIMIT-1 decorrelation only fires when the predicate is a BARE
+    same-type attribute equality — with a physically-int32 o_custkey (the
+    'physical' type-drift variant) the implicit cast around the outer
+    reference made Spark silently apply the LIMIT globally (1 row instead
+    of 1500 — a wrong-results hazard, found round 8; an inline CAST in
+    the predicate does NOT fix it, only pre-normalizing the relation
+    does)."""
+    load_table(spark, sf_dir, "customer").withColumn(
+        "c_custkey", F.col("c_custkey").cast("bigint")
+    ).createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").withColumn(
+        "o_custkey", F.col("o_custkey").cast("bigint")
+    ).createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT c.c_custkey,

@@ -373,7 +373,13 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             text = batch.column(1)
             yield pa.RecordBatch.from_arrays(
                 [
-                    batch.column(0),
+                    # cast the PASS-THROUGH column too: mapInArrow does NOT
+                    # coerce the yielded batch to the declared schema, so a
+                    # physically-int32 doc_id (type-drift regeneration —
+                    # the 'physical' fuzz variant) would reach the JVM as
+                    # an int32 vector behind a bigint schema and die in the
+                    # ArrowColumnVector accessor (getLong on int32).
+                    pc.cast(batch.column(0), pa.int64()),
                     pc.cast(pc.utf8_length(text), pa.int64()),
                     pc.cast(
                         pc.count_substring_regex(text, "[ \t\n\f\r]"), pa.int64()

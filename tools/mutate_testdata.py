@@ -56,7 +56,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound|markup|ragged] [src] [dst]
+    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound|markup|ragged|physical] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -275,6 +275,31 @@ MUTATIONS: dict[str, dict[str, str]] = {
                  ELSE embedding[1:48]
             END AS embedding)""",
     },
+    # Physical-type drift (the documented regeneration class that ACTUALLY
+    # happened: events.ts shipped as TIMESTAMP(NANOS) in round 1, micros
+    # since round 2): narrower ids (int32/int16), DOUBLE embeddings
+    # instead of FLOAT, FLOAT quantities instead of DOUBLE, and
+    # nano-precision event times. Every query/oracle must bind semantics,
+    # not physical width — catalog.normalize_events_ts's nanos branch gets
+    # exercised, hash-gated logic must key on type-independent forms
+    # (strings/decimals), and emitted columns must compare by value kind.
+    "physical": {
+        "documents.parquet": """* REPLACE (
+            CAST(doc_id AS INTEGER) AS doc_id)""",
+        "embeddings.parquet": """* REPLACE (
+            CAST(vec_id AS INTEGER) AS vec_id,
+            CAST(embedding AS DOUBLE[]) AS embedding,
+            CAST(label AS SMALLINT) AS label)""",
+        "events.parquet": """* REPLACE (
+            CAST(event_id AS INTEGER) AS event_id,
+            CAST(ts AS TIMESTAMP_NS) AS ts)""",
+        "orders.parquet": """* REPLACE (
+            CAST(o_orderkey AS INTEGER) AS o_orderkey,
+            CAST(o_custkey AS INTEGER) AS o_custkey)""",
+        "lineitem.parquet": """* REPLACE (
+            CAST(l_orderkey AS INTEGER) AS l_orderkey,
+            CAST(l_quantity AS FLOAT) AS l_quantity)""",
+    },
     # Ragged embedding lengths (round-7 advice, SemDeDup family): a FEW
     # vectors shortened/lengthened while the bulk keeps the modal dim.
     # Cross-engine hazard: DuckDB list_sum skips the NULL out-of-range
@@ -382,6 +407,20 @@ def main() -> None:
             else f"SELECT {clause} FROM src_table"
         )
         con.execute(f"COPY ({query}) TO '{dst}/{f}' (FORMAT PARQUET)")
+    if variant == "physical":
+        # DuckDB's parquet writer downcasts TIMESTAMP_NS to micros on
+        # write, so the round-1 TIMESTAMP(NANOS) physical type — the drift
+        # this variant exists to replay — needs a pyarrow rewrite.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(dst, "events.parquet")
+        t = pq.read_table(path)
+        idx = t.schema.get_field_index("ts")
+        t = t.set_column(
+            idx, "ts", t.column("ts").cast(pa.timestamp("ns"))
+        )
+        pq.write_table(t, path, store_schema=False)
     print(f"wrote {dst} ({variant} variant)")
 
 
