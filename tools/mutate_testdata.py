@@ -290,9 +290,12 @@ MUTATIONS: dict[str, dict[str, str]] = {
             CAST(vec_id AS INTEGER) AS vec_id,
             CAST(embedding AS DOUBLE[]) AS embedding,
             CAST(label AS SMALLINT) AS label)""",
+        # ts is NOT cast here: DuckDB's parquet writer downcasts
+        # TIMESTAMP_NS back to micros on write regardless, so the ns
+        # physical type comes from the pyarrow rewrite in main() — the
+        # only step that actually produces TIMESTAMP(NANOS).
         "events.parquet": """* REPLACE (
-            CAST(event_id AS INTEGER) AS event_id,
-            CAST(ts AS TIMESTAMP_NS) AS ts)""",
+            CAST(event_id AS INTEGER) AS event_id)""",
         "orders.parquet": """* REPLACE (
             CAST(o_orderkey AS INTEGER) AS o_orderkey,
             CAST(o_custkey AS INTEGER) AS o_custkey)""",
