@@ -85,6 +85,18 @@ import weakref
 _SCHEMA_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+# Session confs that change what schema inference RETURNS for the same
+# file: folding their values into the cache key (round-8 advice) means an
+# intra-session conf flip re-infers instead of serving the other
+# configuration's view. Extend this tuple when a new inference-affecting
+# conf enters the codebase.
+_INFERENCE_CONFS = (
+    "spark.sql.legacy.parquet.nanosAsLong",
+    "spark.sql.timestampType",
+    "spark.sql.parquet.inferTimestampNTZ.enabled",
+)
+
+
 def _dataset_schema(spark: SparkSession, path: str):
     import os
 
@@ -95,12 +107,27 @@ def _dataset_schema(spark: SparkSession, path: str):
         # invalidation signal — never cache it, or a same-process
         # regeneration would silently read through a stale schema.
         return spark.read.parquet(path).schema
-    key = (path, st.st_mtime_ns, st.st_size)
+    confs = tuple(
+        spark.conf.get(c, None) for c in _INFERENCE_CONFS
+    )
+    key = (path, st.st_mtime_ns, st.st_size, confs)
     per_session = _SCHEMA_CACHE.setdefault(spark, {})
     schema = per_session.get(key)
     if schema is None:
         schema = spark.read.parquet(path).schema
         per_session[key] = schema
+        # Evict superseded FILE VERSIONS for the same path (regenerated
+        # file → new mtime/size — those keys can never hit again), keeping
+        # other conf variants of the CURRENT file (an alternating-conf
+        # session legitimately uses several at once). Keeps the
+        # per-session dict bounded by live files × conf variants
+        # (round-8 advice).
+        for k in [
+            k
+            for k in per_session
+            if k[0] == path and (k[1], k[2]) != (key[1], key[2])
+        ]:
+            del per_session[k]
     return schema
 
 

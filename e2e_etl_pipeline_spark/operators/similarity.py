@@ -29,6 +29,51 @@ def with_vector_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", l2_norm(vec_col))
 
 
+# (applicationId, tag) → [(JVM canonicalized plan, persisted frame)].
+# Round-8 advice: filter_modal_dim / _planes_frame_lazy used to persist()
+# a NEW DataFrame on every invocation and never unpersist — a long driver
+# session accumulated CacheManager entries (bounded only by Spark's
+# canonical-plan dedupe) and, worse, every bench query re-ran the
+# corpus-wide modal aggregate at action time (+21% on q_similarity_topk,
+# round-8 bench). Memoizing per (app, input plan) returns the SAME
+# persisted frame, so the aggregate materializes once per session and the
+# cache population is bounded by distinct input plans. Entries live for
+# the application's lifetime by design (they are 1-row frames); a caller
+# that mutates a parquet path IN PLACE mid-session would read the stale
+# cache — the same contract as catalog's schema cache.
+#
+# Plan identity is the JVM canonicalized plan compared via .equals — NOT
+# its toString, which is PATH-BLIND for file relations ("Relation [...]
+# parquet" prints no location, and long field lists truncate), so a
+# string key silently shares one corpus's cached frame with a same-schema
+# corpus from another path (caught live by the pytest suite: the
+# 8-dim semdedup fixture was served the sf0.01 corpus's modal dim).
+# .equals does the full semantic comparison including the relation's
+# file index.
+_FRAME_MEMO: dict[tuple, list] = {}
+
+
+def _memoized_persist(df: DataFrame, key_df: DataFrame, tag: str) -> DataFrame:
+    """Return a persisted copy of ``df``, reused across invocations whose
+    ``key_df`` has a semantically-equal analyzed plan and same ``tag``.
+    ``key_df`` must be a PURE-RELATIONAL identity proxy for ``df`` (no
+    Python UDF nodes — re-pickled closures would never compare equal);
+    ``tag`` must carry every non-plan parameter that shapes ``df``."""
+    try:
+        canon = key_df._jdf.queryExecution().analyzed().canonicalized()
+        bucket = _FRAME_MEMO.setdefault(
+            (df.sparkSession.sparkContext.applicationId, tag), []
+        )
+        for jplan, frame in bucket:
+            if jplan.equals(canon):
+                return frame
+    except Exception:  # pragma: no cover - py4j surface drift
+        return df.persist()
+    out = df.persist()
+    bucket.append((canon, out))
+    return out
+
+
 # DuckDB-side twin of filter_modal_dim (embed as `__dim AS (...)` and gate
 # consumers with `len(embedding) = (SELECT d FROM __dim)`).
 MODAL_DIM_SQL = """
@@ -49,20 +94,22 @@ def filter_modal_dim(em: DataFrame, vec_col: str = "embedding") -> DataFrame:
     is NULL under ANSI, -1 without — never equal to a real length).
 
     The modal frame is a 1-row broadcast join, so query construction stays
-    job-free and the gate costs one tiny keyed aggregate at action time."""
-    # persist(): the gated frame typically feeds several consumer subtrees
-    # (self-join sides, counts, LSH bucketize ×2) and each would otherwise
-    # embed its own copy of this full-corpus aggregate; the 1-row cache
-    # pays it once per action and stays construction-job-free (lazy).
-    dim = (
+    job-free and the gate costs one tiny keyed aggregate ONCE per session
+    per corpus plan (memoized persist — see _memoized_persist)."""
+    # memoized persist(): the gated frame typically feeds several consumer
+    # subtrees (self-join sides, counts, LSH bucketize ×2) and each would
+    # otherwise embed its own copy of this full-corpus aggregate; the
+    # 1-row cache pays it once per SESSION and stays
+    # construction-job-free (lazy).
+    dim_frame = (
         em.where(F.col(vec_col).isNotNull())
         .groupBy(F.size(vec_col).alias("__d"))
         .agg(F.count(F.lit(1)).alias("__c"))
         .orderBy(F.desc("__c"), F.asc("__d"))
         .limit(1)
         .select("__d")
-        .persist()
     )
+    dim = _memoized_persist(dim_frame, dim_frame, tag=f"modal_dim:{vec_col}")
     return em.join(
         F.broadcast(dim), F.size(vec_col) == F.col("__d")
     ).drop("__d")
@@ -83,7 +130,14 @@ def _rank_topk(scored: DataFrame, k: int, extra_cols: list[str] | None = None) -
     rendering would round apart across engines under plain round()
     (functions/rounding.py — review find, round 7); the matching oracles
     use the floor(x*1e4+0.5)/1e4 form."""
-    win = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # asc_nulls_last, not asc: Spark ASC is NULLS FIRST but DuckDB is NULLS
+    # LAST in both directions (registry pk-variant rule). neighbor_id is
+    # non-NULL in every current caller (the pair filter drops NULL ids),
+    # but the pin keeps the rule mechanical. DESC defaults agree (NULLS
+    # LAST both engines) — relevant for NULL cosines from zero-norm pairs.
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc_nulls_last("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
@@ -207,15 +261,22 @@ def _planes_frame_lazy(
             ]
             yield pd.DataFrame({"_tensor": [tensor]})
 
-    # persist(): the planes frame is crossJoined by BOTH bucketize sides;
-    # uncached, each side would re-evaluate the limit-1 dim scan
+    # memoized persist(): the planes frame is crossJoined by BOTH bucketize
+    # sides; uncached, each side would re-evaluate the limit-1 dim scan
     # independently, and on a ragged corpus two evaluations could in
     # principle sample different lengths (different hyperplanes per side →
-    # broken buckets). The 1-row cache materializes once per action; still
-    # no construction-time job (persist is lazy).
-    return dim_df.mapInPandas(
-        gen, schema="_tensor array<array<array<double>>>"
-    ).persist()
+    # broken buckets). The 1-row cache materializes once per SESSION per
+    # (corpus plan, LSH params); still no construction-time job (persist
+    # is lazy). NOTE the ~n_tables*n_planes*d tensor is what's cached —
+    # memoization also bounds the round-8-advice accumulation. The memo
+    # key plan is dim_df (pure relational) — the mapInPandas node itself
+    # re-pickles its closure per call and would never compare equal; the
+    # tag pins the generator params instead.
+    return _memoized_persist(
+        dim_df.mapInPandas(gen, schema="_tensor array<array<array<double>>>"),
+        dim_df,
+        tag=f"planes:{vec_col}:{n_planes}:{n_tables}:{seed}",
+    )
 
 
 def _tables_expr(vec_col: str, n_planes: int) -> Column:
@@ -258,9 +319,13 @@ def ivf_topk(
     n_centroids in expectation, not the cross product.
     """
     # first n BY ID (not id < n, which yields zero centroids when ids
-    # don't start at 0 — e.g. a decimated or re-keyed corpus)
+    # don't start at 0 — e.g. a decimated or re-keyed corpus).
+    # asc_nulls_last: Spark ASC is NULLS FIRST, so a NULL-id corpus row
+    # would otherwise become centroid #1 while a SQL oracle (DuckDB is
+    # NULLS LAST in both directions) picks real ids first — the registry's
+    # mechanical pk-variant rule applied to a LIMIT cutoff.
     cents = F.broadcast(
-        corpus.orderBy(F.col(id_col))
+        corpus.orderBy(F.asc_nulls_last(id_col))
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec"))
     )

@@ -218,15 +218,23 @@ def _parse_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+def extract_offers(raw_docs: DataFrame) -> DataFrame:
+    """(doc_id, site, html) → RAW string offer rows (RAW_OFFER_SCHEMA): the
+    DOM-walk stage alone, before any cleaning or salary parsing. Exposed
+    separately so the driver probes can bisect DOM capture from the typed
+    parse (round-9 bisect, q_offers_probe_salary_raw)."""
+    return raw_docs.select("doc_id", "site", "html").mapInPandas(
+        _parse_batch, schema=RAW_OFFER_SCHEMA
+    )
+
+
 def parse_offers(raw_docs: DataFrame) -> DataFrame:
     """(doc_id, site, html) → typed offer rows (OFFER_SCHEMA + provenance).
 
     DOM walk in mapInPandas; everything downstream (cleaning + salary parse)
     is codegen'd column expressions.
     """
-    extracted = raw_docs.select("doc_id", "site", "html").mapInPandas(
-        _parse_batch, schema=RAW_OFFER_SCHEMA
-    )
+    extracted = extract_offers(raw_docs)
     parsed = parse_salary("salary_raw")
     return extracted.select(
         "doc_id",

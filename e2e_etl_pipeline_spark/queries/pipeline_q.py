@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 
 from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.functions.rounding import stable_round
-from e2e_etl_pipeline_spark.pipeline.offers import parse_offers
+from e2e_etl_pipeline_spark.pipeline.offers import extract_offers, parse_offers
 from e2e_etl_pipeline_spark.functions.money import money_sum
 from e2e_etl_pipeline_spark.registry import register
 
@@ -219,9 +219,30 @@ def q_layout_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 # algebraically sanitize(p_name) on both sides. All part payload columns are
 # NULL-proofed with mirrored coalesce (a NULL format_string argument would
 # otherwise silently DROP the <li> engine-side while the oracle keeps the
-# row). The four q_offers_probe_* keys are single-field variants that let
-# the DRIVER bisect any residual divergence: rawhtml red = the HTML build
+# row). The q_offers_probe_* keys are single-field variants that let the
+# DRIVER bisect any residual divergence: rawhtml red = the HTML build
 # itself differs; idx/position/salary red names the diverging parsed field.
+#
+# ROUND-9 ROOT CAUSE (the three-round-red salary class, named): the round-8
+# bisect proved the rendered HTML byte-identical and idx/position green, so
+# the divergence sat in the four salary-derived columns. Those two keys were
+# the ONLY keys in the whole 293-key registry whose DRIVER-EDGE output
+# carried DECIMAL columns (verified by a full output-schema scan) — and
+# DECIMAL transport differs between the engines' pandas bridges: DuckDB's
+# fetchdf ships DECIMAL(12,2) as float64 (renders "950.0") while Spark's
+# toPandas ships object-of-decimal.Decimal (renders "950.00"). Values are
+# identical; the EXACT value hash is not. The local comparator's
+# float-tolerance path masked it (testing.py), which is why every local
+# --plain --exact sweep passed while the driver stayed red. Cure: the
+# staging schema keeps DECIMAL(12,2) internally (pipeline/offers.py,
+# golden-file tests), but the driver edge ships DOUBLE in BOTH dialects —
+# the same edge rule every money key already follows (registry.py rules).
+# The round-9 probes pin the diagnosis driver-side: min_decimal (the
+# suspect class, single column, expected red if transport is the cause),
+# min_double/max_double (the cure, expected green), curper (constants,
+# expected green), salary_raw (DOM capture without the parse, expected
+# green), and decimal_transport (DECIMAL output with NO pipeline at all —
+# red here proves the class is transport, independent of offers).
 
 # Oracle-side sanitize: IDENTICAL semantics to functions/text.clean_position
 # (whitelist [A-Za-z0-9 .,()-], collapse space runs, trim).
@@ -237,14 +258,27 @@ _PNAME_SQL = (
 # regeneration turns p_retailprice DECIMAL; coalesce(…, 0.0) keeps a NULL
 # price from dropping the rendered <li>.
 _SALARY_SQL = "floor(abs(coalesce(CAST(p_retailprice AS DOUBLE), 0.0)) + 0.5)"
+# Driver-edge salary columns: the DECIMAL(12,2) staging cast stays (the
+# reference's staging contract), but the edge ships DOUBLE — see the
+# ROUND-9 ROOT CAUSE note above. The shared fragment parses the RENDERED
+# integer string exactly like the engine does (parity by shared expression,
+# the r7 lesson), rather than TRY_CASTing the floor double directly.
+_MIN_EDGE_SQL = (
+    f"CAST(TRY_CAST(CAST(CAST({_SALARY_SQL} AS BIGINT) AS VARCHAR)"
+    " AS DECIMAL(12,2)) AS DOUBLE)"
+)
+_MAX_EDGE_SQL = (
+    f"CAST(TRY_CAST(CAST(CAST({_SALARY_SQL} + 100 AS BIGINT) AS VARCHAR)"
+    " AS DECIMAL(12,2)) AS DOUBLE)"
+)
 _OFFERS_ORACLE_FIELDS = f"""
       CAST(p_partkey % 4 AS BIGINT) AS doc_id,
       'jjit'                        AS site,
       CAST(p_partkey AS INTEGER)    AS offer_idx,
       {_PNAME_SQL}                  AS position,
       ''                            AS company_name,
-      TRY_CAST({_SALARY_SQL} AS DECIMAL(12,2))       AS minimum,
-      TRY_CAST({_SALARY_SQL} + 100 AS DECIMAL(12,2)) AS maximum,
+      {_MIN_EDGE_SQL}               AS minimum,
+      {_MAX_EDGE_SQL}               AS maximum,
       'PLN'                         AS currency,
       'month'                       AS pay_period"""
 
@@ -278,22 +312,37 @@ def _offers_li() -> F.Column:
     )
 
 
-def _offers_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """part → synthetic jjit HTML docs → mapInPandas DOM parse → typed
-    offers. Shared by the composite key and all four driver probes so a
-    probe verdict speaks for the exact same plan."""
+def _offers_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → synthetic jjit HTML documents (doc_id, site, html)."""
     p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 100)
     jjit_html = F.concat(
         F.lit("<ul>"),
         F.concat_ws("", F.collect_list(_offers_li())),
         F.lit("</ul>"),
     )
-    docs = (
+    return (
         p.groupBy((F.col("p_partkey") % 4).alias("doc_id"))
         .agg(jjit_html.alias("html"))
         .select("doc_id", F.lit("jjit").alias("site"), "html")
     )
-    return parse_offers(docs)
+
+
+def _offers_parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → synthetic jjit HTML docs → mapInPandas DOM parse → typed
+    offers (staging schema: minimum/maximum DECIMAL(12,2)). Shared by the
+    composite key and all driver probes so a probe verdict speaks for the
+    exact same plan."""
+    return parse_offers(_offers_docs(spark, sf_dir))
+
+
+def _offers_edge_min() -> F.Column:
+    """Driver-edge minimum: DECIMAL staging value cast DOUBLE (round-9
+    root-cause note — DECIMAL never ships at the driver edge)."""
+    return F.col("minimum").cast("double").alias("minimum")
+
+
+def _offers_edge_max() -> F.Column:
+    return F.col("maximum").cast("double").alias("maximum")
 
 
 @register(
@@ -315,8 +364,25 @@ def q_offers_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins currency/period) — so the oracle re-derives the typed offers
     directly from part and hash-verifies the whole DOM-walk + clean +
     salary-parse path end-to-end. p_name is sanitized before embedding
-    (see block comment above) making the parse content-proof."""
-    return _offers_parsed(spark, sf_dir).orderBy("doc_id", "offer_idx")
+    (see block comment above) making the parse content-proof. The salary
+    columns ship as DOUBLE at this driver edge (ROUND-9 ROOT CAUSE note);
+    the DECIMAL(12,2) staging contract itself is exercised by
+    pipeline/offers.py + tests/test_pipeline.py golden files."""
+    return (
+        _offers_parsed(spark, sf_dir)
+        .select(
+            "doc_id",
+            "site",
+            "offer_idx",
+            "position",
+            "company_name",
+            _offers_edge_min(),
+            _offers_edge_max(),
+            "currency",
+            "pay_period",
+        )
+        .orderBy("doc_id", "offer_idx")
+    )
 
 
 @register(
@@ -363,8 +429,8 @@ def q_offers_probe_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
       CAST(p_partkey % 4 AS BIGINT) AS doc_id,
       CAST(p_partkey AS INTEGER)    AS offer_idx,
-      TRY_CAST({_SALARY_SQL} AS DECIMAL(12,2))       AS minimum,
-      TRY_CAST({_SALARY_SQL} + 100 AS DECIMAL(12,2)) AS maximum,
+      {_MIN_EDGE_SQL}               AS minimum,
+      {_MAX_EDGE_SQL}               AS maximum,
       'PLN'                         AS currency,
       'month'                       AS pay_period
     FROM part WHERE p_partkey < 100
@@ -372,11 +438,145 @@ def q_offers_probe_position(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_offers_probe_salary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver probe 3/4: the salary-span parse alone (span join → en-dash
-    split → number regex → DECIMAL cast). Red here = the numeric render or
-    parse_salary path diverges on the driver's prices."""
+    split → number regex → DECIMAL cast → DOUBLE edge). Red here = the
+    numeric render or parse_salary path diverges on the driver's prices.
+    Red r6-r8 with DECIMAL edge columns; round 9 ships DOUBLE (ROUND-9
+    ROOT CAUSE note)."""
     return _offers_parsed(spark, sf_dir).select(
-        "doc_id", "offer_idx", "minimum", "maximum", "currency", "pay_period"
+        "doc_id", "offer_idx", _offers_edge_min(), _offers_edge_max(),
+        "currency", "pay_period"
     ).orderBy("doc_id", "offer_idx")
+
+
+# --- Round-9 sub-probes: name the diverging cell class driver-side --------
+
+@register(
+    "q_offers_probe_min_decimal",
+    oracle=f"""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      CAST(p_partkey AS INTEGER)    AS offer_idx,
+      TRY_CAST(CAST(CAST({_SALARY_SQL} AS BIGINT) AS VARCHAR)
+               AS DECIMAL(12,2))    AS minimum
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_offers_probe_min_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 probe (a): minimum kept DECIMAL(12,2) at the edge — the
+    r6-r8 red class isolated to ONE column. EXPECTED RED if the root cause
+    is DECIMAL transport (DuckDB fetchdf float64 "950.0" vs Spark toPandas
+    Decimal "950.00"); red here + green min_double = class confirmed."""
+    return _offers_parsed(spark, sf_dir).select(
+        "doc_id", "offer_idx", "minimum"
+    ).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_offers_probe_min_double",
+    oracle=f"""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      CAST(p_partkey AS INTEGER)    AS offer_idx,
+      {_MIN_EDGE_SQL}               AS minimum
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_offers_probe_min_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 probe (b): the SAME minimum value shipped as DOUBLE — the
+    cure in single-column form. Green here + red min_decimal pins the
+    divergence to decimal transport, not the parse values."""
+    return _offers_parsed(spark, sf_dir).select(
+        "doc_id", "offer_idx", _offers_edge_min()
+    ).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_offers_probe_max_double",
+    oracle=f"""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      CAST(p_partkey AS INTEGER)    AS offer_idx,
+      {_MAX_EDGE_SQL}               AS maximum
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_offers_probe_max_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 probe (c): maximum as DOUBLE (the second parsed number — a
+    red here with min_double green would mean the 2-vs-3-span branch or the
+    +100 render diverges, not transport)."""
+    return _offers_parsed(spark, sf_dir).select(
+        "doc_id", "offer_idx", _offers_edge_max()
+    ).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_offers_probe_curper",
+    oracle="""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      CAST(p_partkey AS INTEGER)    AS offer_idx,
+      'PLN'                         AS currency,
+      'month'                       AS pay_period
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_offers_probe_curper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 probe (d): the two string salary fields alone (regex
+    extraction from the constant "PLN/month" span). Red here = the
+    currency/period regex path itself diverges on driver data — otherwise
+    these constants are exonerated."""
+    return _offers_parsed(spark, sf_dir).select(
+        "doc_id", "offer_idx", "currency", "pay_period"
+    ).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_offers_probe_salary_raw",
+    oracle=f"""
+    SELECT
+      CAST(p_partkey % 4 AS BIGINT) AS doc_id,
+      CAST(p_partkey AS INTEGER)    AS offer_idx,
+      CAST(CAST({_SALARY_SQL} AS BIGINT) AS VARCHAR) || '–'
+        || CAST(CAST({_SALARY_SQL} + 100 AS BIGINT) AS VARCHAR)
+        || '–PLN/month'             AS salary_raw
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_offers_probe_salary_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 probe (e), the verdict's prescribed span-capture splitter:
+    the en-dash-joined raw salary string exactly as the DOM walk captured
+    it, BEFORE parse_salary. Oracle = the algebraic render literal. Green
+    here = span capture is perfect and any remaining red is strictly inside
+    parse_salary/the cast; red here = the DOM span path loses/merges text
+    on driver data."""
+    return extract_offers(_offers_docs(spark, sf_dir)).select(
+        "doc_id", "offer_idx", "salary_raw"
+    ).orderBy("doc_id", "offer_idx")
+
+
+@register(
+    "q_decimal_transport_probe",
+    oracle="""
+    SELECT p_partkey, CAST(p_partkey AS DECIMAL(12,2)) AS dec_val
+    FROM part WHERE p_partkey < 100
+    """,
+)
+def q_decimal_transport_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 probe (f): a DECIMAL(12,2) output column with NO pipeline at
+    all — one integral cast on a scanned key. If the driver marks this red
+    (rows+schema green, hash red) the r6-r8 offers class is PROVEN to be
+    decimal transport in the comparator bridges, independent of any offers
+    logic; if green, decimal transport is exonerated and the offers probes
+    above localize the true cell class."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") < 100)
+        .select(
+            "p_partkey",
+            F.col("p_partkey").cast("decimal(12,2)").alias("dec_val"),
+        )
+        .orderBy("p_partkey")
+    )
 
 
 @register(

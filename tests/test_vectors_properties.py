@@ -123,3 +123,34 @@ def test_filter_modal_dim_contract(spark, tmp_path):
 
     empty = df.where(F.lit(False))
     assert filter_modal_dim(empty).count() == 0
+
+
+def test_filter_modal_dim_memo_is_path_aware(spark, tmp_path):
+    """Two same-schema corpora at DIFFERENT paths in one session must each
+    get their OWN modal dimension. Regression for the round-9 memoization
+    bug: the canonicalized-plan toString is PATH-BLIND for file relations
+    ("Relation [...] parquet" prints no location), so a string-keyed memo
+    served the first corpus's cached modal-dim frame to every same-schema
+    corpus that followed (caught live: the 8-dim semdedup fixture got the
+    sf0.01 corpus's 64-dim gate and filtered itself to empty). The memo
+    now compares JVM canonicalized plans via .equals."""
+    from e2e_etl_pipeline_spark.operators.similarity import filter_modal_dim
+
+    wide = str(tmp_path / "wide")
+    narrow = str(tmp_path / "narrow")
+    spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [2.0] * 8)], "vec_id long, embedding array<float>"
+    ).write.parquet(wide)
+    spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], "vec_id long, embedding array<float>"
+    ).write.parquet(narrow)
+
+    gated_wide = filter_modal_dim(spark.read.parquet(wide))
+    # Materialize the wide gate FIRST so a path-blind memo would already
+    # hold its 8-dim frame when the narrow corpus asks.
+    assert gated_wide.count() == 2
+    gated_narrow = filter_modal_dim(spark.read.parquet(narrow))
+    assert gated_narrow.count() == 2, (
+        "narrow corpus was gated by another corpus's modal dimension — "
+        "the similarity frame memo is not path-aware"
+    )
