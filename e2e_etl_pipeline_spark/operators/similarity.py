@@ -360,8 +360,11 @@ def ivf_topk(
                 F.first(f"{prefix}_vec").alias(f"{prefix}_vec"),
                 F.first(f"{prefix}_norm").alias(f"{prefix}_norm"),
             )
+        # asc_nulls_last (mechanical pk rule): a corpus with fewer than
+        # n_centroids non-NULL ids can seat a NULL-id centroid, and Spark
+        # ASC would order it FIRST where every SQL twin orders it last.
         w = Window.partitionBy(f"{prefix}_id").orderBy(
-            F.desc("cscore"), F.asc("centroid_id")
+            F.desc("cscore"), F.asc_nulls_last("centroid_id")
         )
         return (
             scored.withColumn("_r", F.row_number().over(w))
