@@ -136,13 +136,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     ``events`` gets its ts column normalized (see normalize_events_ts);
     ``nanosAsLong`` is set pre-read so the nanos variant of the testdata
-    doesn't fail schema resolution ([PARQUET_TYPE_ILLEGAL])."""
+    doesn't fail schema resolution ([PARQUET_TYPE_ILLEGAL]). It is set
+    for EVERY table, not just events, so the schema cache's conf tuple is
+    stable from the session's very first load — setting it only at the
+    first events read used to flip the cache key mid-session and every
+    table inferred before events paid a second inference job (round-9
+    review find). Non-events tables carry no TIMESTAMP(NANOS) columns,
+    so their inferred schema is unaffected; if a regeneration ever DID
+    ship nanos elsewhere, it would surface as bigint rather than failing
+    the whole read."""
     path = f"{sf_dir}/{name}.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.schema(_dataset_schema(spark, path)).parquet(path)
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.schema(_dataset_schema(spark, path)).parquet(path)
         return normalize_events_ts(df)
-    return spark.read.schema(_dataset_schema(spark, path)).parquet(path)
+    return df
 
 
 def inline_frame(spark: SparkSession, rows: list[dict], columns: list[str]) -> DataFrame:

@@ -16,6 +16,9 @@ Three tiers (SURVEY.md §2 B.8, §4.2):
 
 from __future__ import annotations
 
+import os
+import weakref
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -29,48 +32,91 @@ def with_vector_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return df.withColumn("norm", l2_norm(vec_col))
 
 
-# (applicationId, tag) → [(JVM canonicalized plan, persisted frame)].
-# Round-8 advice: filter_modal_dim / _planes_frame_lazy used to persist()
-# a NEW DataFrame on every invocation and never unpersist — a long driver
-# session accumulated CacheManager entries (bounded only by Spark's
-# canonical-plan dedupe) and, worse, every bench query re-ran the
-# corpus-wide modal aggregate at action time (+21% on q_similarity_topk,
-# round-8 bench). Memoizing per (app, input plan) returns the SAME
-# persisted frame, so the aggregate materializes once per session and the
-# cache population is bounded by distinct input plans. Entries live for
-# the application's lifetime by design (they are 1-row frames); a caller
-# that mutates a parquet path IN PLACE mid-session would read the stale
-# cache — the same contract as catalog's schema cache.
+# session (weak) → {tag: [(input-files signature, JVM canonicalized plan,
+# persisted frame)]}. Round-8 advice: filter_modal_dim /
+# _planes_frame_lazy used to persist() a NEW DataFrame on every
+# invocation and never unpersist — a long driver session accumulated
+# CacheManager entries (bounded only by Spark's canonical-plan dedupe)
+# and, worse, every bench query re-ran the corpus-wide modal aggregate at
+# action time (+21% on q_similarity_topk, round-8 bench). Memoizing per
+# (session, input plan, input-file identity) returns the SAME persisted
+# frame, so the aggregate materializes once per session and the cache
+# population is bounded by distinct input plans.
 #
-# Plan identity is the JVM canonicalized plan compared via .equals — NOT
-# its toString, which is PATH-BLIND for file relations ("Relation [...]
-# parquet" prints no location, and long field lists truncate), so a
-# string key silently shares one corpus's cached frame with a same-schema
-# corpus from another path (caught live by the pytest suite: the
-# 8-dim semdedup fixture was served the sf0.01 corpus's modal dim).
-# .equals does the full semantic comparison including the relation's
-# file index.
-_FRAME_MEMO: dict[tuple, list] = {}
+# Three identity lessons burned in (round-9 reviews):
+# * Plan identity is the JVM canonicalized plan compared via .equals —
+#   NOT its toString, which is PATH-BLIND for file relations ("Relation
+#   [...] parquet" prints no location, and long field lists truncate), so
+#   a string key silently shares one corpus's cached frame with a
+#   same-schema corpus from another path (caught live by the pytest
+#   suite: the 8-dim semdedup fixture was served the sf0.01 corpus's
+#   64 modal dim).
+# * The plan alone is mtime-blind: a parquet path regenerated IN PLACE
+#   mid-session keeps the same root path and compares plan-equal, so the
+#   signature also folds each input file's (mtime_ns, size) — the same
+#   invalidation signal catalog._dataset_schema uses for the same reason.
+#   Inputs with more than _MEMO_MAX_FILES files (or non-stat-able URIs)
+#   skip memoization entirely rather than risk staleness.
+# * The dict is keyed WEAKLY by session (like catalog._SCHEMA_CACHE), so
+#   a process that starts and stops several Spark sessions doesn't pin
+#   dead sessions' frames/py4j objects for the process lifetime.
+_FRAME_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+_MEMO_MAX_FILES = 64
 
 
-def _memoized_persist(df: DataFrame, key_df: DataFrame, tag: str) -> DataFrame:
+def _input_files_signature(files_df: DataFrame) -> tuple | None:
+    """(uri, mtime_ns, size) per input file, or None when the input is
+    not memoization-safe (too many files / un-stat-able URI).
+
+    MUST be computed from the RAW INPUT frame, never from the frame being
+    memoized: Dataset.inputFiles reads the OPTIMIZED plan, and once the
+    memoized frame has been persisted+materialized, cache substitution
+    rewrites any semantically-equal plan to an InMemoryRelation with NO
+    file scans — inputFiles comes back empty, every later lookup
+    mismatches the stored signature, and the memo silently degrades to
+    one persist per invocation (found live by the memo-behavior check:
+    bucket grew on a same-path repeat)."""
+    files = sorted(files_df.inputFiles())
+    if len(files) > _MEMO_MAX_FILES:
+        return None
+    sig = []
+    for uri in files:
+        path = uri
+        if path.startswith("file:"):
+            path = path[5:]
+            while path.startswith("//"):
+                path = path[1:]
+        st = os.stat(path)  # OSError → caller skips memoization
+        sig.append((uri, st.st_mtime_ns, st.st_size))
+    return tuple(sig)
+
+
+def _memoized_persist(
+    df: DataFrame, key_df: DataFrame, files_df: DataFrame, tag: str
+) -> DataFrame:
     """Return a persisted copy of ``df``, reused across invocations whose
-    ``key_df`` has a semantically-equal analyzed plan and same ``tag``.
-    ``key_df`` must be a PURE-RELATIONAL identity proxy for ``df`` (no
-    Python UDF nodes — re-pickled closures would never compare equal);
-    ``tag`` must carry every non-plan parameter that shapes ``df``."""
+    ``key_df`` has a semantically-equal analyzed plan over identical
+    input files and same ``tag``. ``key_df`` must be a PURE-RELATIONAL
+    identity proxy for ``df`` (no Python UDF nodes — re-pickled closures
+    would never compare equal; the ANALYZED plan is compared because
+    cache substitution only rewrites optimized plans); ``files_df`` is
+    the raw input frame the file signature is read from (see
+    _input_files_signature); ``tag`` must carry every non-plan parameter
+    that shapes ``df``."""
     try:
+        sig = _input_files_signature(files_df)
+        if sig is None:
+            return df.persist()
         canon = key_df._jdf.queryExecution().analyzed().canonicalized()
-        bucket = _FRAME_MEMO.setdefault(
-            (df.sparkSession.sparkContext.applicationId, tag), []
-        )
-        for jplan, frame in bucket:
-            if jplan.equals(canon):
+        per_session = _FRAME_MEMO.setdefault(df.sparkSession, {})
+        bucket = per_session.setdefault(tag, [])
+        for fsig, jplan, frame in bucket:
+            if fsig == sig and jplan.equals(canon):
                 return frame
-    except Exception:  # pragma: no cover - py4j surface drift
+    except Exception:  # pragma: no cover - py4j/OS surface drift
         return df.persist()
     out = df.persist()
-    bucket.append((canon, out))
+    bucket.append((sig, canon, out))
     return out
 
 
@@ -109,7 +155,9 @@ def filter_modal_dim(em: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .limit(1)
         .select("__d")
     )
-    dim = _memoized_persist(dim_frame, dim_frame, tag=f"modal_dim:{vec_col}")
+    dim = _memoized_persist(
+        dim_frame, dim_frame, em, tag=f"modal_dim:{vec_col}"
+    )
     return em.join(
         F.broadcast(dim), F.size(vec_col) == F.col("__d")
     ).drop("__d")
@@ -275,6 +323,7 @@ def _planes_frame_lazy(
     return _memoized_persist(
         dim_df.mapInPandas(gen, schema="_tensor array<array<array<double>>>"),
         dim_df,
+        corpus,
         tag=f"planes:{vec_col}:{n_planes}:{n_tables}:{seed}",
     )
 
@@ -323,9 +372,13 @@ def ivf_topk(
     # asc_nulls_last: Spark ASC is NULLS FIRST, so a NULL-id corpus row
     # would otherwise become centroid #1 while a SQL oracle (DuckDB is
     # NULLS LAST in both directions) picks real ids first — the registry's
-    # mechanical pk-variant rule applied to a LIMIT cutoff.
+    # mechanical pk-variant rule applied to a LIMIT cutoff. The vector
+    # itself is the secondary key so the cutoff is a UNIQUE total order
+    # (registry LIMIT rule) even if a pathological corpus carries one id
+    # with two different embeddings; array ordering is lexicographic in
+    # both engines.
     cents = F.broadcast(
-        corpus.orderBy(F.asc_nulls_last(id_col))
+        corpus.orderBy(F.asc_nulls_last(id_col), F.asc(vec_col))
         .limit(n_centroids)
         .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cent_vec"))
     )

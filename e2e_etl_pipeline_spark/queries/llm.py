@@ -868,8 +868,10 @@ def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND len(embedding) = (SELECT d FROM __dim)
     ),
     cents AS (
+      -- embedding as the secondary key: UNIQUE total order under LIMIT
+      -- (registry rule) even if one id carried two embeddings
       SELECT vec_id AS centroid_id, embedding AS cent_vec
-      FROM base ORDER BY vec_id LIMIT 16
+      FROM base ORDER BY vec_id, embedding LIMIT 16
     ),
     norms AS (
       SELECT vec_id, embedding,
@@ -937,14 +939,19 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     → top-10 rank) restates in pure SQL. Inputs dedupe on (vec_id,
     embedding) and drop NULL ids on BOTH sides: a NULL id can never reach
     the output (the pair filter drops it), but inside the plan it would
-    force cross-engine NULL-group/NULLS-FIRST analysis for nothing."""
+    force cross-engine NULL-group/NULLS-FIRST analysis for nothing.
+
+    ORDER MATTERS (review find, round 9): the modal gate runs on the RAW
+    table BEFORE the NULL-id drop and the dedup, because the oracle's
+    __dim aggregates the raw embeddings table — electing the modal
+    dimension over post-filter rows could pick a different winner when
+    duplicated or NULL-id rows skew the per-length counts."""
+    em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     em = (
-        load_table(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id").isNotNull())
+        em.where(F.col("vec_id").isNotNull())
         .select("vec_id", "embedding")
         .distinct()
     )
-    em = sim.filter_modal_dim(em)
     queries = em.where(F.col("vec_id") < 20)
     return sim.ivf_topk(em, queries, k=10, n_centroids=16, n_probe=2)
 

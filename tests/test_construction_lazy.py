@@ -24,7 +24,6 @@ from __future__ import annotations
 import warnings
 
 import pytest
-from pyspark.sql import types as T
 
 # Keys allowed to run jobs at construction, by mechanism:
 #   io      — the query's contract IS a write + read-back round-trip
@@ -112,10 +111,13 @@ def test_query_construction_runs_no_jobs(spark, sf_dir):
             df = fn(spark, sf_dir)
         finally:
             sc.setJobGroup("construct-idle", "idle")
+        # simpleString substring, not a top-level isinstance: a decimal
+        # NESTED in a struct/array/map output column transports through
+        # the same diverging pandas bridges (review find, round 9).
         decs = [
             f.name
             for f in df.schema.fields
-            if isinstance(f.dataType, T.DecimalType)
+            if "decimal(" in f.dataType.simpleString()
         ]
         if decs:
             decimal_edge[key] = decs

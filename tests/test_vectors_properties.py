@@ -154,3 +154,47 @@ def test_filter_modal_dim_memo_is_path_aware(spark, tmp_path):
         "narrow corpus was gated by another corpus's modal dimension — "
         "the similarity frame memo is not path-aware"
     )
+
+
+def test_filter_modal_dim_memo_hits_after_materialization(spark, tmp_path):
+    """A same-corpus repeat AFTER the gate has materialized must HIT the
+    memo, and an in-place file regeneration must MISS it. Regression for
+    the round-9 second memo bug: Dataset.inputFiles reads the OPTIMIZED
+    plan, which cache-substitutes the persisted frame to an
+    InMemoryRelation with no file scans — a signature computed from the
+    memoized frame came back empty on every post-action lookup, so the
+    memo silently degraded to one persist per invocation. The signature
+    is now read from the raw input frame."""
+    from e2e_etl_pipeline_spark import catalog
+    from e2e_etl_pipeline_spark.operators import similarity as sim
+
+    path = str(tmp_path / "memo_corpus")
+    spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [2.0] * 4)], "vec_id long, embedding array<float>"
+    ).write.parquet(path)
+
+    def gated():
+        return sim.filter_modal_dim(spark.read.parquet(path))
+
+    assert gated().count() == 2  # materialize: the memoized frame caches
+    bucket = sim._FRAME_MEMO[spark]["modal_dim:embedding"]
+    before = len(bucket)
+    assert gated().count() == 2
+    assert len(bucket) == before, (
+        "same-corpus repeat after materialization appended a new memo "
+        "entry — the input-files signature degraded (optimized-plan "
+        "cache substitution?)"
+    )
+
+    # In-place regeneration (same path, new content/mtime) must re-gate.
+    import shutil
+
+    shutil.rmtree(path)
+    spark.createDataFrame(
+        [(1, [1.0] * 7), (2, [2.0] * 7), (3, [3.0] * 7)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(path)
+    assert gated().count() == 3, (
+        "regenerated corpus was served the stale memoized modal dim"
+    )
+    assert len(bucket) == before + 1
