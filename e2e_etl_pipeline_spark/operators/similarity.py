@@ -110,9 +110,23 @@ def _memoized_persist(
         canon = key_df._jdf.queryExecution().analyzed().canonicalized()
         per_session = _FRAME_MEMO.setdefault(df.sparkSession, {})
         bucket = per_session.setdefault(tag, [])
-        for fsig, jplan, frame in bucket:
-            if fsig == sig and jplan.equals(canon):
-                return frame
+        for entry in list(bucket):
+            fsig, jplan, frame = entry
+            if jplan.equals(canon):
+                if fsig == sig:
+                    return frame
+                # Same plan, different file identity = a superseded
+                # version of an in-place-regenerated path: its key can
+                # never hit again, so evict + unpersist instead of
+                # pinning the dead frame for the session lifetime (the
+                # same eviction catalog._dataset_schema applies for the
+                # same signal). unpersist is safe for any caller still
+                # holding the old frame — it recomputes on next action.
+                bucket.remove(entry)
+                try:
+                    frame.unpersist()
+                except Exception:  # pragma: no cover
+                    pass
     except Exception:  # pragma: no cover - py4j/OS surface drift
         return df.persist()
     out = df.persist()

@@ -551,14 +551,21 @@ def _lsh_planes_values(
 
 
 # Shared bucket/candidate CTE prefix (params interpolated per key): base =
-# the 64-dim slice deduped on (vec_id, embedding); buckets = the signed
-# bit-pattern per (vector, table) — identical algebra to
-# operators/similarity._tables_expr.
+# the 64-dim slice reduced to ONE deterministic embedding per vec_id
+# (lexicographic min — identical list ordering in both engines); buckets =
+# the signed bit-pattern per (vector, table) — identical algebra to
+# operators/similarity._tables_expr. min-per-id, not SELECT DISTINCT
+# (round-9 second review): a pathological corpus carrying one id with TWO
+# distinct embeddings would survive a pair-DISTINCT, and then the bucket
+# CTE's GROUP BY vec_id would sum CASE terms across both embeddings into
+# a garbage bucket while the engine bucketizes per row — min-per-id makes
+# the id→embedding mapping a function on BOTH sides by construction.
 def _lsh_oracle_prefix(n_planes: int, n_tables: int) -> str:
     return f"""
     WITH base AS (
-      SELECT DISTINCT vec_id, embedding FROM embeddings
+      SELECT vec_id, min(embedding) AS embedding FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) = {_LSH_DIM}
+      GROUP BY vec_id
     ),
     planes(table_id, plane_idx, w) AS (VALUES
       {_lsh_planes_values(_LSH_DIM, n_planes, n_tables)}
@@ -625,14 +632,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal-hyperplane technique as q_similarity_lsh — which requires the
     dimension PINNED to 64 on both sides (see _lsh_planes_values block
     comment; a non-64 corpus goes empty identically on both sides), and
-    inputs deduped on (vec_id, embedding) mirroring the oracle's SELECT
-    DISTINCT. The modal-dim-gated general path stays exercised by the
-    bound twin's exact ground truth."""
+    inputs reduced to one deterministic embedding per id (lexicographic
+    min, mirroring the oracle's min-per-id GROUP BY — see
+    _lsh_oracle_prefix). The modal-dim-gated general path stays exercised
+    by the bound twin's exact ground truth."""
     em = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.size("embedding") == _LSH_DIM)
-        .select("vec_id", "embedding")
-        .distinct()
+        .groupBy("vec_id")
+        .agg(F.min("embedding").alias("embedding"))
     )
     return sim.lsh_cosine_pairs(
         em, threshold=0.4, dim=_LSH_DIM, n_planes=5, n_tables=12
@@ -863,9 +871,12 @@ def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH __dim AS ({{MODAL}}),
     base AS (
-      SELECT DISTINCT vec_id, embedding FROM embeddings
+      -- min-per-id, not DISTINCT: the id→embedding mapping must be a
+      -- FUNCTION on both sides (see _lsh_oracle_prefix block comment)
+      SELECT vec_id, min(embedding) AS embedding FROM embeddings
       WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
         AND len(embedding) = (SELECT d FROM __dim)
+      GROUP BY vec_id
     ),
     cents AS (
       -- embedding as the secondary key: UNIQUE total order under LIMIT
@@ -918,7 +929,7 @@ def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id,
            {stable_round_sql('cosine', 4)} AS cosine,
-           rank
+           CAST(rank AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS rank
@@ -936,21 +947,23 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 corpus vectors by id, so the whole pipeline (modal-dim gate →
     centroid pick → argmax assignment with the (cscore DESC, centroid_id
     ASC) tiebreak → probe-2 → candidate equi-join on centroid_id → cosine
-    → top-10 rank) restates in pure SQL. Inputs dedupe on (vec_id,
-    embedding) and drop NULL ids on BOTH sides: a NULL id can never reach
+    → top-10 rank) restates in pure SQL. Inputs reduce to one
+    deterministic embedding per id (lexicographic min — the id→embedding
+    mapping must be a FUNCTION on both sides, _lsh_oracle_prefix block
+    comment) and drop NULL ids on BOTH sides: a NULL id can never reach
     the output (the pair filter drops it), but inside the plan it would
     force cross-engine NULL-group/NULLS-FIRST analysis for nothing.
 
     ORDER MATTERS (review find, round 9): the modal gate runs on the RAW
-    table BEFORE the NULL-id drop and the dedup, because the oracle's
-    __dim aggregates the raw embeddings table — electing the modal
-    dimension over post-filter rows could pick a different winner when
-    duplicated or NULL-id rows skew the per-length counts."""
+    table BEFORE the NULL-id drop and the per-id reduction, because the
+    oracle's __dim aggregates the raw embeddings table — electing the
+    modal dimension over post-filter rows could pick a different winner
+    when duplicated or NULL-id rows skew the per-length counts."""
     em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     em = (
         em.where(F.col("vec_id").isNotNull())
-        .select("vec_id", "embedding")
-        .distinct()
+        .groupBy("vec_id")
+        .agg(F.min("embedding").alias("embedding"))
     )
     queries = em.where(F.col("vec_id") < 20)
     return sim.ivf_topk(em, queries, k=10, n_centroids=16, n_probe=2)
@@ -989,7 +1002,7 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id,
            {stable_round_sql('cosine', 4)} AS cosine,
-           rank
+           CAST(rank AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id
             ORDER BY cosine DESC, neighbor_id) AS rank
@@ -1007,9 +1020,10 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplane tensor is embedded in the oracle as 192 literal DOUBLE[64]
     rows, so DuckDB recomputes the identical sign buckets, candidate
     equi-join, cosine, and top-10 rank. Dimension is PINNED to 64 on both
-    sides (see _lsh_planes_values block comment); inputs dedupe on
-    (vec_id, embedding) to mirror the oracle's SELECT DISTINCT (pk-variant
-    rule). Known measure-zero hazard, accepted + documented: a plane dot
+    sides (see _lsh_planes_values block comment); inputs reduce to one
+    deterministic embedding per id (lexicographic min, mirroring the
+    oracle's min-per-id GROUP BY — _lsh_oracle_prefix block comment).
+    Known measure-zero hazard, accepted + documented: a plane dot
     landing EXACTLY on 0.0 could in principle round to a different sign
     bit across engines' summation; both sides fold left-to-right doubles,
     and the recall_bound key has proven this arithmetic bit-identical
@@ -1024,8 +1038,8 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = (
         load_table(spark, sf_dir, "embeddings")
         .where(F.size("embedding") == _LSH_DIM)
-        .select("vec_id", "embedding")
-        .distinct()
+        .groupBy("vec_id")
+        .agg(F.min("embedding").alias("embedding"))
     )
     queries = em.where(F.col("vec_id") < 20)
     return sim.lsh_bucketed_topk(
@@ -1078,8 +1092,10 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_similarity_recall_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable accuracy contract for the two ANN scale paths
-    (q_similarity_lsh, q_similarity_ivf — rows-only by design, their
-    neighbor sets are parameter-specific): recomputes the EXACT top-10
+    (q_similarity_lsh, q_similarity_ivf — themselves exactly
+    oracle-checked since round 9, but their neighbor sets are
+    parameter-specific so this key pins the semantic QUALITY those
+    parameters buy, not just their determinism): recomputes the EXACT top-10
     baseline (SQL-reproducible — the oracle derives the same pair count),
     intersects each ANN result with it in-plan, and emits booleans
     asserting LSH recall ≥ 0.6 and IVF recall ≥ 0.5. The thresholds sit

@@ -165,7 +165,6 @@ def test_filter_modal_dim_memo_hits_after_materialization(spark, tmp_path):
     memoized frame came back empty on every post-action lookup, so the
     memo silently degraded to one persist per invocation. The signature
     is now read from the raw input frame."""
-    from e2e_etl_pipeline_spark import catalog
     from e2e_etl_pipeline_spark.operators import similarity as sim
 
     path = str(tmp_path / "memo_corpus")
@@ -197,4 +196,6 @@ def test_filter_modal_dim_memo_hits_after_materialization(spark, tmp_path):
     assert gated().count() == 3, (
         "regenerated corpus was served the stale memoized modal dim"
     )
-    assert len(bucket) == before + 1
+    # The superseded version's entry is EVICTED (its mtime/size key can
+    # never hit again), so the bucket does not grow across regenerations.
+    assert len(bucket) == before
