@@ -10,6 +10,7 @@ hash also matches; see the hash-stability rules in registry.py).
 from __future__ import annotations
 
 import datetime
+import decimal
 
 import numpy as np
 import pandas as pd
@@ -88,6 +89,10 @@ def _dtype_kind(s: pd.Series) -> str:
         return "float"
     if pd.api.types.is_integer_dtype(s):
         return "int"
+    if s.dtype == object and any(
+        isinstance(v, decimal.Decimal) for v in s if v is not None
+    ):
+        return "decimal"
     return "other"
 
 
@@ -101,19 +106,16 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame, exact: bool = False) -> bool:
         # Driver-faithful dtype gate (round-2 lesson, q_json_malformed): the
         # driver's exact hash renders 195 and 195.0 differently, so an
         # int-vs-float/bool split between engines is a mismatch even when
-        # every value is numerically identical. An object-of-Decimal column
-        # vs float64 does NOT trip this gate — but NOT because that pairing
-        # is driver-safe: round 9 proved the opposite (the r6-r8 offers
-        # reds were exactly Spark Decimal("950.00") vs DuckDB-fetchdf
-        # float64 950.0 — identical values, different exact-hash
-        # renderings; no other key ever shipped DECIMAL, the money keys
-        # all cast DOUBLE at the edge). The leniency is kept ONLY so the
-        # round-9 diagnostic probes (q_offers_probe_min_decimal,
-        # q_decimal_transport_probe — deliberately decimal-shipping) stay
-        # locally green; registry rule: never ship DECIMAL on a key you
-        # want driver-green.
+        # every value is numerically identical. "decimal" is a first-class
+        # kind here since round 10: the r6-r8 offers reds were exactly
+        # Spark Decimal("950.00") vs DuckDB-fetchdf float64 950.0 —
+        # identical values, different exact-hash renderings (round-9 root
+        # cause). The round-9 diagnostic probes that needed this pairing to
+        # stay locally green are retired, so the comparator now reproduces
+        # the driver's behavior for Decimal columns too: any numeric-kind
+        # split (int/float/bool/decimal) is a mismatch.
         kx, ky = _dtype_kind(x), _dtype_kind(y)
-        if kx != ky and {kx, ky} <= {"int", "float", "bool"}:
+        if kx != ky and {kx, ky} <= {"int", "float", "bool", "decimal"}:
             return False
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
             xv = pd.to_numeric(x, errors="coerce").to_numpy(dtype=float)

@@ -15,8 +15,10 @@ registered query and checks two gates on the result.
    (round 9: DuckDB's pandas bridge ships DECIMAL as float64 "950.0",
    Spark's as Decimal "950.00" — identical values, exact-hash mismatch;
    this alone was the r6-r8 q_offers_pipeline red). The two round-9
-   diagnostic probes that ship DECIMAL on purpose are the sole sanctioned
-   exceptions (DECIMAL_EDGE_ALLOWED).
+   diagnostic probes that shipped DECIMAL on purpose were retired in
+   round 10 once the driver confirmed the class, so DECIMAL_EDGE_ALLOWED
+   is now empty: every key must cast to DOUBLE in both dialects at the
+   final SELECT.
 """
 
 from __future__ import annotations
@@ -81,13 +83,13 @@ EAGER_ALLOWED = {
     "q_stream_restart",
 }
 
-# Keys sanctioned to ship DECIMAL output columns: round-9 diagnostic probes
-# that exist precisely to make the driver exhibit the decimal-transport
-# hash split (see module docstring gate 2 / registry.py rules).
-DECIMAL_EDGE_ALLOWED = {
-    "q_offers_probe_min_decimal",
-    "q_decimal_transport_probe",
-}
+# Keys sanctioned to ship DECIMAL output columns. Empty since round 10:
+# the round-9 diagnostic probes that deliberately shipped DECIMAL (to make
+# the driver exhibit the decimal-transport hash split) were retired after
+# CORRECTNESS_r09 confirmed the class; the local comparator
+# (testing.values_match) now also treats a Decimal-vs-float pairing as a
+# mismatch, driver-faithfully.
+DECIMAL_EDGE_ALLOWED: set[str] = set()
 
 
 @pytest.mark.slow
