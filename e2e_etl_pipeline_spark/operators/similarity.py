@@ -110,18 +110,30 @@ def _memoized_persist(
         canon = key_df._jdf.queryExecution().analyzed().canonicalized()
         per_session = _FRAME_MEMO.setdefault(df.sparkSession, {})
         bucket = per_session.setdefault(tag, [])
+        new_files = {uri: (m, s) for uri, m, s in sig}
         for entry in list(bucket):
             fsig, jplan, frame = entry
-            if jplan.equals(canon):
-                if fsig == sig:
-                    return frame
-                # Same plan, different file identity = a superseded
-                # version of an in-place-regenerated path: its key can
-                # never hit again, so evict + unpersist instead of
-                # pinning the dead frame for the session lifetime (the
-                # same eviction catalog._dataset_schema applies for the
-                # same signal). unpersist is safe for any caller still
-                # holding the old frame — it recomputes on next action.
+            same_plan = jplan.equals(canon)
+            if same_plan and fsig == sig:
+                return frame
+            # Evict superseded entries instead of pinning dead frames for
+            # the session lifetime (unpersist is safe for any caller still
+            # holding the old frame — it recomputes on next action). Two
+            # staleness signals:
+            #   1. same plan, different file identity — the path was
+            #      regenerated in place (or its file set changed); the old
+            #      (plan, sig) key can never hit again.
+            #   2. (round-9 advice) ANY overlap between the entry's file
+            #      paths and the new signature's at a different
+            #      (mtime, size) — REGARDLESS of plan equality: an in-place
+            #      regeneration that also changes the schema/column set
+            #      produces a NON-equal plan, so signal 1 alone would keep
+            #      the superseded frame persisted forever.
+            stale = same_plan or any(
+                uri in new_files and (m, s) != new_files[uri]
+                for uri, m, s in fsig
+            )
+            if stale:
                 bucket.remove(entry)
                 try:
                     frame.unpersist()
@@ -186,19 +198,30 @@ def _cosine_from_norms(a_vec: Column, b_vec: Column, a_norm: Column, b_norm: Col
 
 
 def _rank_topk(scored: DataFrame, k: int, extra_cols: list[str] | None = None) -> DataFrame:
-    """Shared top-k epilogue: deterministic per-query ranking (cosine desc,
-    neighbor_id tiebreak), rank filter, 4-dp rounding. stable_round, not
-    round: the cosine is a division-derived double, so a 4-dp-midpoint
-    rendering would round apart across engines under plain round()
-    (functions/rounding.py — review find, round 7); the matching oracles
-    use the floor(x*1e4+0.5)/1e4 form."""
+    """Shared top-k epilogue: deterministic per-query ranking (4-dp-rounded
+    cosine desc, neighbor_id tiebreak), rank filter, 4-dp rounding.
+    stable_round, not round: the cosine is a division-derived double, so a
+    4-dp-midpoint rendering would round apart across engines under plain
+    round() (functions/rounding.py — review find, round 7); the matching
+    oracles use the floor(x*1e4+0.5)/1e4 form.
+
+    The window ORDERS BY the ROUNDED cosine (round-9 advice): ordering raw
+    doubles relied on bit-identical left-to-right summation across Spark's
+    aggregate() and DuckDB's list_sum — proven on current data but an
+    unpinned assumption; ranking on the same stable_round(cosine, 4) both
+    engines emit removes it at no recall cost (a rank flip inside a 1e-4
+    bucket swaps near-equal neighbors). The neighbor_id tiebreak makes the
+    rounded order total, and the displayed cosine now always agrees with
+    the rank order."""
     # asc_nulls_last, not asc: Spark ASC is NULLS FIRST but DuckDB is NULLS
     # LAST in both directions (registry pk-variant rule). neighbor_id is
     # non-NULL in every current caller (the pair filter drops NULL ids),
     # but the pin keeps the rule mechanical. DESC defaults agree (NULLS
-    # LAST both engines) — relevant for NULL cosines from zero-norm pairs.
+    # LAST both engines) — relevant for NULL cosines from zero-norm pairs
+    # (stable_round(NULL) is NULL).
+    rounded = stable_round(F.col("cosine"), 4)
     win = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc_nulls_last("neighbor_id")
+        F.desc(rounded), F.asc_nulls_last("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(win))
@@ -206,7 +229,7 @@ def _rank_topk(scored: DataFrame, k: int, extra_cols: list[str] | None = None) -
         .select(
             "query_id",
             "neighbor_id",
-            stable_round(F.col("cosine"), 4).alias("cosine"),
+            rounded.alias("cosine"),
             "rank",
             *(extra_cols or []),
         )
@@ -489,10 +512,18 @@ def lsh_cosine_pairs(
         n_tables=n_tables,
         seed=seed,
     )
-    return pairs.where(F.col("cosine") >= threshold).select(
+    # Threshold on the ROUNDED cosine (round-9 advice): comparing the raw
+    # division-derived double against the threshold relied on bit-identical
+    # summation across engines — a corpus value a few ULPs apart near the
+    # threshold would split the edge SET, not just a display cell. The
+    # rounded value is what both engines emit, so thresholding on it makes
+    # the edge set engine-identical by construction (oracles use the same
+    # floor-form on the same comparison).
+    rounded = stable_round(F.col("cosine"), 4)
+    return pairs.where(rounded >= threshold).select(
         F.col("query_id").alias("id_a"),
         F.col("neighbor_id").alias("id_b"),
-        stable_round(F.col("cosine"), 4).alias("cosine"),
+        rounded.alias("cosine"),
     )
 
 

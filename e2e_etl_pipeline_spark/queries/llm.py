@@ -608,7 +608,7 @@ def _lsh_oracle_prefix(n_planes: int, n_tables: int) -> str:
       JOIN norms bn ON bn.vec_id = c.id_b
     )
     SELECT id_a, id_b, {stable_round_sql('cosine', 4)} AS cosine
-    FROM scored WHERE cosine >= 0.4
+    FROM scored WHERE {stable_round_sql('cosine', 4)} >= 0.4
     """,
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -666,7 +666,9 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.nrm > 0 AND b.nrm > 0
     )
     SELECT CAST((SELECT count(*) FROM v) AS BIGINT)            AS n_corpus,
-           CAST(count(*) FILTER (WHERE cosine >= 0.4) AS BIGINT) AS n_true_pairs,
+           CAST(count(*) FILTER (
+             WHERE floor(cosine * 10000.0 + 0.5) / 10000.0 >= 0.4
+           ) AS BIGINT)                                        AS n_true_pairs,
            TRUE                                                 AS dedup_recall_ok
     FROM p
     """,
@@ -721,7 +723,10 @@ def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
-        .where(F.col("cosine") >= 0.4)
+        # threshold on the 4-dp-rounded cosine, mirroring both the oracle
+        # and lsh_cosine_pairs (round-9 advice): the ground-truth edge set
+        # must not depend on bit-identical raw summation across engines
+        .where(stable_round(F.col("cosine"), 4) >= 0.4)
         .select("id_a", "id_b")
     )
     lsh_pairs = (
@@ -799,7 +804,9 @@ def q_vector_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(cosine * 10000.0 + 0.5) / 10000.0 AS cosine, rank
     FROM (
       SELECT *, CAST(row_number() OVER (
-        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        PARTITION BY query_id
+        ORDER BY floor(cosine * 10000.0 + 0.5) / 10000.0 DESC, neighbor_id)
+        AS INTEGER) AS rank
       FROM scored
     )
     WHERE rank <= 10
@@ -840,7 +847,9 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(cosine * 10000.0 + 0.5) / 10000.0 AS cosine, rank, label
     FROM (
       SELECT *, CAST(row_number() OVER (
-        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        PARTITION BY query_id
+        ORDER BY floor(cosine * 10000.0 + 0.5) / 10000.0 DESC, neighbor_id)
+        AS INTEGER) AS rank
       FROM scored
     )
     WHERE rank <= 5
@@ -932,7 +941,8 @@ def q_similarity_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rank
+            ORDER BY floor(cosine * 10000.0 + 0.5) / 10000.0 DESC,
+                     neighbor_id) AS rank
           FROM scored)
     WHERE rank <= 10
     """.replace("{MODAL}", sim.MODAL_DIM_SQL),
@@ -1005,7 +1015,8 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(rank AS INTEGER) AS rank
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id
-            ORDER BY cosine DESC, neighbor_id) AS rank
+            ORDER BY floor(cosine * 10000.0 + 0.5) / 10000.0 DESC,
+                     neighbor_id) AS rank
           FROM scored)
     WHERE rank <= 10
     """,
@@ -1078,7 +1089,8 @@ def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT query_id, neighbor_id
       FROM (
         SELECT *, row_number() OVER (
-          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+          PARTITION BY query_id
+          ORDER BY floor(cosine * 10000.0 + 0.5) / 10000.0 DESC, neighbor_id) AS rank
         FROM scored
       )
       WHERE rank <= 10
