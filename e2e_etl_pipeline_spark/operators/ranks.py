@@ -196,3 +196,57 @@ def distributed_cumsum(
         for k in names
     ]
     return ranged.join(F.broadcast(off_df), _PID).select(*df.columns, *cums)
+
+
+def bounded_rank(
+    df: DataFrame, order_spec: Sequence[tuple[str, str]], out_col: str
+) -> DataFrame:
+    """Exact ``row_number() OVER (ORDER BY ...)`` for a frame whose row
+    count is bounded by a CONSTANT (a post-``limit`` top-k, a fixed
+    cutoff list) — rank = 1 + number of strict predecessors, computed by
+    a broadcast theta self-join + keyed aggregate instead of a window.
+
+    Why not a window: an unpartitioned Window funnels through ONE
+    partition and WARNs; a literal partition key does not help (Catalyst
+    constant-folds foldable partition expressions away — verified on
+    Spark 4.1); and ``distributed_rank``'s range-exchange machinery
+    checkpoints sampled boundaries, which truncates the visible plan and
+    runs jobs at construction — overkill for a frame of ≤ a few thousand
+    rows. The predecessor-count join is O(N²) in the CONSTANT bound
+    (trivial for N ≤ ~10⁴), stays lazy, keeps upstream plan nodes
+    (TakeOrderedAndProject) visible/assertable, and every a-side
+    partition works independently against the broadcast copy — no
+    single-partition stage anywhere. For unbounded frames use
+    ``distributed_rank``.
+
+    ``order_spec`` is a list of ``(column_name, "asc"|"desc")``; NULLS
+    order LAST in BOTH directions (the registry's cross-engine pin —
+    DuckDB's window default). The spec MUST be a unique total order:
+    with ties, predecessor-count gives rank() (gaps, equal rows equal),
+    not row_number().
+
+    Returns ``df``'s columns plus ``out_col`` (long, 1-based).
+    """
+    b = df.select(
+        F.lit(1).alias("__br_one"),
+        *[F.col(c).alias(f"__br_{c}") for c, _ in order_spec],
+    )
+    eqs: list[Column] = []
+    before: Column | None = None
+    for c, direction in order_spec:
+        a_c, b_c = F.col(c), F.col(f"__br_{c}")
+        if direction == "asc":
+            strict = (b_c < a_c) | (b_c.isNotNull() & a_c.isNull())
+        elif direction == "desc":
+            strict = (b_c > a_c) | (b_c.isNotNull() & a_c.isNull())
+        else:  # pragma: no cover - caller bug
+            raise ValueError(f"order_spec direction must be asc|desc: {direction}")
+        term = strict
+        for eq in eqs:
+            term = eq & term
+        before = term if before is None else (before | term)
+        eqs.append(b_c.eqNullSafe(a_c))
+    joined = df.join(F.broadcast(b), before, "left")
+    return joined.groupBy(*df.columns).agg(
+        (F.count("__br_one") + F.lit(1)).cast("long").alias(out_col)
+    )

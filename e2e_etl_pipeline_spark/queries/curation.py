@@ -23,6 +23,7 @@ from e2e_etl_pipeline_spark.functions.rounding import stable_round, stable_round
 from e2e_etl_pipeline_spark.functions.vectors import dot
 from e2e_etl_pipeline_spark.operators import dedup as dd
 from e2e_etl_pipeline_spark.operators import similarity as sim
+from e2e_etl_pipeline_spark.operators.ranks import distributed_rank
 from e2e_etl_pipeline_spark.queries.llm import JACCARD_PAIRS_CTE
 from e2e_etl_pipeline_spark.registry import register
 
@@ -742,9 +743,12 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     nullif guards the degenerate one-token vocabulary.
 
     Scale: counts are a partial-agg'd token shuffle; the global rank runs
-    over the VOCABULARY (bounded, ~10^5-10^6 at web scale — the same
-    vocabulary-sized single partition q_vocab_topk documents), and the
-    regression reduces to one 5-number aggregate."""
+    over the full VOCABULARY via operators/ranks.distributed_rank (range
+    exchange + per-partition window + in-plan offsets — round-9 verdict
+    item 4: raw web-scale vocab can reach 10^8 types, so the old
+    unpartitioned row_number was the registry's last
+    vocabulary-cardinality single-partition funnel), and the regression
+    reduces to one 5-number aggregate."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         F.explode(ts.words(F.coalesce(F.col("text"), F.lit("")))).alias(
@@ -752,10 +756,9 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    ranked = counts.select(
-        "cnt", F.row_number().over(w).alias("rnk")
-    )
+    ranked = distributed_rank(
+        counts, [F.desc("cnt"), F.asc("token")], "rnk"
+    ).select("cnt", "rnk")
     x = F.log(F.col("rnk").cast("double")).cast("decimal(18,9)")
     y = F.log(F.col("cnt").cast("double")).cast("decimal(18,9)")
     s = ranked.select(x.alias("x"), y.alias("y")).agg(

@@ -79,6 +79,7 @@ EAGER_ALLOWED = {
     "q_skyline",
     "q_spearman",
     "q_token_shards",
+    "q_zipf_slope",
     # stream
     "q_stream_restart",
 }

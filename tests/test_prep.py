@@ -267,3 +267,27 @@ def test_distributed_cumsum_equals_plain_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_bounded_rank_matches_row_number(spark):
+    """operators/ranks.bounded_rank (predecessor-count broadcast join for
+    CONSTANT-bounded frames) must reproduce row_number over the same
+    unique total order — desc+asc composite keys, NULLs ordering LAST in
+    both directions (the registry's cross-engine pin), multi-partition
+    input — and must plan no Window at all."""
+    from pyspark.sql import Window
+
+    from e2e_etl_pipeline_spark.operators.ranks import bounded_rank
+
+    rows = [(i, (i * 37) % 11, f"t{i:03d}") for i in range(60)]
+    # NULL score and NULL token rows: both must rank AFTER non-NULLs
+    rows += [(60, None, "t999"), (61, 5, None)]
+    df = spark.createDataFrame(rows, "id long, score long, tok string").repartition(8)
+
+    got = bounded_rank(df, [("score", "desc"), ("tok", "asc"), ("id", "asc")], "rn")
+    w = Window.orderBy(
+        F.desc_nulls_last("score"), F.asc_nulls_last("tok"), F.asc_nulls_last("id")
+    )
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+    assert "Window" not in got._jdf.queryExecution().executedPlan().toString()
