@@ -1,0 +1,41 @@
+"""Cross-engine-identical integer digests carved from md5.
+
+xxhash64 is the engine's production hasher (JVM-side, ~GB/s, 8-byte
+shuffle keys) but NO SQL dialect reproduces it, so any operator keyed on
+it can only ever be rows-only-checked against an oracle. For operators
+that need an EXACT cross-engine twin (round-9 verdict item 3: the
+MinHash/SimHash near-dup keys were the registry's last rows-only pair),
+this module derives a 60-bit unsigned integer from md5 — which Spark and
+DuckDB both compute, over UTF-8 bytes, rendering identical lowercase hex:
+
+    Spark:  conv(substring(md5(x), 1, 15), 16, 10) :: long
+    DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)
+
+15 hex nibbles = 60 bits < 2^63, so the signed BIGINT cast is exact on
+both sides (16 nibbles could overflow the signed range, and Spark's conv
+returns an unsigned decimal STRING whose long cast would diverge from
+DuckDB's checked cast exactly at the sign boundary). Verified
+bit-identical cross-engine in tests/test_functions.py.
+
+Collision math: 60 bits keeps the birthday bound comfortable for any
+bench corpus and most production ones (~2^30 keys for 50% of ONE
+collision); for 100 TB-scale corpora the same carving widens to a
+two-column struct (chars 1-15 + chars 16-30) exactly like
+operators/dedup.content_digest's 128-bit upgrade path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_u60(col: Column) -> Column:
+    """60-bit unsigned integer (as long) from the md5 of a string column —
+    engine side; identical to ``md5_u60_sql`` in DuckDB."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_u60_sql(expr: str) -> str:
+    """The DuckDB-side twin of ``md5_u60``."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from e2e_etl_pipeline_spark.functions.digests import md5_u60
 from e2e_etl_pipeline_spark.functions.rounding import stable_round
 
 
@@ -109,12 +110,20 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 32,
     shingle_size: int = 3,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """(id, hash_id, minhash) — one row per document per hash function.
 
-    Each of the k hash functions is xxhash64 seeded by hash_id (mixing the
-    id into the hashed tuple). The min() aggregate partial-combines map-side,
-    so the shuffle volume is k longs per document regardless of doc size.
+    Each of the k hash functions is seeded by hash_id (mixing the id into
+    the hashed tuple). The min() aggregate partial-combines map-side, so
+    the shuffle volume is k longs per document regardless of doc size.
+
+    ``hasher``: "xxhash64" (default — JVM-native, the production path) or
+    "md5" (60-bit integer carved from md5(shingle ':' hash_id),
+    functions/digests.md5_u60): slower per byte but EXACTLY reproducible
+    in DuckDB SQL, which is what upgrades q_dedup_near from rows-only to
+    hash-checked (round-9 verdict item 3). Identical plan shape either
+    way — only the hash expression changes.
     """
     spark = df.sparkSession
     shingled = df.select(
@@ -122,9 +131,17 @@ def minhash_signatures(
         F.explode(word_shingles(text_col, shingle_size)).alias("shingle"),
     )
     hash_ids = F.broadcast(spark.range(num_hashes).select(F.col("id").alias("hash_id")))
+    if hasher == "md5":
+        h = md5_u60(
+            F.concat(F.col("shingle"), F.lit(":"), F.col("hash_id").cast("string"))
+        )
+    elif hasher == "xxhash64":
+        h = F.xxhash64("shingle", "hash_id")
+    else:
+        raise ValueError(f"unsupported hasher: {hasher}")
     return (
         shingled.join(hash_ids)
-        .select("id", "hash_id", F.xxhash64("shingle", "hash_id").alias("h"))
+        .select("id", "hash_id", h.alias("h"))
         .groupBy("id", "hash_id")
         .agg(F.min("h").alias("minhash"))
     )
@@ -134,13 +151,17 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """LSH banding: docs agreeing on all rows of any band become a candidate
     pair. Returns (id_a, id_b, n_shared_bands) with id_a < id_b.
 
     The join key is (band_id, band_hash) — a fine-grained key whose groups
     are tiny for non-duplicate data, so the pair explosion is bounded by the
-    true near-duplicate clusters, not by corpus size.
+    true near-duplicate clusters, not by corpus size. ``hasher`` picks the
+    band-string hash ("xxhash64" default / "md5" for the SQL-reproducible
+    md5_u60, matching minhash_signatures) — equality of the band hash
+    stands in for equality of the comma-joined minhash string either way.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -148,12 +169,18 @@ def lsh_candidate_pairs(
             f"({bands}); a floor split would silently create extra short "
             "bands with far looser matching probability"
         )
+    if hasher == "md5":
+        band_hash_fn = md5_u60
+    elif hasher == "xxhash64":
+        band_hash_fn = F.xxhash64
+    else:
+        raise ValueError(f"unsupported hasher: {hasher}")
     rows_per_band = num_hashes // bands
     banded = (
         signatures.withColumn("band_id", (F.col("hash_id") / rows_per_band).cast("int"))
         .groupBy("id", "band_id")
         .agg(
-            F.xxhash64(
+            band_hash_fn(
                 F.array_join(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("hash_id", "minhash"))),
@@ -263,7 +290,10 @@ def dedup_corpus(
 
 
 def minhash_similarity(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Estimated Jaccard for candidate pairs = fraction of agreeing minhashes."""
+    """Estimated Jaccard for candidate pairs = fraction of agreeing
+    minhashes. stable_round, not round (registry rule: thresholds compare
+    the rounded value): k/num_hashes is an exact dyadic double, but the
+    floor form is the one the SQL twin reproduces verbatim."""
     sig_a = signatures.select(
         F.col("id").alias("id_a"), "hash_id", F.col("minhash").alias("mh_a")
     )
@@ -275,9 +305,9 @@ def minhash_similarity(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
         .join(sig_b, ["id_b", "hash_id"])
         .groupBy("id_a", "id_b")
         .agg(
-            F.round(F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 4).alias(
-                "est_jaccard"
-            )
+            stable_round(
+                F.avg((F.col("mh_a") == F.col("mh_b")).cast("double")), 4
+            ).alias("est_jaccard")
         )
     )
 
@@ -285,24 +315,49 @@ def minhash_similarity(signatures: DataFrame, pairs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SimHash (64-bit) + banded hamming join
 # ---------------------------------------------------------------------------
-def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, hasher: str = "xxhash64"
+) -> DataFrame:
     """(id, simhash) — 64-bit SimHash over whitespace tokens.
 
-    Per token: xxhash64 → each bit contributes ±1; the per-doc bit sums'
-    signs form the fingerprint. Expressed as a single aggregate over an
-    array of 64 bit-contributions (still pure column expressions).
+    Per token: a 64-bit hash → each bit contributes ±1; the per-doc bit
+    sums' signs form the fingerprint. Expressed as a single aggregate over
+    an array of 64 bit-contributions (still pure column expressions).
+
+    ``hasher``: "xxhash64" (default, production) or "md5" — the token's 64
+    bits come from the first 16 md5 hex nibbles as two 32-bit halves
+    (chars 1-8 = bits 63..32, chars 9-16 = bits 31..0), which a DuckDB
+    oracle reproduces verbatim (functions/digests rationale; round-9
+    verdict item 3 upgraded q_dedup_simhash from rows-only this way).
+    Same plan shape either way.
     """
     tokens = df.select(
         F.col(id_col).alias("id"), F.explode(_words(text_col)).alias("token")
-    ).withColumn("th", F.xxhash64("token"))
+    )
     # Python-level loop over the 64 bit positions: shiftright's numBits must
     # be a literal int in the DataFrame API, so the array is built from 64
     # closed-form expressions (still one codegen'd projection).
+    if hasher == "md5":
+        tokens = tokens.withColumn(
+            "th_hi", F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long")
+        ).withColumn(
+            "th_lo", F.conv(F.substring(F.md5("token"), 9, 8), 16, 10).cast("long")
+        )
+
+        def bit_ind(b: int) -> Column:
+            src = F.col("th_lo") if b < 32 else F.col("th_hi")
+            return F.shiftright(src, b % 32).bitwiseAND(F.lit(1))
+
+    elif hasher == "xxhash64":
+        tokens = tokens.withColumn("th", F.xxhash64("token"))
+
+        def bit_ind(b: int) -> Column:
+            return F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1))
+
+    else:
+        raise ValueError(f"unsupported hasher: {hasher}")
     contrib = F.array(
-        *[
-            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            for b in range(64)
-        ]
+        *[F.when(bit_ind(b) == 1, 1).otherwise(-1) for b in range(64)]
     )
     summed = (
         tokens.withColumn("bits", contrib)
@@ -310,9 +365,16 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
         .groupBy("id", "bit")
         .agg(F.sum("c").alias("s"))
     )
+    # bit 63's weight is written as the explicit two's-complement literal:
+    # Spark's shiftleft(1L, 63) silently wraps to Long.MIN, but a DuckDB
+    # twin ERRORS on 1::BIGINT << 63 (checked overflow) — the literal is
+    # the one rendering both dialects share.
+    weight = F.when(F.col("bit") == 63, F.lit(-9223372036854775808)).otherwise(
+        F.expr("shiftleft(1L, bit)")
+    )
     return summed.groupBy("id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col("s") > 0, weight).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
     )
 

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.functions import textstats as ts
+from e2e_etl_pipeline_spark.functions.digests import md5_u60_sql
 from e2e_etl_pipeline_spark.functions.rounding import stable_round, stable_round_sql
 from e2e_etl_pipeline_spark.functions.vectors import dot, l2_norm
 from e2e_etl_pipeline_spark.operators import dedup as dd
@@ -337,23 +338,133 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_dedup_near")  # rows-only: xxhash64-based MinHash is engine-specific
+@register(
+    "q_dedup_near",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id AS id,
+             list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                         t -> t <> '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      -- DISTINCT (id, gram): the engine's word_shingles is array_distinct
+      -- per row and min() is multiplicity-insensitive, so the per-id
+      -- shingle SET is the shared contract (registry pk rule)
+      SELECT DISTINCT id, gram
+      FROM (
+        SELECT id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                 AS gram
+        FROM words
+      )
+    ),
+    sig AS (
+      SELECT id, k.hash_id,
+             min({md5_u60_sql("gram || ':' || CAST(k.hash_id AS VARCHAR)")})
+               AS minhash
+      FROM grams CROSS JOIN (SELECT unnest(range(0, 32)) AS hash_id) k
+      GROUP BY id, k.hash_id
+    ),
+    banded AS (
+      SELECT id, hash_id // 4 AS band_id,
+             {md5_u60_sql(
+                 "string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY hash_id)"
+             )} AS band_hash
+      FROM sig
+      GROUP BY id, hash_id // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                   AND a.id < b.id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             floor(avg(CASE WHEN sa.minhash = sb.minhash THEN 1.0 ELSE 0.0 END)
+                   * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.id = c.id_a
+      JOIN sig sb ON sb.id = c.id_b AND sb.hash_id = sa.hash_id
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """,
+)
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes) + LSH(8 bands) candidate pairs with estimated
     Jaccard, verified ≥ 0.5 band agreement. See operators/dedup.py for the
-    shuffle-volume analysis."""
+    shuffle-volume analysis.
+
+    Oracle-checked since round 10 (previously rows-only — the LAST
+    rows-only pair with q_dedup_simhash, round-9 verdict item 3): the
+    per-(shingle, hash_id) hash is re-keyed from xxhash64 onto the 60-bit
+    md5 carving (functions/digests.md5_u60), which DuckDB reproduces
+    verbatim — so signatures, band hashes, the candidate equi-join, and
+    the agreement estimate all restate in pure SQL. xxhash64 remains the
+    production hasher (hasher param default); the plan shape is identical.
+    The estimate is stable_round'ed and the ≥ 0.5 threshold compares the
+    rounded value on both sides (registry rule) — k/32 agreement
+    fractions are exact dyadic doubles, so even the raw values match
+    bit-for-bit. The estimator's ACCURACY contract (vs exact Jaccard) is
+    the separate q_minhash_accuracy_bound key."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(d, "doc_id", "text", num_hashes=32, shingle_size=3)
-    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8)
+    sigs = dd.minhash_signatures(
+        d, "doc_id", "text", num_hashes=32, shingle_size=3, hasher="md5"
+    )
+    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8, hasher="md5")
     return dd.minhash_similarity(sigs, pairs).where(F.col("est_jaccard") >= 0.5)
 
 
-@register("q_dedup_simhash")  # rows-only: xxhash64-based
+@register(
+    "q_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             unnest(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    th AS (
+      -- the token's 64 hash bits as two 32-bit halves of the md5 hex
+      -- (chars 1-8 = bits 63..32, chars 9-16 = bits 31..0), mirroring
+      -- simhash_fingerprints(hasher='md5')
+      SELECT id,
+             CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) AS hi,
+             CAST('0x' || substr(md5(token), 9, 8) AS BIGINT) AS lo
+      FROM tok
+    ),
+    bits AS (
+      SELECT id, b.bit,
+             sum(CASE WHEN ((CASE WHEN b.bit < 32 THEN lo >> CAST(b.bit AS INT)
+                                  ELSE hi >> CAST(b.bit - 32 AS INT) END) & 1) = 1
+                      THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+      GROUP BY id, b.bit
+    )
+    SELECT id,
+           CAST(sum(CASE WHEN s > 0 THEN
+                  (CASE WHEN bit = 63 THEN -9223372036854775808
+                        ELSE (CAST(1 AS BIGINT) << CAST(bit AS INT)) END)
+                ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY id
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints per document (near-dup via banded
-    hamming join is exercised in tests where true near-dups exist)."""
+    hamming join is exercised in tests where true near-dups exist).
+
+    Oracle-checked since round 10 (previously rows-only, round-9 verdict
+    item 3): the per-token hash is re-keyed from xxhash64 onto the first
+    16 md5 hex nibbles as two 32-bit halves, which DuckDB recomputes
+    verbatim; bit 63's weight is the explicit two's-complement literal on
+    both sides (DuckDB errors on 1::BIGINT << 63 — see
+    simhash_fingerprints). xxhash64 remains the production hasher; the
+    plan shape is identical."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.simhash_fingerprints(d, "doc_id", "text")
+    return dd.simhash_fingerprints(d, "doc_id", "text", hasher="md5")
 
 
 # THE exact-Jaccard contract, shared by every consumer (q_dedup_jaccard,

@@ -62,3 +62,27 @@ def test_quality_components_bounded(spark):
     df = spark.createDataFrame([(t,) for t in cases], "s string")
     for r in df.select(ts.quality_score("s").alias("q")).collect():
         assert r.q is None or 0.0 <= r.q <= 1.0
+
+
+def test_md5_u60_cross_engine_parity(spark):
+    """functions/digests.md5_u60 must equal its DuckDB twin md5_u60_sql
+    bit-for-bit — the contract that lets MinHash/SimHash oracles recompute
+    the engine's hashes (round 10). Covers ASCII, separators, unicode
+    (NFC/NFD, CJK, emoji), and the seeded 'shingle:k' shape."""
+    import duckdb
+
+    from e2e_etl_pipeline_spark.functions.digests import md5_u60, md5_u60_sql
+
+    samples = [
+        "a", "hello world", "foo:3", "tok1 tok2 tok3:31",
+        "café", "café", "中文分词", "\U0001f600",
+        " leading", "trailing ", "tab\tsep", "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r.s: r.h for r in df.select("s", md5_u60(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(
+            f"SELECT {md5_u60_sql('?')}", [s]
+        ).fetchone()[0]
+        assert got[s] == want, (s, got[s], want)
