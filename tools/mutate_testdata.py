@@ -56,7 +56,7 @@ All mutations use ``SELECT * REPLACE`` so a driver-side schema change
 flows through untouched instead of erroring or silently dropping columns.
 
 Usage:
-    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound|markup|ragged|physical] [src] [dst]
+    python tools/mutate_testdata.py [pk|whitespace|nulls|edge|values|sparse|unicode|ties|empty|dims|schema|halfbound|markup|ragged|physical|dupheavy] [src] [dst]
     PYTHONPATH=. python tools/check_oracles.py <dst_dir> [--exact]
 
 Round-3 result (2026-08-14): whitespace variant 228/228 bit-exact; nulls,
@@ -373,6 +373,42 @@ MUTATIONS: dict[str, dict[str, str]] = {
                       AS TIMESTAMP)
             END AS ts)""",
     },
+    # Variant "dupheavy" (round 10, new class): MASS duplication — the
+    # opposite tail from "sparse". 1-in-3 documents collapse onto a pool
+    # of 5 texts (five exact-duplicate clusters of ~30 docs each), 1-in-7
+    # become near-duplicates of a pool text (one appended word — inside
+    # MinHash/SimHash band tolerance, outside exact-hash equality), and
+    # 1-in-37 become 25x-repeated long documents (heavy within-doc 8-gram
+    # repetition for the substring/span family, fat token lists for
+    # BPE/chunking/packing). 1-in-4 embeddings collapse onto 3 pool
+    # vectors (identical-vector clusters → cosine-1.0 ties). Probes the
+    # paths a duplicate-riddled crawl actually exercises: O(k^2)
+    # within-cluster pair generation, big connected components, keep-best
+    # over wide groups, and the ANN families' tie-ranking on equal
+    # stable-rounded cosines (the round-10 neighbor_id tiebreak).
+    "dupheavy": {
+        "documents.parquet": """WITH pool AS (
+            SELECT list(text ORDER BY doc_id) AS texts
+            FROM (SELECT doc_id, text FROM src_table ORDER BY doc_id LIMIT 5)
+        )
+        SELECT s.* REPLACE (
+            CASE
+              WHEN s.doc_id % 37 = 5 THEN repeat(coalesce(s.text, '') || ' ', 25)
+              WHEN s.doc_id % 3 = 0 THEN p.texts[1 + (s.doc_id % 5)]
+              WHEN s.doc_id % 7 = 1 THEN p.texts[1 + (s.doc_id % 5)]
+                   || ' extraword' || CAST(s.doc_id % 4 AS VARCHAR)
+              ELSE s.text
+            END AS text)
+        FROM src_table s CROSS JOIN pool p""",
+        "embeddings.parquet": """WITH pool AS (
+            SELECT list(embedding ORDER BY vec_id) AS vs
+            FROM (SELECT vec_id, embedding FROM src_table ORDER BY vec_id LIMIT 3)
+        )
+        SELECT s.* REPLACE (
+            CASE WHEN s.vec_id % 4 = 0 THEN p.vs[1 + (s.vec_id % 3)]
+                 ELSE s.embedding END AS embedding)
+        FROM src_table s CROSS JOIN pool p""",
+    },
     # Full SELECTs (decimation needs WHERE, not REPLACE); modulo keeps the
     # surviving key sets deterministic and referentially plausible.
     "sparse": {
@@ -406,7 +442,7 @@ def main() -> None:
         )
         clause = mutations[f]
         query = (
-            clause if clause.lstrip().upper().startswith("SELECT")
+            clause if clause.lstrip().upper().startswith(("SELECT", "WITH"))
             else f"SELECT {clause} FROM src_table"
         )
         con.execute(f"COPY ({query}) TO '{dst}/{f}' (FORMAT PARQUET)")
