@@ -64,20 +64,23 @@ def q_dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     not all C(n,2) pairs cleared the threshold. Singleton documents are
     their own component, so the output is a full partition of the slice.
 
-    Spark side: operators/dedup.connected_components — iterative
-    min-label propagation to a fixpoint with per-round localCheckpoint
-    lineage truncation, a limit(1)-count convergence probe as the only
-    per-round driver action, and a hard non-convergence raise (the
-    q_pagerank loop discipline). Documents outside every pair (no edge at
-    all) join back in as singletons afterwards. DuckDB replays the
-    fixpoint as a recursive CTE (min over the transitive closure — same
-    answer, engine-independent).
+    Spark side: operators/dedup.connected_components — alternating
+    large-star / small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", public) to the star fixpoint, with
+    per-round localCheckpoint lineage truncation, an exact edge-set
+    convergence probe (count + anti-join) as the only per-round driver
+    action, and a hard non-convergence raise (the q_pagerank loop
+    discipline). Documents outside every pair (no edge at all) join back
+    in as singletons afterwards. DuckDB replays the fixpoint as a
+    recursive CTE (min over the transitive closure — same answer,
+    engine-independent).
 
-    Scale: each round shuffles the edge list once (join + groupBy); dup
-    clusters are shallow near-cliques so rounds ≈ 2-3. At 10^9 edges swap
-    the per-round neighbor-min for alternating large-star / small-star
-    rounds (Kiveris et al., public) — O(log n) rounds on any diameter,
-    identical fixpoint (the operator docstring carries the same note)."""
+    Scale: each round shuffles the edge list a constant number of times
+    (one groupBy+join per star phase) and converges in O(log n) rounds on
+    ANY diameter — dup clusters are shallow near-cliques (2-3 rounds),
+    and a 100 TB corpus with long duplication chains costs log-many
+    rounds instead of the O(diameter) the pre-round-11 min-label
+    propagation needed (tests assert ≤ 2·log2(n) on a 100-node path)."""
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
     pairs = (
         dd.token_jaccard_pairs(d, "doc_id", "text", max_df=500)

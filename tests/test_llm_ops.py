@@ -238,6 +238,32 @@ def test_jaccard_df_cutoff_blocks_hot_token_blowup(spark):
     assert len(exact_pairs) == (12 * 11) // 2
 
 
+def test_connected_components_logarithmic_rounds_on_path(spark):
+    """A 100-node path graph is the adversarial diameter case for label
+    propagation (O(diameter) rounds); the two-phase large-star/small-star
+    rounds must converge in <= 2*log2(n) alternations (Kiveris et al.)."""
+    import math
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    stats: dict = {}
+    comps = {
+        r.id: r.component
+        for r in dd.connected_components(chain, stats=stats).collect()
+    }
+    assert set(comps.values()) == {0} and len(comps) == 100
+    assert stats["rounds"] <= 2 * math.log2(100)
+
+
+def test_connected_components_self_pair_labels_itself(spark):
+    """A self-pair (x, x) carries no connectivity but its node must still
+    appear in the output labeled as its own component."""
+    pairs = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    comps = {r.id: r.component for r in dd.connected_components(pairs).collect()}
+    assert comps == {7: 7, 1: 1, 2: 1}
+
+
 def test_connected_components_raises_on_non_convergence(spark):
     """A path graph needs ~diameter rounds; with max_iters below that the
     operator must refuse to return wrong (split) components."""
