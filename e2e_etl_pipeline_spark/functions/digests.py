@@ -19,9 +19,11 @@ bit-identical cross-engine in tests/test_functions.py.
 
 Collision math: 60 bits keeps the birthday bound comfortable for any
 bench corpus and most production ones (~2^30 keys for 50% of ONE
-collision); for 100 TB-scale corpora the same carving widens to a
-two-column struct (chars 1-15 + chars 16-30) exactly like
-operators/dedup.content_digest's 128-bit upgrade path.
+collision); for 100 TB-scale corpora ``md5_u120`` widens the same carving
+to a two-column pair (nibbles 1-15 + nibbles 16-30 → 120 bits, birthday
+bound ~2^60 keys) exactly like operators/dedup.content_digest's 128-bit
+upgrade path — same cross-engine bit-identity, two BIGINTs through the
+shuffle instead of one.
 """
 
 from __future__ import annotations
@@ -39,3 +41,24 @@ def md5_u60(col: Column) -> Column:
 def md5_u60_sql(expr: str) -> str:
     """The DuckDB-side twin of ``md5_u60``."""
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def md5_u120(col: Column) -> tuple[Column, Column]:
+    """120-bit digest as TWO 60-bit longs (nibbles 1-15, 16-30) from one
+    md5 pass — the documented wide-corpus upgrade of ``md5_u60`` (birthday
+    bound ~2^60 keys). Returned as a column pair, not a struct: struct
+    cells are unhashable at the driver edge, and two longs group/join with
+    the same plan shape. Identical to ``md5_u120_sql`` in DuckDB."""
+    h = F.md5(col)
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+        F.conv(F.substring(h, 16, 15), 16, 10).cast("long"),
+    )
+
+
+def md5_u120_sql(expr: str) -> tuple[str, str]:
+    """The DuckDB-side twin of ``md5_u120`` — a pair of SQL expressions."""
+    return (
+        f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)",
+        f"CAST('0x' || substr(md5({expr}), 16, 15) AS BIGINT)",
+    )

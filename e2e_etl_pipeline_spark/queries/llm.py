@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from e2e_etl_pipeline_spark.catalog import load_table
 from e2e_etl_pipeline_spark.functions import textstats as ts
-from e2e_etl_pipeline_spark.functions.digests import md5_u60_sql
+from e2e_etl_pipeline_spark.functions.digests import md5_u60_sql, md5_u120, md5_u120_sql
 from e2e_etl_pipeline_spark.functions.rounding import stable_round, stable_round_sql
 from e2e_etl_pipeline_spark.functions.vectors import dot, l2_norm
 from e2e_etl_pipeline_spark.operators import dedup as dd
@@ -151,6 +151,47 @@ def q_dedup_exact128(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lang").alias("lang"),
         )
         .select("keep_id", "n_copies", "lang")
+    )
+
+
+_H1_SQL, _H2_SQL = md5_u120_sql("text")
+
+
+@register(
+    "q_dedup_exact_wide",
+    oracle=f"""
+    SELECT
+      {_H1_SQL}        AS h1,
+      {_H2_SQL}        AS h2,
+      min(doc_id)      AS keep_id,
+      count(*)         AS n_copies
+    FROM documents
+    GROUP BY h1, h2
+    """,
+)
+def q_dedup_exact_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on the 120-bit md5 carving
+    (functions/digests.md5_u120 — nibbles 1-15 and 16-30 as two 60-bit
+    longs), SHIPPING the digest pair at the edge: unlike
+    q_dedup_exact128's xxhash64 struct (rows-equivalent but engine-only),
+    DuckDB recomputes these exact longs, so the driver hash proves the
+    widened digest is bit-identical cross-engine on the full corpus — the
+    round-10 verdict's 'ship the 120-bit carving as code' item. Birthday
+    bound ~2^60 keys (vs ~2^30 for one 60-bit column): the carving to key
+    a 100 TB exact-dedup on. Plan shape is q_dedup_exact's: one hash
+    aggregate on (h1, h2, doc_id) — 16 digest bytes through the shuffle,
+    document bodies never leave the scan. md5(NULL) is NULL on both
+    engines and (NULL, NULL) is one group under GROUP BY on both — NULL
+    texts dedup to a single survivor identically."""
+    d = load_table(spark, sf_dir, "documents")
+    h1, h2 = md5_u120(F.col("text"))
+    return (
+        d.groupBy(h1.alias("h1"), h2.alias("h2"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("h1", "h2", "keep_id", "n_copies")
     )
 
 

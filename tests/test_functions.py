@@ -86,3 +86,32 @@ def test_md5_u60_cross_engine_parity(spark):
             f"SELECT {md5_u60_sql('?')}", [s]
         ).fetchone()[0]
         assert got[s] == want, (s, got[s], want)
+
+
+def test_md5_u120_cross_engine_parity(spark):
+    """functions/digests.md5_u120 (the 100 TB-scale two-column widening of
+    md5_u60) must equal its DuckDB twin bit-for-bit on BOTH halves, and the
+    second half must be a genuinely different carving (nibbles 16-30)."""
+    import duckdb
+
+    from e2e_etl_pipeline_spark.functions.digests import md5_u120, md5_u120_sql
+
+    samples = [
+        "a", "hello world", "foo:3", "tok1 tok2 tok3:31",
+        "café", "café", "中文分词", "\U0001f600",
+        " leading", "trailing ", "tab\tsep", "",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    h1, h2 = md5_u120(F.col("s"))
+    got = {
+        r.s: (r.h1, r.h2)
+        for r in df.select("s", h1.alias("h1"), h2.alias("h2")).collect()
+    }
+    s1, s2 = md5_u120_sql("?")
+    con = duckdb.connect()
+    for s in samples:
+        want = con.execute(f"SELECT {s1}, {s2}", [s, s]).fetchone()
+        assert got[s] == want, (s, got[s], want)
+        # both halves are 60-bit non-negative and not trivially equal
+        assert 0 <= want[0] < 2**60 and 0 <= want[1] < 2**60
+        assert want[0] != want[1]
