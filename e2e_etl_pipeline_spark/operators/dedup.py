@@ -119,7 +119,10 @@ def minhash_signatures(
     the shuffle volume is k longs per document regardless of doc size.
 
     ``hasher``: "xxhash64" (default — JVM-native, the production path) or
-    "md5" (60-bit integer carved from md5(shingle ':' hash_id),
+    "md5" (60-bit integer carved from md5(shingle '\\n' hash_id) — the
+    delimiter is a newline because whitespace-split tokens can never
+    contain one, so no (shingle, hash_id) pairing can alias another the
+    way a ':' could inside URL-like tokens (round-10 advice);
     functions/digests.md5_u60): slower per byte but EXACTLY reproducible
     in DuckDB SQL, which is what upgrades q_dedup_near from rows-only to
     hash-checked (round-9 verdict item 3). Identical plan shape either
@@ -133,7 +136,7 @@ def minhash_signatures(
     hash_ids = F.broadcast(spark.range(num_hashes).select(F.col("id").alias("hash_id")))
     if hasher == "md5":
         h = md5_u60(
-            F.concat(F.col("shingle"), F.lit(":"), F.col("hash_id").cast("string"))
+            F.concat(F.col("shingle"), F.lit("\n"), F.col("hash_id").cast("string"))
         )
     elif hasher == "xxhash64":
         h = F.xxhash64("shingle", "hash_id")

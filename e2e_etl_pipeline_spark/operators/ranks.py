@@ -222,8 +222,14 @@ def bounded_rank(
     ``order_spec`` is a list of ``(column_name, "asc"|"desc")``; NULLS
     order LAST in BOTH directions (the registry's cross-engine pin —
     DuckDB's window default). The spec MUST be a unique total order:
-    with ties, predecessor-count gives rank() (gaps, equal rows equal),
-    not row_number().
+    with ties, predecessor-count would give rank() (gaps, equal rows
+    equal), not row_number(), and the final groupBy on every input
+    column would silently collapse fully-duplicate rows. Both hazards
+    are guarded AT EXECUTION TIME (round-10 advice): a 1-row broadcast
+    probe counts tied order-key tuples and an ``assert_true`` folded
+    into ``out_col`` raises on the first action if any exist —
+    construction stays lazy, current unique-order callers pay one extra
+    scalar aggregate over the constant-bounded frame.
 
     Returns ``df``'s columns plus ``out_col`` (long, 1-based).
     """
@@ -246,7 +252,30 @@ def bounded_rank(
             term = eq & term
         before = term if before is None else (before | term)
         eqs.append(b_c.eqNullSafe(a_c))
+    # Tie probe: ties on the full order-key tuple (which full-duplicate
+    # rows necessarily are) break the row_number contract — detect them
+    # with a scalar aggregate over the already-bounded frame and raise at
+    # execution via assert_true (NULL when clean; coalesce keeps the rank
+    # unchanged). struct() keeps NULL-bearing tuples countable —
+    # count_distinct over bare columns would drop them.
+    tie_probe = b.agg(
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.struct(*[F.col(f"__br_{c}") for c, _ in order_spec]))
+        ).alias("__br_nties")
+    )
     joined = df.join(F.broadcast(b), before, "left")
-    return joined.groupBy(*df.columns).agg(
+    ranked = joined.groupBy(*df.columns).agg(
         (F.count("__br_one") + F.lit(1)).cast("long").alias(out_col)
+    )
+    guard = F.assert_true(
+        F.col("__br_nties") == 0,
+        F.lit(
+            "bounded_rank: order_spec is not a unique total order "
+            "(tied order-key tuples detected) — add a unique id tiebreak"
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(tie_probe)).select(
+        *[c for c in ranked.columns if c != out_col],
+        (F.col(out_col) + F.coalesce(guard.cast("long"), F.lit(0))).alias(out_col),
     )

@@ -403,7 +403,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sig AS (
       SELECT id, k.hash_id,
-             min({md5_u60_sql("gram || ':' || CAST(k.hash_id AS VARCHAR)")})
+             min({md5_u60_sql("gram || chr(10) || CAST(k.hash_id AS VARCHAR)")})
                AS minhash
       FROM grams CROSS JOIN (SELECT unnest(range(0, 32)) AS hash_id) k
       GROUP BY id, k.hash_id

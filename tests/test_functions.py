@@ -68,13 +68,13 @@ def test_md5_u60_cross_engine_parity(spark):
     """functions/digests.md5_u60 must equal its DuckDB twin md5_u60_sql
     bit-for-bit — the contract that lets MinHash/SimHash oracles recompute
     the engine's hashes (round 10). Covers ASCII, separators, unicode
-    (NFC/NFD, CJK, emoji), and the seeded 'shingle:k' shape."""
+    (NFC/NFD, CJK, emoji), and the seeded shingle+chr(10)+k shape."""
     import duckdb
 
     from e2e_etl_pipeline_spark.functions.digests import md5_u60, md5_u60_sql
 
     samples = [
-        "a", "hello world", "foo:3", "tok1 tok2 tok3:31",
+        "a", "hello world", "foo:3", "tok1 tok2 tok3\n31",
         "café", "café", "中文分词", "\U0001f600",
         " leading", "trailing ", "tab\tsep", "",
     ]
@@ -97,7 +97,7 @@ def test_md5_u120_cross_engine_parity(spark):
     from e2e_etl_pipeline_spark.functions.digests import md5_u120, md5_u120_sql
 
     samples = [
-        "a", "hello world", "foo:3", "tok1 tok2 tok3:31",
+        "a", "hello world", "foo:3", "tok1 tok2 tok3\n31",
         "café", "café", "中文分词", "\U0001f600",
         " leading", "trailing ", "tab\tsep", "",
     ]

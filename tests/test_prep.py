@@ -291,3 +291,20 @@ def test_bounded_rank_matches_row_number(spark):
     want = df.withColumn("rn", F.row_number().over(w).cast("long"))
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
     assert "Window" not in got._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bounded_rank_raises_on_tied_order_spec(spark):
+    """A non-unique order_spec silently degraded to rank() and collapsed
+    fully-duplicate rows before round 11 (advice item); the execution-time
+    tie probe must now raise on the first action — including the
+    full-duplicate-row case — while construction stays exception-free."""
+    import pytest
+
+    from e2e_etl_pipeline_spark.operators.ranks import bounded_rank
+
+    tied = spark.createDataFrame(
+        [(3, "a"), (3, "a"), (1, "b")], "score long, tok string"
+    )
+    plan = bounded_rank(tied, [("score", "desc"), ("tok", "asc")], "rn")
+    with pytest.raises(Exception, match="unique total order"):
+        plan.collect()

@@ -394,8 +394,14 @@ MUTATIONS: dict[str, dict[str, str]] = {
         SELECT s.* REPLACE (
             CASE
               WHEN s.doc_id % 37 = 5 THEN repeat(coalesce(s.text, '') || ' ', 25)
-              WHEN s.doc_id % 3 = 0 THEN p.texts[1 + (s.doc_id % 5)]
-              WHEN s.doc_id % 7 = 1 THEN p.texts[1 + (s.doc_id % 5)]
+              -- index modulo the ACTUAL pool size: on a tiny source
+              -- (< 5 docs) a fixed %5 would read past the list and
+              -- silently NULL texts instead of duplicating them
+              -- (round-10 advice); greatest() guards the empty pool.
+              WHEN s.doc_id % 3 = 0
+                   THEN p.texts[1 + (s.doc_id % greatest(len(p.texts), 1))]
+              WHEN s.doc_id % 7 = 1
+                   THEN p.texts[1 + (s.doc_id % greatest(len(p.texts), 1))]
                    || ' extraword' || CAST(s.doc_id % 4 AS VARCHAR)
               ELSE s.text
             END AS text)
@@ -405,7 +411,8 @@ MUTATIONS: dict[str, dict[str, str]] = {
             FROM (SELECT vec_id, embedding FROM src_table ORDER BY vec_id LIMIT 3)
         )
         SELECT s.* REPLACE (
-            CASE WHEN s.vec_id % 4 = 0 THEN p.vs[1 + (s.vec_id % 3)]
+            CASE WHEN s.vec_id % 4 = 0
+                 THEN p.vs[1 + (s.vec_id % greatest(len(p.vs), 1))]
                  ELSE s.embedding END AS embedding)
         FROM src_table s CROSS JOIN pool p""",
     },
