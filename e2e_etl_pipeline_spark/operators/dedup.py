@@ -16,6 +16,9 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -95,13 +98,28 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 def positional_shingles(col: Column | str, n: int = 3) -> Column:
     """ALL word n-grams in position order (repeats kept) as array<string> —
     the positional variant of word_shingles for span-coverage operators
-    (posexplode gives back the 0-based gram start)."""
+    (posexplode gives back the 0-based gram start).
+
+    The word array is BOUND as a lambda variable (transform over a 1-element
+    array, then flatten) instead of being referenced from inside the gram
+    lambda: higher-order functions re-evaluate captured argument expressions
+    on every lambda invocation, so the split+filter tokenization was being
+    re-run once per gram — measured 4.3 s → 0.6 s at sf0.1 for the shingle
+    stream (optimization guide §1.2 per-task work). Gram text is built with
+    element_at + concat_ws (no per-gram array slice allocation); output is
+    string-identical to the previous slice + array_join form."""
     ws = _words(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(ws, i + 1, n), " "))
-    return F.when(F.size(ws) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def grams_of(w: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0)))
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.element_at(w, i + F.lit(k)) for k in range(1, n + 1)]
+        )
+        return F.when(F.size(w) >= n, F.transform(idx, gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return F.flatten(F.transform(F.array(ws), grams_of))
 
 
 def minhash_signatures(
@@ -128,26 +146,69 @@ def minhash_signatures(
     hash-checked (round-9 verdict item 3). Identical plan shape either
     way — only the hash expression changes.
     """
-    spark = df.sparkSession
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(text_col, shingle_size)).alias("shingle"),
     )
-    hash_ids = F.broadcast(spark.range(num_hashes).select(F.col("id").alias("hash_id")))
-    if hasher == "md5":
-        h = md5_u60(
-            F.concat(F.col("shingle"), F.lit("\n"), F.col("hash_id").cast("string"))
-        )
-    elif hasher == "xxhash64":
-        h = F.xxhash64("shingle", "hash_id")
-    else:
+
+    def h(i: int) -> Column:
+        if hasher == "md5":
+            return md5_u60(
+                F.concat(F.col("shingle"), F.lit("\n"), F.lit(str(i)))
+            )
+        if hasher == "xxhash64":
+            return F.xxhash64("shingle", F.lit(i).cast("long"))
         raise ValueError(f"unsupported hasher: {hasher}")
-    return (
-        shingled.join(hash_ids)
-        .select("id", "hash_id", h.alias("h"))
-        .groupBy("id", "hash_id")
-        .agg(F.min("h").alias("minhash"))
-    )
+
+    # k min-aggregates over the shingle stream, one per hash function — NOT
+    # a k-way broadcast-join row explosion: joining the k-row hash_id frame
+    # multiplied every shingle row k× before the partial aggregation
+    # (measured 15 s at sf0.1 for k=32 vs ~3 s for this shape; optimization
+    # guide §2.3 "aggregate before you shuffle"). The hash values are
+    # unchanged expression-for-expression (hash_id enters as the literal it
+    # always was), the per-(id, hash_id) min is the same min, and the
+    # shuffle now carries k longs per document in ONE row instead of k.
+    # The trailing posexplode restores the (id, hash_id, minhash) row shape
+    # consumers expect — and leaves the frame partitioned by id, which the
+    # banding aggregate downstream reuses exchange-free.
+    if hasher == "md5":
+        # md5 is ~20× costlier per call than xxhash64 (concat + digest +
+        # hex + conv chain), and corpora repeat shingles heavily across
+        # documents (sf0.1: 260k (doc, shingle) pairs over 27k distinct
+        # shingles — and mass duplication only widens that ratio). Hash
+        # each DISTINCT shingle once, then join the k-column hash table
+        # back to the (id, shingle) stream for the per-document min —
+        # identical value set per document, so identical mins. Costs two
+        # exchanges of the (short) shingle strings; saves (pairs/distinct)×
+        # of the dominant md5 work. The cheap xxhash64 production path
+        # keeps the join-free single-exchange shape below.
+        hashed = shingled.select("shingle").distinct().select(
+            "shingle", *[h(i).alias(f"_m{i}") for i in range(num_hashes)]
+        )
+        # SHUFFLE_HASH on the hashed side: both sides arrive partitioned by
+        # shingle and the (distinct) side builds per-partition hash tables —
+        # no sort of either side, no driver-side broadcast collect. Without
+        # the hint AQE broadcast-converts this join with BuildLeft (it
+        # compares compressed shuffle bytes, and the id+shingle stream
+        # compresses below the 32-column hash table), collecting the BIG
+        # row-count side to the driver — measured 8.7 s vs 1.2 s here. The
+        # hint stays scale-safe: the build side is per-partition distinct
+        # shingles, which more partitions always shrink (guide §3.1).
+        sums = (
+            shingled.join(hashed.hint("shuffle_hash"), "shingle")
+            .groupBy("id")
+            .agg(*[F.min(f"_m{i}").alias(f"_m{i}") for i in range(num_hashes)])
+        )
+    else:
+        sums = shingled.groupBy("id").agg(
+            *[F.min(h(i)).alias(f"_m{i}") for i in range(num_hashes)]
+        )
+    return sums.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])).alias(
+            "hash_id", "minhash"
+        ),
+    ).select("id", F.col("hash_id").cast("long").alias("hash_id"), "minhash")
 
 
 def lsh_candidate_pairs(
@@ -410,27 +471,39 @@ def simhash_fingerprints(
 
     else:
         raise ValueError(f"unsupported hasher: {hasher}")
-    contrib = F.array(
-        *[F.when(bit_ind(b) == 1, 1).otherwise(-1) for b in range(64)]
-    )
-    summed = (
-        tokens.withColumn("bits", contrib)
-        .select("id", F.posexplode("bits").alias("bit", "c"))
-        .groupBy("id", "bit")
-        .agg(F.sum("c").alias("s"))
+    # 64 sum-aggregates over the token stream, one per bit position —
+    # NOT a 64-wide posexplode into a (id, bit) shuffle: the explode form
+    # multiplied every token row 64× before the exchange (measured 30 s at
+    # sf0.1 vs ~2 s for this shape; optimization guide §2.3 "aggregate
+    # before you shuffle" / §1.2 "fix the distributed algorithm first").
+    # The integer math is unchanged row-for-row: per (id, bit) the ±1
+    # contributions sum map-side into one long buffer, and the shuffle
+    # carries 64 longs per document instead of 64 rows per token.
+    sums = tokens.groupBy("id").agg(
+        *[
+            F.sum(F.when(bit_ind(b) == 1, 1).otherwise(-1)).alias(f"_s{b}")
+            for b in range(64)
+        ]
     )
     # bit 63's weight is written as the explicit two's-complement literal:
     # Spark's shiftleft(1L, 63) silently wraps to Long.MIN, but a DuckDB
     # twin ERRORS on 1::BIGINT << 63 (checked overflow) — the literal is
-    # the one rendering both dialects share.
-    weight = F.when(F.col("bit") == 63, F.lit(-9223372036854775808)).otherwise(
-        F.expr("shiftleft(1L, bit)")
+    # the one rendering both dialects share. Each selected weight is a
+    # distinct power of two, so the row-level long addition sets bits and
+    # can never overflow — identical to the old F.sum over 64 rows.
+    def _weight(b: int) -> int:
+        return -9223372036854775808 if b == 63 else (1 << b)
+
+    simhash = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"_s{b}") > 0, F.lit(_weight(b)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for b in range(64)
+        ],
     )
-    return summed.groupBy("id").agg(
-        F.sum(
-            F.when(F.col("s") > 0, weight).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    return sums.select("id", simhash.alias("simhash"))
 
 
 def simhash_near_pairs(fingerprints: DataFrame, max_hamming: int = 3) -> DataFrame:
