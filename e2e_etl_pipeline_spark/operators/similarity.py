@@ -558,6 +558,113 @@ def lsh_bucketed_topk(
     return _rank_topk(scored, k)
 
 
+def _lsh_bucketizer(
+    vec_name: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int | None,
+):
+    """mapInArrow kernel: append (table_id, bucket) to every input row,
+    replicated once per table — NumPy replacement for _tables_expr with
+    identical bucket values (same seeded tensor, same per-dimension
+    left-to-right accumulation, so every dot's sign matches the JVM fold).
+
+    Row classes, mirroring the expression form exactly:
+    * conforming rows (length == planes dim, no NULL elements): bucket =
+      Σ_i (dot_i > 0) << i, with the NaN-keeps-bit ~(acc <= 0) form
+      (Spark treats NaN as greater than any double);
+    * NULL vectors, NULL-element vectors, and length-mismatched vectors:
+      bucket 0 in every table (zip_with pads with NULL → NULL dot → IF
+      false), exactly as the expression path behaved.
+    ``dim=None`` derives the dimension from the batch and requires it
+    uniform (every registered caller gates the corpus to one length
+    first; mixed lengths raise loudly rather than bucket silently)."""
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        planes_cache: dict[int, np.ndarray] = {}
+
+        def planes_for(d: int) -> np.ndarray:
+            w = planes_cache.get(d)
+            if w is None:
+                w = _hyperplanes(d, n_planes, n_tables, seed).reshape(
+                    n_tables * n_planes, d
+                )
+                planes_cache[d] = w
+            return w
+
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(vec_name)
+            lens = np.full(n, -1, dtype=np.int64)
+            valid = ~np.asarray(col.is_null())
+            off = np.asarray(col.offsets)
+            lens[valid] = (off[1:] - off[:-1])[valid]
+            if dim is not None:
+                d = dim
+            else:
+                cand = np.unique(lens[valid])
+                if len(cand) > 1:
+                    raise RuntimeError(
+                        "_lsh_bucketizer: mixed vector lengths "
+                        f"{cand.tolist()} reached the bucketizer — gate "
+                        "the corpus (filter_modal_dim / size filter) first"
+                    )
+                d = int(cand[0]) if len(cand) else 0
+            # gather from the RAW child array with absolute offsets —
+            # flatten() drops null entries' slots and would misalign
+            child = col.values
+            vals = child.to_numpy(zero_copy_only=False)
+            elem_null = (
+                np.asarray(child.is_null())
+                if child.null_count
+                else np.zeros(len(vals), dtype=bool)
+            )
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            conform = valid & (lens == d)
+            if d > 0 and conform.any():
+                # gather conforming rows' values as an (m, d) matrix
+                starts = off[:-1][conform]
+                gather = starts[:, None] + np.arange(d)[None, :]
+                V = vals[gather].astype(np.float64)
+                has_null = (
+                    elem_null[gather].any(axis=1)
+                    if elem_null.any()
+                    else np.zeros(V.shape[0], dtype=bool)
+                )
+                W = planes_for(d)
+                acc = np.zeros((V.shape[0], n_tables * n_planes))
+                for k in range(d):
+                    acc = acc + V[:, k : k + 1] * W[:, k]
+                bits = ~(acc <= 0)
+                bits &= ~has_null[:, None]
+                b = (
+                    bits.reshape(-1, n_tables, n_planes).astype(np.int64)
+                    << np.arange(n_planes, dtype=np.int64)[None, None, :]
+                ).sum(axis=2)
+                buckets[conform] = b
+            idx = np.repeat(np.arange(n), n_tables)
+            base = batch.drop_columns([vec_name]).take(pa.array(idx))
+            yield pa.record_batch(
+                list(base.columns)
+                + [
+                    pa.array(
+                        np.tile(np.arange(n_tables, dtype=np.int32), n),
+                        pa.int32(),
+                    ),
+                    pa.array(buckets.reshape(-1), pa.int64()),
+                ],
+                names=list(base.schema.names) + ["table_id", "bucket"],
+            )
+
+    return run
+
+
 def _lsh_scored_pairs(
     corpus: DataFrame,
     id_col: str,
@@ -575,41 +682,45 @@ def _lsh_scored_pairs(
     self_pairs = queries is None
     if queries is None:
         queries = corpus
-    if dim is not None:
-        # caller-pinned dimension: build the tensor driver-side (no job —
-        # createDataFrame over a local row is lazy).
-        planes_df = _planes_frame(
-            corpus.sparkSession, _hyperplanes(dim, n_planes, n_tables, seed)
-        )
-    else:
-        # derive from the data — IN-PLAN (round-7 verdict: no construction
-        # job): a wrong literal dim makes zip_with pad with NULLs, every
-        # plane dot go NULL, and every vector land in bucket 0 of every
-        # table — a silent full cross join instead of LSH.
-        planes_df = _planes_frame_lazy(corpus, vec_col, n_planes, n_tables, seed)
-    tables = _tables_expr(vec_col, n_planes)
 
     def bucketize(df: DataFrame, prefix: str) -> DataFrame:
-        # single-row broadcast of the plane tensor + per-row transform →
-        # explode: the expression tree stays O(1) (see _planes_frame) and
-        # each vector is materialized once per (table, bucket), not once
-        # per plane
-        return (
-            with_vector_norm(df, vec_col)
-            .crossJoin(F.broadcast(planes_df))
-            .select(
-                F.col(id_col).alias(f"{prefix}_id"),
-                F.col(vec_col).alias(f"{prefix}_vec"),
-                F.col("norm").alias(f"{prefix}_norm"),
-                F.explode(tables).alias("t"),
-            )
-            .select(
-                f"{prefix}_id",
-                f"{prefix}_vec",
-                f"{prefix}_norm",
-                F.col("t.table_id").alias("table_id"),
-                F.col("t.bucket").alias("bucket"),
-            )
+        # Arrow bucketizer (round-11 optimization): the sign-pattern
+        # buckets used to come from _tables_expr — n_tables × n_planes
+        # interpreted zip_with/aggregate dots PER VECTOR (the HOF lambdas
+        # are CodegenFallback; measured ~1.5 s per bucketized side at
+        # sf0.1 for 12×5). The mapInArrow form hands whole batches to
+        # NumPy with the identical per-dimension left-to-right IEEE
+        # accumulation, so every dot's SIGN — and therefore every bucket
+        # id — is unchanged; the hyperplane tensor is regenerated in-task
+        # from the same seeded RandomState the SQL-literal oracles embed.
+        # Output is (id, table_id, bucket) ONLY — the candidate join and
+        # its dedupe shuffle ids, never vectors (guide §2.3/§8: decide
+        # with small rows, attach the payload once afterwards).
+        nv = df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+        )
+        id_type = nv.schema[f"{prefix}_id"].dataType.simpleString()
+        return nv.mapInArrow(
+            _lsh_bucketizer(
+                f"{prefix}_vec", n_planes, n_tables, seed, dim=dim
+            ),
+            f"{prefix}_id {id_type}, table_id int, bucket bigint",
+        )
+
+    def attach(df: DataFrame, prefix: str) -> DataFrame:
+        # One deterministic (vector, norm) per id for the re-attach join:
+        # min-by-vector mirrors the min-per-id reduction the LSH oracles
+        # already pin (an id duplicated by a regeneration re-attaches ONE
+        # vector, exactly like the old carry-through-dedupe plan kept one
+        # arbitrary — here deterministic — pair row).
+        one = df.groupBy(F.col(id_col).alias(f"{prefix}_id")).agg(
+            F.min(vec_col).alias(f"{prefix}_vec")
+        )
+        return one.select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            l2_norm(f"{prefix}_vec").alias(f"{prefix}_norm"),
         )
 
     q = bucketize(queries, "query")
@@ -627,10 +738,196 @@ def _lsh_scored_pairs(
         .where(pair_filter)
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    return cand.select(
+    scored = cand.join(attach(queries, "query"), "query_id").join(
+        attach(corpus, "neighbor"), "neighbor_id"
+    )
+    return scored.select(
         "query_id",
         "neighbor_id",
         _cosine_from_norms(
             F.col("query_vec"), F.col("neighbor_vec"), F.col("query_norm"), F.col("neighbor_norm")
         ).alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact all-pairs cosine (the verification-harness shape, vectorized)
+# ---------------------------------------------------------------------------
+#
+# The exact all-pairs ground truth (q_dedup_embedding_bound and friends) is
+# quadratic BY DESIGN — but expressing the per-pair cosine as
+# zip_with + aggregate higher-order functions evaluates interpreted
+# per-element lambdas on every one of the N²/2 pairs (measured 35 s at
+# sf0.1 for 4M pairs). The blocked form instead ships each hash block's
+# (id, vector) matrix ONCE per block pair through Arrow and hands whole
+# blocks to NumPy (optimization guide §4.2 "do the heavy lifting in native
+# code" + §8 "move big rows once"): the dot products accumulate dimension
+# by dimension in the SAME left-to-right IEEE-754 order as the JVM fold,
+# so every emitted double is bit-identical to the higher-order-function
+# path (gated by tests/test_similarity_blocked.py; a 4M-pair live compare
+# measured 0 bit diffs).
+#
+# NaN/NULL parity notes (each mirrors the JVM path's behavior exactly):
+# * NULL vector elements arrive as NaN (Arrow null → NaN for float
+#   to_numpy) → dot/norm NaN → the rounded-threshold compare is false →
+#   pair excluded; Spark's NULL propagation excludes the same pairs.
+# * Zero/NaN norms: the mask is ~(norm <= 0), which keeps NaN like
+#   Spark's (norm > 0) does (Spark treats NaN as greater than any
+#   double); such pairs then drop at the threshold on both paths.
+# * The threshold compares floor(c*1e4 + 0.5)/1e4 — the stable_round op
+#   sequence — so the surviving edge set is the one both engines emit.
+
+
+def _arrow_block_matrix(tbl, id_name: str, vec_name: str):
+    """(int64 ids, float64 matrix) from an Arrow cogroup table whose
+    ``vec_name`` column is a list<float|double> of uniform length."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = tbl.column(id_name).to_numpy(zero_copy_only=False).astype(np.int64)
+    col = tbl.column(vec_name)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    lens = np.asarray(lens, dtype="float64")
+    if len(lens) and (np.isnan(lens).any() or (lens != lens[0]).any()):
+        raise RuntimeError(
+            "blocked_cosine_pairs: ragged or NULL vectors reached the "
+            "scorer — gate the corpus with filter_modal_dim first"
+        )
+    d = int(lens[0]) if len(lens) else 0
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return ids, vals.reshape(len(ids), d)
+
+
+def _blocked_pair_scorer(threshold: float):
+    """Score one (block_i, block_j) pair: every cross pair's cosine via
+    per-dimension accumulation (bit-identical to the JVM fold), keep
+    id_a < id_b above the stable-rounded threshold."""
+
+    def score(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        side = tbl.column("_pside")
+        left = tbl.filter(pc.equal(side, 0))
+        right = tbl.filter(pc.equal(side, 1))
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        # Diagonal groups hold the same block on both sides: the id_a <
+        # id_b mask enumerates each unordered pair once. Off-diagonal
+        # groups hold DISJOINT blocks (ids can never repeat across blocks
+        # — the block is a function of the id), so every cross pair is
+        # kept and emitted with its ids ordered.
+        diagonal = tbl.column("_bi")[0].as_py() == tbl.column("_bj")[0].as_py()
+        ia, A = _arrow_block_matrix(left, "_pid", "_pvec")
+        ib, B = _arrow_block_matrix(right, "_pid", "_pvec")
+        if A.shape[1] != B.shape[1]:
+            raise RuntimeError(
+                "blocked_cosine_pairs: dimension mismatch across blocks — "
+                f"{A.shape[1]} vs {B.shape[1]}; gate with filter_modal_dim"
+            )
+        d = A.shape[1]
+        nb = np.zeros(len(B))
+        for k in range(d):
+            nb = nb + B[:, k] * B[:, k]
+        nb = np.sqrt(nb)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        chunk = 2048  # bounds the cosine matrix at chunk × |B| doubles
+        for s in range(0, len(A), chunk):
+            Ac, iac = A[s : s + chunk], ia[s : s + chunk]
+            na = np.zeros(len(Ac))
+            for k in range(d):
+                na = na + Ac[:, k] * Ac[:, k]
+            na = np.sqrt(na)
+            acc = np.zeros((len(Ac), len(B)))
+            for k in range(d):
+                acc = acc + Ac[:, k : k + 1] * B[:, k]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (na[:, None] * nb[None, :])
+                rounded = np.floor(cos * 10000.0 + 0.5) / 10000.0
+            keep = ~(na[:, None] <= 0) & ~(nb[None, :] <= 0) & (rounded >= threshold)
+            if diagonal:
+                keep &= iac[:, None] < ib[None, :]
+            r, c = np.nonzero(keep)
+            pa_ids, pb_ids = iac[r], ib[c]
+            if not diagonal:
+                lo = np.minimum(pa_ids, pb_ids)
+                hi = np.maximum(pa_ids, pb_ids)
+                pa_ids, pb_ids = lo, hi
+            out_a.append(pa_ids)
+            out_b.append(pb_ids)
+            out_c.append(cos[r, c])
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), pa.float64()),
+            }
+        )
+
+    return score
+
+
+def blocked_cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    blocks: int = 8,
+) -> DataFrame:
+    """All unordered pairs (id_a < id_b, both norms > 0) whose
+    stable_round(cosine, 4) >= threshold, over a modal-dim-gated corpus —
+    the EXACT ground-truth primitive, blocked: vectors hash into ``blocks``
+    deterministic blocks (pmod(xxhash64(id), blocks) — guide §2.5's
+    deterministic synthetic key), each unordered block pair cogroups into
+    one task, and NumPy scores the whole sub-matrix. Shuffle volume is
+    O(N·blocks) vector rows; compute is the same N²/2 cosines the
+    semantics demand, vectorized. Emitted ``cosine`` is the RAW double —
+    bit-identical to the zip_with/aggregate fold — so callers apply
+    stable_round exactly as before.
+
+    NULL ids never pair (the JVM path's id_a < id_b drops them); rows are
+    filtered here so block assignment is total. ``blocks`` scales the
+    per-task matrix (N/blocks)² — raise it with corpus size; the bench
+    harness corpora fit the default."""
+    em = corpus.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("_pid"), F.col(vec_col).alias("_pvec")
+    )
+    block = F.pmod(F.xxhash64("_pid"), F.lit(blocks)).cast("int")
+    # Both replica streams ride ONE grouped frame with a side tag (a
+    # cogroup of two frames derived from the same corpus trips the
+    # ambiguous-self-join check); the scorer splits the group by side.
+    side_a = em.select(
+        F.lit(0).alias("_pside"),
+        block.alias("_bi"),
+        F.explode(F.sequence(block, F.lit(blocks - 1))).alias("_bj"),
+        "_pid",
+        "_pvec",
+    )
+    side_b = em.select(
+        F.lit(1).alias("_pside"),
+        F.explode(F.sequence(F.lit(0), block)).alias("_bi"),
+        block.alias("_bj"),
+        "_pid",
+        "_pvec",
+    )
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("_bi", "_bj")
+        .applyInArrow(
+            _blocked_pair_scorer(threshold),
+            "id_a long, id_b long, cosine double",
+        )
     )

