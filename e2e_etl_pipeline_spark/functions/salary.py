@@ -72,12 +72,11 @@ def extract_pay_period(col: Column | str) -> Column:
     return F.when(raw == "", F.lit(None).cast("string")).otherwise(mapped)
 
 
-def parse_salary(col: Column | str) -> Column:
-    """Full A15-A21 composite → struct(minimum, maximum, currency, pay_period).
-
-    Count-dependent min/max (A21, transform_data.py:167-173):
-      >=2 numbers → (nums[0], nums[1]); 1 → (n, n); 0 → (NULL, NULL).
-    """
+def parse_salary_columns(col: Column | str) -> Column:
+    """Column-API formulation of parse_salary — the executable spec the
+    SQL-text fast path below is property-tested against
+    (tests/test_salary.py), and the fallback for Column (non-name)
+    inputs."""
     nums = extract_numbers(col)
     n = F.size(nums)
     first = F.try_element_at(nums, F.lit(1))
@@ -94,3 +93,60 @@ def parse_salary(col: Column | str) -> Column:
         extract_currency(col).alias("currency"),
         extract_pay_period(col).alias("pay_period"),
     )
+
+
+# SQL-text twin of the Column tree above, function by function. Backslash
+# discipline (CLAUDE.md round-4 gotcha): Spark SQL string literals eat one
+# backslash level, so every regex backslash is doubled here. NBSP appears
+# as the literal character. {c} is a backtick-quoted column reference.
+_NORM_SQL = "regexp_replace({c}, ' ', ' ')"
+_NUMS_SQL = (
+    "transform(regexp_extract_all(" + _NORM_SQL + ", "
+    "'\\\\d[\\\\d\\\\s]*(?:,\\\\d+)?', 0), "
+    "m -> cast(regexp_replace(regexp_replace(m, '\\\\s+', ''), ',', '.') "
+    "as double))"
+)
+_CURRENCY_SQL = (
+    "CASE WHEN _cur = '' THEN cast(null as string) "
+    "ELSE CASE WHEN lower(_cur) = 'zł' THEN 'PLN' ELSE _cur END END".replace(
+        "_cur",
+        "regexp_extract(" + _NORM_SQL + ", '(?i)(zł|PLN|EUR|USD|CHF|GBP)', 1)",
+    )
+)
+_PERIOD_SQL = (
+    "CASE WHEN _per = '' THEN cast(null as string) "
+    "ELSE CASE WHEN _per = 'godz.' THEN 'h' "
+    "ELSE CASE WHEN _per = 'mies.' THEN 'month' ELSE _per END END END".replace(
+        "_per",
+        "regexp_extract(" + _NORM_SQL + ", "
+        "'(?i)/\\\\s*(mies\\\\.|godz\\\\.|rok|dzień|tydzień|month|h)', 1)",
+    )
+)
+_PARSE_SQL = (
+    "named_struct("
+    "'minimum', CASE WHEN size(_nums) >= 1 THEN try_element_at(_nums, 1) "
+    "ELSE cast(null as double) END, "
+    "'maximum', CASE WHEN size(_nums) >= 2 THEN try_element_at(_nums, 2) "
+    "WHEN size(_nums) = 1 THEN try_element_at(_nums, 1) "
+    "ELSE cast(null as double) END, "
+    f"'currency', {_CURRENCY_SQL}, "
+    f"'pay_period', {_PERIOD_SQL})"
+).replace("_nums", _NUMS_SQL)
+
+
+def parse_salary(col: Column | str) -> Column:
+    """Full A15-A21 composite → struct(minimum, maximum, currency, pay_period).
+
+    Count-dependent min/max (A21, transform_data.py:167-173):
+      >=2 numbers → (nums[0], nums[1]); 1 → (n, n); 0 → (NULL, NULL).
+
+    For string column names the tree ships as ONE F.expr SQL string: the
+    Column-API build spends ~0.5 s of py4j round-trips PER QUERY
+    CONSTRUCTION (round-11 measurement — the bench times construction),
+    while a single expr is one call and the JVM parses it. Semantics are
+    the Column formulation's, property-tested equal in
+    tests/test_salary.py."""
+    if isinstance(col, str):
+        safe = col.replace("`", "``")
+        return F.expr(_PARSE_SQL.format(c=f"`{safe}`"))
+    return parse_salary_columns(col)

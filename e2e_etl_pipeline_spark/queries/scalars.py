@@ -84,13 +84,16 @@ _SALARY_VALUES = ",\n      ".join(f"({_sql_quote(s)})" for s in SALARY_SAMPLES)
 def q_salary_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15-A21 end-to-end as one codegen'd expression tree (no UDFs)."""
     df = inline_frame(spark, [{"salary_text": s} for s in SALARY_SAMPLES], ["salary_text"])
-    parsed = sal.parse_salary("salary_text")
-    return df.select(
+    # select the parse struct ONCE and expand fields from it: embedding the
+    # parse tree per output field quadrupled the analyzed/codegen'd
+    # expression (round-11 measurement: first-exec codegen 6.4 s vs 0.7 s,
+    # and construction-time analysis ~3× slower).
+    return df.select("salary_text", sal.parse_salary("salary_text").alias("_p")).select(
         "salary_text",
-        parsed["minimum"].alias("minimum"),
-        parsed["maximum"].alias("maximum"),
-        parsed["currency"].alias("currency"),
-        parsed["pay_period"].alias("pay_period"),
+        F.col("_p.minimum").alias("minimum"),
+        F.col("_p.maximum").alias("maximum"),
+        F.col("_p.currency").alias("currency"),
+        F.col("_p.pay_period").alias("pay_period"),
     )
 
 
