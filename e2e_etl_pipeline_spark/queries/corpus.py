@@ -466,12 +466,32 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = _words("text")
     d = d.select("doc_id", words.alias("words"), F.size(words).alias("n"))
     dw = F.array_distinct(F.col("words"))
-    occurrences = lambda arr, item: F.size(  # noqa: E731
-        F.filter(arr, lambda x: x == item)
-    )
-    top_word = F.array_max(
-        F.transform(dw, lambda d_: occurrences(F.col("words"), d_))
-    )
+
+    def max_multiplicity(arr) -> F.Column:
+        # max occurrence count = longest equal run of the SORTED array —
+        # O(n log n) instead of the old per-distinct-element filter scan
+        # (O(|distinct|·n) interpreted compares; quadratic on the repeated
+        # long documents the dupheavy corpus shape produces). Same exact
+        # integer for non-empty arrays; 0 for empty (the old array_max of
+        # an empty count list was NULL, but every consumer sits behind an
+        # n-guard that nulls/zeroes that case identically).
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        )
+
+        def merge(acc, x):
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+            )
+
+        return F.aggregate(F.array_sort(arr), init, merge, lambda acc: acc["best"])
+
+    top_word = max_multiplicity(F.col("words"))
     grams = F.when(
         F.col("n") >= 2,
         F.transform(
@@ -482,12 +502,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     d = d.withColumn("grams", grams)
-    top_gram = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("grams")),
-            lambda g: occurrences(F.col("grams"), g),
-        )
-    )
+    top_gram = max_multiplicity(F.col("grams"))
     n_d = F.col("n").cast("double")
     # when-guards, not bare division: ANSI Spark raises DIVIDE_BY_ZERO even
     # for doubles, so an empty document (n = 0) must short-circuit to NULL
