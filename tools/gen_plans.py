@@ -125,8 +125,12 @@ SHOWCASE = [
                           "SinglePartition) for gaps-and-islands span "
                           "merging"),
     ("q_dedup_embedding_bound", "the exact all-pairs verification side is "
-                                "a broadcast nested-loop ON PURPOSE "
-                                "(bounded bench corpus); the certified "
+                                "quadratic ON PURPOSE (bounded bench "
+                                "corpus) — since round 11 it runs as "
+                                "blocked NumPy sub-matrices behind a "
+                                "FlatMapGroupsInArrow over hash-block "
+                                "pairs, bit-identical to the old "
+                                "nested-loop + HOF cosine; the certified "
                                 "LSH path joins on (table, bucket) — "
                                 "note the equi-join, not a cross product"),
     ("q_token_shards", "global fixed-token-budget sharding with NO "
