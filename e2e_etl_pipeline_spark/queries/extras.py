@@ -490,7 +490,15 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-3-gram Jaccard near-dup (the word-level variant is
     q_dedup_jaccard): inverted-index join on distinct grams — candidate
-    pairs only, never the doc×doc cross product."""
+    pairs only, never the doc×doc cross product.
+
+    Corpus regime: the inverted-index shape is declared for SPARSE gram
+    incidence (large vocabulary, bounded document frequency), where the
+    candidate stream Σ df² is far below n². A charset-bounded corpus (the
+    test fixture's 377 distinct char-3-grams over 702 docs) degenerates
+    toward the dense n² stream — that cost is the declared semantics (no
+    df cutoff in the oracle), not an implementation defect; a dense-regime
+    caller wants a bitmap/matmul operator with a different scaling class."""
     d = load_table(spark, sf_dir, "documents").where(F.col("lang") == "de")
     # sequence(1, length-2) defaults to step -1 when length(text) < 3 (e.g.
     # [1, 0, -1] for a 1-char doc), yielding spurious grams the oracle's
@@ -512,13 +520,17 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()  # dedup across DUPLICATED doc rows too (oracle DISTINCT)
     sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
     a = grams.alias("a")
-    # SHUFFLE_HASH: the char-3-gram vocabulary is tiny (bounded by
-    # |charset|³), so the inverted-index self-join is many-to-many with hot
-    # keys — sort-merge pays a per-key quadratic merge-buffer scan for the
-    # same matches a hash probe streams (measured 11.2 s → 6.0 s at sf0.1).
-    # Scale-safe: the build side is per-partition gram rows, shrunk by more
-    # partitions; no broadcast collect (guide §3.1).
-    b = grams.hint("shuffle_hash").alias("b")
+    # No join-strategy hint (round-12 decision, reversing round 11): a quiet
+    # interleaved min-of-3 A/B pair (plans/r12/ngram_hint_pair.json) measured
+    # SHUFFLE_HASH flat on the standard layout (7.59 vs 7.44 s) and ~1.2 s
+    # WORSE on the restaged multi-split layout (8.73 vs 7.53 s) — on this
+    # many-to-many join the per-partition hash build over hot char-3-gram
+    # keys loses to sort-merge's streaming merge; round 11's 11.2→6.0 s
+    # stage claim did not reproduce quietly. Planner default (SMJ) stands.
+    # The O(Σ df²) incidence stream itself is the declared semantics: this
+    # key is specified for SPARSE gram corpora (df bounded); a dense
+    # bounded-charset corpus regime belongs to the docstring note below.
+    b = grams.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
