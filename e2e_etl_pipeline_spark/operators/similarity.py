@@ -236,7 +236,7 @@ def _rank_topk(scored: DataFrame, k: int, extra_cols: list[str] | None = None) -
     )
 
 
-def brute_force_topk(
+def brute_force_topk_expr(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
@@ -244,7 +244,9 @@ def brute_force_topk(
     vec_col: str = "embedding",
     match_on: str | None = None,
 ) -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
+    """Expression-form exact cosine top-k — the executable SPEC for
+    brute_force_topk (tests pin the Arrow kernel bit-identical to this
+    path), retained exactly as it shipped through round 11.
 
     The (small) query side is broadcast; ranking uses row_number with a
     neighbor-id tiebreaker so results are deterministic. Self-matches are
@@ -288,6 +290,299 @@ def brute_force_topk(
         )
     )
     return _rank_topk(scored, k, extra_cols=[match_on] if match_on else None)
+
+
+def _topk_block_scorer(k: int, has_meta: bool):
+    """applyInArrow kernel for brute_force_topk: one block's query rows
+    (side 0, replicated to every block) × corpus rows (side 1), emitting
+    each query ROW's local top-k candidate rows (query_id, neighbor_id,
+    raw cosine double[, meta]).
+
+    Bit-identity + NULL/NaN parity with brute_force_topk_expr (the
+    retained spec; gated by tests/test_similarity_blocked.py):
+    * dot and both norms accumulate per dimension, left to right, in
+      float64 — the same IEEE order as vectors.dot / l2_norm folds, so
+      every emitted double is bit-identical to the expression path;
+    * cosine is NULL exactly where the expression path yields NULL: a
+      NULL vector, a NULL vector ELEMENT on either side (zip_with/
+      aggregate NULL-propagation), a length-mismatched pair (zip_with
+      pads with NULL), or a zero norm on either side (the explicit
+      F.when(norm == 0) guard). NaN ELEMENTS propagate as NaN values,
+      never NULL — F.when(NaN == 0) is false, matching here;
+    * pairs are DROPPED (not NULL) exactly where the join predicate
+      drops them: equal ids (self-match), a NULL id on either side, and
+      under ``has_meta`` a NULL or unequal metadata value — all SQL
+      comparisons against NULL are non-matches;
+    * the local top-k cut orders by the FINAL window's total order —
+      stable_round(cosine, 4) DESC with NaN first (Spark sorts NaN above
+      every double) and NULL last, then neighbor id ASC — so the union
+      of per-block cuts provably contains the global top-k rows
+      (first-k-of-a-sorted-multiset is preserved under any partition of
+      the multiset). Emitting per query ROW (not per id) preserves
+      duplicated-id multiplicity, which the pk fuzz variant requires.
+    """
+
+    def _prep(side_tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        ids = side_tbl.column("_pid")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        col = side_tbl.column("_pvec")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(ids)
+        valid = ~np.asarray(col.is_null())
+        off = np.asarray(col.offsets)
+        lens = np.full(n, -1, dtype=np.int64)
+        lens[valid] = (off[1:] - off[:-1])[valid]
+        child = col.values
+        vals = child.to_numpy(zero_copy_only=False).astype(np.float64)
+        if child.null_count:
+            cum = np.concatenate(
+                [[0], np.cumsum(np.asarray(child.is_null(), dtype=np.int64))]
+            )
+            row_has_null = (cum[off[1:]] - cum[off[:-1]]) > 0
+        else:
+            row_has_null = np.zeros(n, dtype=bool)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        meta = None
+        meta_valid = None
+        if has_meta:
+            meta = side_tbl.column("_pmeta")
+            if isinstance(meta, pa.ChunkedArray):
+                meta = meta.combine_chunks()
+            meta_valid = ~np.asarray(meta.is_null())
+        return {
+            "arrow_ids": ids,
+            "ids": ids_np,
+            "valid": valid,
+            "off": off,
+            "lens": lens,
+            "vals": vals,
+            "row_has_null": row_has_null,
+            "meta": meta,
+            "meta_np": (
+                meta.to_numpy(zero_copy_only=False) if has_meta else None
+            ),
+            "meta_valid": meta_valid,
+            "n": n,
+        }
+
+    def _score_slice(q, c, lo, hi):
+        """Full (mq × slice) cosine/null/drop matrices for corpus rows
+        [lo, hi) — real cosines computed per matching vector length."""
+        import numpy as np
+
+        mq = q["n"]
+        mc = hi - lo
+        cos = np.zeros((mq, mc))
+        isnull = np.ones((mq, mc), dtype=bool)
+        c_lens = c["lens"][lo:hi]
+        c_valid = c["valid"][lo:hi]
+        c_clean = c_valid & ~c["row_has_null"][lo:hi]
+        q_clean = q["valid"] & ~q["row_has_null"]
+        for length in np.unique(q["lens"][q_clean]):
+            qi = np.nonzero(q_clean & (q["lens"] == length))[0]
+            ci = np.nonzero(c_clean & (c_lens == length))[0]
+            if len(qi) == 0 or len(ci) == 0:
+                continue
+            d = int(length)
+            qg = q["off"][:-1][qi][:, None] + np.arange(d)[None, :]
+            cg = (c["off"][:-1][lo:hi][ci])[:, None] + np.arange(d)[None, :]
+            Q = q["vals"][qg] if d else np.zeros((len(qi), 0))
+            C = c["vals"][cg] if d else np.zeros((len(ci), 0))
+            na = np.zeros(len(qi))
+            nb = np.zeros(len(ci))
+            acc = np.zeros((len(qi), len(ci)))
+            for kk in range(d):
+                na = na + Q[:, kk] * Q[:, kk]
+                nb = nb + C[:, kk] * C[:, kk]
+                acc = acc + Q[:, kk : kk + 1] * C[:, kk]
+            na = np.sqrt(na)
+            nb = np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                block = acc / (na[:, None] * nb[None, :])
+            zero = (na[:, None] == 0) | (nb[None, :] == 0)
+            cos[np.ix_(qi, ci)] = np.where(zero, 0.0, block)
+            isnull[np.ix_(qi, ci)] = zero
+        drop = q["ids"][:, None] == c["ids"][None, lo:hi]
+        if has_meta:
+            mv = (
+                q["meta_valid"][:, None] & c["meta_valid"][None, lo:hi]
+            )
+            eq = np.zeros((mq, mc), dtype=bool)
+            if mv.any():
+                qm = q["meta_np"][:, None]
+                cm = c["meta_np"][None, lo:hi]
+                eq = qm == cm
+                # Spark SQL equality treats NaN = NaN as TRUE (unlike
+                # IEEE ==) — mirror it for floating metadata.
+                if (
+                    np.issubdtype(np.asarray(q["meta_np"]).dtype, np.floating)
+                    and np.issubdtype(
+                        np.asarray(c["meta_np"]).dtype, np.floating
+                    )
+                ):
+                    eq |= np.isnan(qm) & np.isnan(cm)
+            drop |= ~(mv & eq)
+        return cos, isnull, drop
+
+    def _order(cos_vals, null_flags, neighbor_ids):
+        """Indices sorted by the final total order: rounded desc (NaN
+        first, NULL last), neighbor id asc."""
+        import numpy as np
+
+        rounded = np.floor(cos_vals * 10000.0 + 0.5) / 10000.0
+        nanc = np.where(np.isnan(rounded) & ~null_flags, 0, 1)
+        negr = np.where(
+            np.isnan(rounded) | null_flags, 0.0, -rounded
+        )
+        return np.lexsort(
+            (neighbor_ids, negr, nanc, null_flags.astype(np.int8))
+        )
+
+    def score(tbl):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        id_type = tbl.schema.field("_pid").type
+        meta_fields = [("_meta", tbl.schema.field("_pmeta").type)] if has_meta else []
+        empty = pa.table(
+            {
+                "query_id": pa.array([], id_type),
+                "neighbor_id": pa.array([], id_type),
+                "cosine": pa.array([], pa.float64()),
+                **{
+                    name: pa.array([], typ) for name, typ in meta_fields
+                },
+            }
+        )
+        side = tbl.column("_pside")
+        left = tbl.filter(pc.equal(side, 0))
+        right = tbl.filter(pc.equal(side, 1))
+        if left.num_rows == 0 or right.num_rows == 0:
+            return empty
+        q = _prep(left)
+        c = _prep(right)
+        chunk = 8192  # bounds the score matrix at mq × chunk doubles
+        # per-query candidate accumulators across corpus slices
+        cand_idx: list = [[] for _ in range(q["n"])]
+        cand_cos: list = [[] for _ in range(q["n"])]
+        cand_null: list = [[] for _ in range(q["n"])]
+        for lo in range(0, c["n"], chunk):
+            hi = min(lo + chunk, c["n"])
+            cos, isnull, drop = _score_slice(q, c, lo, hi)
+            keep = ~drop
+            for qi in range(q["n"]):
+                idxs = np.nonzero(keep[qi])[0]
+                if len(idxs) == 0:
+                    continue
+                order = _order(
+                    cos[qi, idxs], isnull[qi, idxs], c["ids"][lo:hi][idxs]
+                )
+                pick = idxs[order[:k]]
+                cand_idx[qi].append(pick + lo)
+                cand_cos[qi].append(cos[qi, pick])
+                cand_null[qi].append(isnull[qi, pick])
+        out_q: list = []
+        out_c: list = []
+        out_cos: list = []
+        out_null: list = []
+        for qi in range(q["n"]):
+            if not cand_idx[qi]:
+                continue
+            gidx = np.concatenate(cand_idx[qi])
+            gcos = np.concatenate(cand_cos[qi])
+            gnull = np.concatenate(cand_null[qi])
+            order = _order(gcos, gnull, c["ids"][gidx])[:k]
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_c.append(gidx[order])
+            out_cos.append(gcos[order])
+            out_null.append(gnull[order])
+        if not out_q:
+            return empty
+        qs = np.concatenate(out_q)
+        cs = np.concatenate(out_c)
+        cols = {
+            "query_id": q["arrow_ids"].take(pa.array(qs)),
+            "neighbor_id": c["arrow_ids"].take(pa.array(cs)),
+            "cosine": pa.array(
+                np.concatenate(out_cos), pa.float64(),
+                mask=np.concatenate(out_null),
+            ),
+        }
+        if has_meta:
+            cols["_meta"] = c["meta"].take(pa.array(cs))
+        return pa.table(cols)
+
+    return score
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    match_on: str | None = None,
+    blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rank) — the
+    blocked Arrow kernel form (round 12, guide §4.2/§2.3/§8).
+
+    Semantics are IDENTICAL to brute_force_topk_expr (the retained
+    expression spec; bit-identity gated by tests/test_similarity_blocked
+    .py): same pairs, bit-identical cosine doubles, same ranking. The
+    execution shape changes: instead of scoring |Q|×|C| pairs with
+    interpreted zip_with/aggregate lambdas and shuffling every scored
+    pair into the rank window, corpus rows hash into ``blocks``
+    deterministic blocks (pmod(xxhash64(id), blocks) — guide §2.5),
+    query rows replicate to every block, and a NumPy kernel scores each
+    block's sub-matrix and emits only each query's LOCAL top-k candidate
+    rows — ≤ |Q|·k·blocks skinny rows reach the final window instead of
+    |Q|×|C| (§2.3 aggregate before you shuffle / §8 decide with small
+    rows). The local cut uses the window's exact total order, so the
+    global top-k is preserved row-for-row.
+
+    NULL-id rows on either side never pair (the join predicate's NULL
+    semantics) and are pre-filtered; everything else — NULL vectors,
+    ragged lengths, NULL elements, zero norms, NULL metadata under
+    ``match_on`` — reproduces the expression path inside the kernel
+    (docstring of _topk_block_scorer).
+
+    ``blocks`` scales the per-task sub-matrix (|Q| × |C|/blocks doubles,
+    chunked at 8192 corpus rows); raise it with corpus size."""
+    meta_q = [F.col(match_on).alias("_pmeta")] if match_on else []
+    q_side = queries.where(F.col(id_col).isNotNull()).select(
+        F.lit(0).alias("_pside"),
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("_blk"),
+        F.col(id_col).alias("_pid"),
+        F.col(vec_col).alias("_pvec"),
+        *meta_q,
+    )
+    meta_c = [F.col(match_on).alias("_pmeta")] if match_on else []
+    c_side = corpus.where(F.col(id_col).isNotNull()).select(
+        F.lit(1).alias("_pside"),
+        F.pmod(F.xxhash64(id_col), F.lit(blocks)).cast("int").alias("_blk"),
+        F.col(id_col).alias("_pid"),
+        F.col(vec_col).alias("_pvec"),
+        *meta_c,
+    )
+    u = q_side.unionByName(c_side)
+    id_type = u.schema["_pid"].dataType.simpleString()
+    out_schema = f"query_id {id_type}, neighbor_id {id_type}, cosine double"
+    if match_on:
+        meta_type = u.schema["_pmeta"].dataType.simpleString()
+        out_schema += f", _meta {meta_type}"
+    cand = u.groupBy("_blk").applyInArrow(
+        _topk_block_scorer(k, has_meta=match_on is not None), out_schema
+    )
+    if match_on:
+        cand = cand.withColumnRenamed("_meta", match_on)
+    return _rank_topk(cand, k, extra_cols=[match_on] if match_on else None)
 
 
 def _hyperplanes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:

@@ -131,3 +131,95 @@ def test_arrow_bucketizer_mismatched_dim_buckets_zero(spark):
     assert len(rows) == 6
     assert all(r.bucket == 0 for r in rows if r.q_id in (2, 3))
     assert any(r.bucket != 0 for r in rows if r.q_id == 1)
+
+
+# ---------------------------------------------------------------------------
+# brute_force_topk Arrow kernel vs the retained expression spec (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _topk_key(rows, with_label=False):
+    out = []
+    for r in rows:
+        t = (
+            r.query_id,
+            r.neighbor_id,
+            _bits(r.cosine),
+            r.rank,
+        )
+        if with_label:
+            t += (r.label,)
+        out.append(t)
+    return sorted(out)
+
+
+def test_brute_force_topk_bit_identical_on_corpus(em):
+    queries = em.where(F.col("vec_id") < 20)
+    ref = _topk_key(sim.brute_force_topk_expr(em, queries, k=10).collect())
+    got = _topk_key(sim.brute_force_topk(em, queries, k=10).collect())
+    assert ref == got
+    reff = _topk_key(
+        sim.brute_force_topk_expr(em, queries, k=5, match_on="label").collect(),
+        with_label=True,
+    )
+    gotf = _topk_key(
+        sim.brute_force_topk(em, queries, k=5, match_on="label").collect(),
+        with_label=True,
+    )
+    assert reff == gotf
+
+
+@pytest.fixture(scope="module")
+def edge_corpus(spark):
+    rows = [
+        (1, [1.0, 2.0], 1),  # normal
+        (2, [3.0, -1.0], 1),  # normal
+        (3, [0.0, 0.0], 2),  # zero norm -> NULL cosine
+        (4, None, 1),  # NULL vector -> NULL cosine
+        (5, [1.0, None], 1),  # NULL element -> NULL cosine
+        (6, [1.0, 2.0, 3.0], 1),  # ragged length -> NULL cosine pairs
+        (None, [9.0, 9.0], 1),  # NULL id -> never pairs
+        (2, [3.0, -1.0], 1),  # duplicated id row (pk-variant shape)
+        (7, [float("nan"), 1.0], 1),  # NaN element -> NaN cosine, ranks first
+        (8, [2.0, 1.0], None),  # NULL label -> dropped under match_on
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+@pytest.mark.parametrize("k", [2, 10])
+@pytest.mark.parametrize("match_on", [None, "label"])
+def test_brute_force_topk_edge_parity(edge_corpus, k, match_on):
+    """NULL vectors/elements/ids/labels, zero norms, NaN elements, ragged
+    lengths and duplicated ids must all come out EXACTLY as the expression
+    path emits them (same rows, bit-identical cosines, same ranks)."""
+    q = edge_corpus.where(
+        (F.col("vec_id") < 6) | F.col("vec_id").isNull()
+    )
+    ref = _topk_key(
+        sim.brute_force_topk_expr(
+            edge_corpus, q, k=k, match_on=match_on
+        ).collect(),
+        with_label=match_on is not None,
+    )
+    got = _topk_key(
+        sim.brute_force_topk(edge_corpus, q, k=k, match_on=match_on).collect(),
+        with_label=match_on is not None,
+    )
+    assert ref == got
+
+
+def test_brute_force_topk_more_blocks_than_rows(edge_corpus):
+    q = edge_corpus.where(F.col("vec_id") < 6)
+    ref = _topk_key(sim.brute_force_topk_expr(edge_corpus, q, k=3).collect())
+    got = _topk_key(
+        sim.brute_force_topk(edge_corpus, q, k=3, blocks=64).collect()
+    )
+    assert ref == got
+
+
+def test_brute_force_topk_empty_sides(edge_corpus):
+    empty = edge_corpus.where(F.lit(False))
+    assert sim.brute_force_topk(empty, edge_corpus, k=3).count() == 0
+    assert sim.brute_force_topk(edge_corpus, empty, k=3).count() == 0
