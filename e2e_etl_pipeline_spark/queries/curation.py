@@ -611,6 +611,71 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trigram_count_kernel():
+    """mapInArrow kernel: (doc_id, text) rows → (doc_id, gram_code, cnt)
+    rows, one per DISTINCT trigram per input ROW (round-12, guide §2.3
+    map-side pre-aggregation + §4.2 native batch code).
+
+    The per-row counting is pure pre-aggregation: duplicated doc_id rows
+    each emit their own (code, cnt) rows and the downstream
+    (doc_id, gram_code) SUM pools them — exactly the cross-row pooling
+    that fuzz-killed round 11's per-row FINAL-entropy kernel, preserved
+    here by design. gram_code packs the trigram's three code points into
+    one int64 ((c0<<42)|(c1<<21)|c2 — code points < 2^21, total 63 bits):
+    the bijection makes groupBy(code) ≡ groupBy(gram string), and the
+    gram itself never reaches the query output, so no string is ever
+    built. Code-point semantics match Spark substring / DuckDB substr /
+    Python slicing (UTF-32 = code points; Arrow strings are valid UTF-8,
+    so the encode can't hit surrogates). Rows with NULL or <3-char text
+    emit nothing (the expression form's length(text) >= 3 filter)."""
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("doc_id")
+            texts = batch.column("text").to_pylist()
+            keep = [
+                i for i, t in enumerate(texts) if t is not None and len(t) >= 3
+            ]
+            if not keep:
+                continue
+            cp = np.frombuffer(
+                "".join(texts[i] for i in keep).encode("utf-32-le"),
+                dtype=np.uint32,
+            ).astype(np.int64)
+            lens = np.array([len(texts[i]) for i in keep], dtype=np.int64)
+            starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            nval = lens - 2
+            bounds = np.concatenate([[0], np.cumsum(nval)])
+            p = (
+                np.repeat(starts, nval)
+                + np.arange(bounds[-1])
+                - np.repeat(bounds[:-1], nval)
+            )
+            codes = (cp[p] << 42) | (cp[p + 1] << 21) | cp[p + 2]
+            rows = np.repeat(np.arange(len(keep), dtype=np.int64), nval)
+            order = np.lexsort((codes, rows))
+            r, cd = rows[order], codes[order]
+            head = np.concatenate(
+                [[True], (r[1:] != r[:-1]) | (cd[1:] != cd[:-1])]
+            )
+            grp = np.nonzero(head)[0]
+            cnts = np.diff(np.concatenate([grp, [len(r)]]))
+            out_ids = ids.take(pa.array(np.asarray(keep, dtype=np.int64)[r[grp]]))
+            yield pa.record_batch(
+                [
+                    out_ids,
+                    pa.array(cd[grp], pa.int64()),
+                    pa.array(cnts, pa.int64()),
+                ],
+                names=["doc_id", "gram_code", "cnt"],
+            )
+
+    return run
+
+
 @register(
     "q_text_char_entropy",
     oracle=f"""
@@ -657,22 +722,24 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     noise with the SAME IEEE op sequence in both engines (its floor form
     also never emits the -0.0 a single-repeated-trigram doc produces, so
     no + 0.0 workaround is needed).
-    The trigram construction mirrors q_dedup_ngram's sequence guard (a
-    <3-char doc must not trip sequence's negative-step default).
 
-    Scale: text reduces to (doc, gram, cnt) in one partial-agg'd shuffle;
-    the per-doc total rides a window over that reduced frame on the same
-    key, and the entropy aggregate sees |distinct trigrams| rows per doc
-    — bodies never move twice."""
+    Scale (round-12 shape, guide §2.3/§4.2): trigram counting happens
+    row-local in an Arrow kernel (_trigram_count_kernel) that emits one
+    (doc_id, packed-code, cnt) row per DISTINCT trigram per input row —
+    the shuffle carries the pre-aggregated distinct-gram stream, never
+    one row per trigram OCCURRENCE, and no gram string is materialized
+    (the output only needs counts; the int64 code is bijective with the
+    gram). Duplicated doc_id rows pool in the downstream (doc_id, code)
+    SUM — the exact cross-row semantics that forbade a per-row final
+    kernel. The per-doc total rides a window over the reduced frame on
+    the same key; bodies never move."""
     d = load_table(spark, sf_dir, "documents")
-    raw_grams = F.transform(
-        F.sequence(F.lit(1), F.length("text") - 2),
-        lambda i: F.substring(F.col("text"), i, F.lit(3)),
+    id_type = d.schema["doc_id"].dataType.simpleString()
+    counts = d.select("doc_id", "text").mapInArrow(
+        _trigram_count_kernel(),
+        f"doc_id {id_type}, gram_code bigint, cnt bigint",
     )
-    grams = d.where(F.length("text") >= 3).select(
-        "doc_id", F.explode(raw_grams).alias("gram")
-    )
-    c = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    c = counts.groupBy("doc_id", "gram_code").agg(F.sum("cnt").alias("cnt"))
     w = Window.partitionBy("doc_id")
     t = c.withColumn("total", F.sum("cnt").over(w))
     p = F.col("cnt").cast("double") / F.col("total")

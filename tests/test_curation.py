@@ -141,3 +141,57 @@ def test_curation_pipeline_funnel_counts(spark, tmp_path):
     out = {r.source: r for r in QUERIES["q_curation_pipeline"](spark, str(tmp_path)).collect()}
     r = out["s"]
     assert (r.n_docs, r.n_quality, r.n_exact, r.n_final) == (11, 10, 9, 8)
+
+
+def test_trigram_kernel_matches_explode_counts(spark):
+    """The round-12 Arrow trigram-count kernel must emit EXACTLY the
+    (doc, trigram, count) multiset the explode form produced — including
+    duplicated doc_id rows (pooled downstream, not in the kernel), NULL
+    ids, NULL/short text (no rows), and astral code points (Spark
+    substring counts code points; the kernel's UTF-32 view must agree)."""
+    from pyspark.sql import functions as F
+
+    from e2e_etl_pipeline_spark.queries.curation import _trigram_count_kernel
+
+    rows = [
+        (1, "abcabc"),
+        (1, "abcx"),          # duplicated id row: pools with the row above
+        (2, "aaaa"),
+        (3, None),            # NULL text: no rows
+        (4, "ab"),            # too short: no rows
+        (5, "x\U0001F600y\U0001F600z"),  # astral chars count as ONE char
+        (None, "abcd"),       # NULL id keeps its gram rows (NULL group)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    kernel = (
+        d.select("doc_id", "text")
+        .mapInArrow(
+            _trigram_count_kernel(),
+            "doc_id long, gram_code bigint, cnt bigint",
+        )
+        .groupBy("doc_id", "gram_code")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    # decode the packed code back to the gram string for comparison
+    got = {
+        (
+            r.doc_id,
+            chr(r.gram_code >> 42)
+            + chr((r.gram_code >> 21) & 0x1FFFFF)
+            + chr(r.gram_code & 0x1FFFFF),
+        ): r.cnt
+        for r in kernel.collect()
+    }
+    raw = F.transform(
+        F.sequence(F.lit(1), F.length("text") - 2),
+        lambda i: F.substring(F.col("text"), i, F.lit(3)),
+    )
+    ref_rows = (
+        d.where(F.length("text") >= 3)
+        .select("doc_id", F.explode(raw).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    ref = {(r.doc_id, r.gram): r.cnt for r in ref_rows}
+    assert got == ref
