@@ -43,6 +43,15 @@ def md5_u60_sql(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
 
 
+def md5_u60_spark_sql(expr: str) -> str:
+    """``md5_u60`` as Spark-SQL TEXT (for F.expr composition) — shipping a
+    wide tree of these as one parsed string instead of per-column py4j
+    Column chains is the q_salary_parse construction-cost lesson
+    (round 11). tests/test_functions.py pins it value-identical to the
+    Column form."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def md5_u120(col: Column) -> tuple[Column, Column]:
     """120-bit digest as TWO 60-bit longs (nibbles 1-15, 16-30) from one
     md5 pass — the documented wide-corpus upgrade of ``md5_u60`` (birthday

@@ -22,7 +22,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from e2e_etl_pipeline_spark.functions.digests import md5_u60
+from e2e_etl_pipeline_spark.functions.digests import md5_u60, md5_u60_spark_sql
 from e2e_etl_pipeline_spark.functions.rounding import stable_round
 
 
@@ -122,7 +122,7 @@ def positional_shingles(col: Column | str, n: int = 3) -> Column:
     return F.flatten(F.transform(F.array(ws), grams_of))
 
 
-def minhash_signatures(
+def minhash_signature_vector(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -130,7 +130,15 @@ def minhash_signatures(
     shingle_size: int = 3,
     hasher: str = "xxhash64",
 ) -> DataFrame:
-    """(id, hash_id, minhash) — one row per document per hash function.
+    """(id, _m0 .. _m{k-1}) — ONE wide row per document holding all k
+    minhashes (round 12). This is the frame minhash_signatures posexplodes;
+    exposing it lets multi-consumer pipelines (banding sides, the pairwise
+    agreement estimate) run as cheap PROJECTIONS of one AQE-reused
+    exchange instead of each re-running the final min-merge aggregate and
+    a posexplode, then re-aggregating rows back together
+    (plans/r12/q_dedup_near_executed_before.txt: 4 consumers = 4
+    Generate posexplode + collect_list/avg re-aggregations downstream of
+    the reused exchange; guide §2.3/§2.4).
 
     Each of the k hash functions is seeded by hash_id (mixing the id into
     the hashed tuple). The min() aggregate partial-combines map-side, so
@@ -151,13 +159,16 @@ def minhash_signatures(
         F.explode(word_shingles(text_col, shingle_size)).alias("shingle"),
     )
 
-    def h(i: int) -> Column:
+    # Hash expressions as SQL TEXT (F.expr / selectExpr), not Column
+    # chains: 32 md5_u60(concat(...)) Column trees cost hundreds of py4j
+    # round-trips per construction (the q_salary_parse rule). '\n' inside
+    # a Spark SQL string literal parses to the same newline byte F.lit
+    # shipped; values are expression-identical either way.
+    def h_sql(i: int) -> str:
         if hasher == "md5":
-            return md5_u60(
-                F.concat(F.col("shingle"), F.lit("\n"), F.lit(str(i)))
-            )
+            return md5_u60_spark_sql(f"concat(shingle, '\\n', '{i}')")
         if hasher == "xxhash64":
-            return F.xxhash64("shingle", F.lit(i).cast("long"))
+            return f"xxhash64(shingle, CAST({i} AS BIGINT))"
         raise ValueError(f"unsupported hasher: {hasher}")
 
     # k min-aggregates over the shingle stream, one per hash function — NOT
@@ -167,10 +178,7 @@ def minhash_signatures(
     # guide §2.3 "aggregate before you shuffle"). The hash values are
     # unchanged expression-for-expression (hash_id enters as the literal it
     # always was), the per-(id, hash_id) min is the same min, and the
-    # shuffle now carries k longs per document in ONE row instead of k.
-    # The trailing posexplode restores the (id, hash_id, minhash) row shape
-    # consumers expect — and leaves the frame partitioned by id, which the
-    # banding aggregate downstream reuses exchange-free.
+    # shuffle carries k longs per document in ONE row instead of k.
     if hasher == "md5":
         # md5 is ~20× costlier per call than xxhash64 (concat + digest +
         # hex + conv chain), and corpora repeat shingles heavily across
@@ -182,8 +190,8 @@ def minhash_signatures(
         # exchanges of the (short) shingle strings; saves (pairs/distinct)×
         # of the dominant md5 work. The cheap xxhash64 production path
         # keeps the join-free single-exchange shape below.
-        hashed = shingled.select("shingle").distinct().select(
-            "shingle", *[h(i).alias(f"_m{i}") for i in range(num_hashes)]
+        hashed = shingled.select("shingle").distinct().selectExpr(
+            "shingle", *[f"{h_sql(i)} AS _m{i}" for i in range(num_hashes)]
         )
         # SHUFFLE_HASH on the hashed side: both sides arrive partitioned by
         # shingle and the (distinct) side builds per-partition hash tables —
@@ -201,8 +209,30 @@ def minhash_signatures(
         )
     else:
         sums = shingled.groupBy("id").agg(
-            *[F.min(h(i)).alias(f"_m{i}") for i in range(num_hashes)]
+            *[
+                F.expr(f"min({h_sql(i)})").alias(f"_m{i}")
+                for i in range(num_hashes)
+            ]
         )
+    return sums
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    shingle_size: int = 3,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """(id, hash_id, minhash) — one row per document per hash function;
+    the narrow row view of minhash_signature_vector (see its docstring
+    for the hashing/shuffle analysis). The trailing posexplode restores
+    the row shape consumers expect — and leaves the frame partitioned by
+    id, which keyed aggregations downstream reuse exchange-free."""
+    sums = minhash_signature_vector(
+        df, id_col, text_col, num_hashes, shingle_size, hasher
+    )
     return sums.select(
         "id",
         F.posexplode(F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])).alias(
@@ -255,6 +285,12 @@ def lsh_candidate_pairs(
             ).alias("band_hash")
         )
     )
+    return _band_self_join(banded)
+
+
+def _band_self_join(banded: DataFrame) -> DataFrame:
+    """Shared banding epilogue: self-join (id, band_id, band_hash) on the
+    band key, count shared bands per ordered pair."""
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -266,6 +302,105 @@ def lsh_candidate_pairs(
         )
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def lsh_candidate_pairs_vec(
+    sums: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    hasher: str = "xxhash64",
+) -> DataFrame:
+    """LSH banding over the WIDE signature frame (minhash_signature_vector):
+    identical output to lsh_candidate_pairs(minhash_signatures(...)) —
+    the band string is the same hash_id-ordered comma join of minhash
+    values (every hash_id is always present in the wide row, so
+    concat_ws over the k columns in order IS the sorted collect_list) —
+    but built as a pure PROJECTION + 1-struct-per-band explode instead of
+    re-aggregating k posexploded rows back into bands with
+    collect_list/array_sort (round 12, guide §2.3/§2.4: each banding
+    side becomes a map-side projection of the one AQE-reused signature
+    exchange)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}); a floor split would silently create extra short "
+            "bands with far looser matching probability"
+        )
+    if hasher not in ("md5", "xxhash64"):
+        raise ValueError(f"unsupported hasher: {hasher}")
+    rows_per_band = num_hashes // bands
+    # One F.expr string for the whole band array (the q_salary_parse
+    # construction-cost rule: a ~40-node-per-band Column tree costs
+    # hundreds of py4j round-trips per construction; the SQL text parses
+    # JVM-side in one call). Expression-identical to the Column form:
+    # CAST(b AS INT) ≡ F.lit(b).cast("int"), concat_ws of the CAST(...)
+    # columns is the hash_id-ordered band string, and the hash twins are
+    # xxhash64(e) / the md5_u60 conv chain.
+    if hasher == "md5":
+        def bh(e: str) -> str:
+            return md5_u60_spark_sql(e)
+    else:
+        def bh(e: str) -> str:
+            return f"xxhash64({e})"
+
+    def band_str(band: int) -> str:
+        cols = ",".join(
+            f"CAST(_m{band * rows_per_band + j} AS STRING)"
+            for j in range(rows_per_band)
+        )
+        return f"concat_ws(',',{cols})"
+
+    band_structs = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('band_id', CAST({band} AS INT),"
+            f" 'band_hash', {bh(band_str(band))})"
+            for band in range(bands)
+        )
+        + ")"
+    )
+    banded = sums.select("id", F.explode(band_structs).alias("_bb")).selectExpr(
+        "id", "_bb.band_id AS band_id", "_bb.band_hash AS band_hash"
+    )
+    return _band_self_join(banded)
+
+
+def minhash_similarity_vec(
+    sums: DataFrame, pairs: DataFrame, num_hashes: int = 32
+) -> DataFrame:
+    """Estimated Jaccard for candidate pairs over the WIDE signature frame:
+    two single-row joins (id_a, id_b) and a column-wise agreement
+    expression — no per-hash row explosion, no (id, hash_id) join, no
+    re-aggregation (round 12; the old shape joined 2·k rows per pair and
+    averaged them back). Bit-identical to minhash_similarity: agreement
+    counts are exact small integers and k is a power-of-two-free exact
+    divisor — every sum of 0.0/1.0 terms and the final division are
+    exactly representable, so F.avg over rows and this column sum produce
+    the same double regardless of order. ``pairs`` must be unique per
+    (id_a, id_b) (both producers group by the pair); a pair whose id is
+    absent from ``sums`` drops, exactly like the old inner joins."""
+    # selectExpr / F.expr strings, not per-column Column chains — the wide
+    # renames and the 32-term agreement sum otherwise cost ~0.6 s of py4j
+    # construction per query (measured; the q_salary_parse rule).
+    a = sums.selectExpr(
+        "id AS id_a", *[f"_m{i} AS _a{i}" for i in range(num_hashes)]
+    )
+    b = sums.selectExpr(
+        "id AS id_b", *[f"_m{i} AS _b{i}" for i in range(num_hashes)]
+    )
+    est = F.expr(
+        "("
+        + " + ".join(
+            f"CAST((_a{i} = _b{i}) AS DOUBLE)" for i in range(num_hashes)
+        )
+        + f") / CAST({num_hashes} AS DOUBLE)"
+    )
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", stable_round(est, 4).alias("est_jaccard"))
     )
 
 

@@ -452,11 +452,19 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit. The estimator's ACCURACY contract (vs exact Jaccard) is
     the separate q_minhash_accuracy_bound key."""
     d = load_table(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(
+    # Wide-vector forms (round 12): banding sides and the agreement
+    # estimate are projections of ONE AQE-reused signature exchange —
+    # the narrow-row pipeline re-ran the final min-merge + posexplode
+    # per consumer and re-aggregated rows back into bands/averages
+    # (plans/r12/q_dedup_near_executed_{before,after}.txt: 4 Generate
+    # posexplode → 0). Identical hash expressions, identical oracle.
+    sums = dd.minhash_signature_vector(
         d, "doc_id", "text", num_hashes=32, shingle_size=3, hasher="md5"
     )
-    pairs = dd.lsh_candidate_pairs(sigs, num_hashes=32, bands=8, hasher="md5")
-    return dd.minhash_similarity(sigs, pairs).where(F.col("est_jaccard") >= 0.5)
+    pairs = dd.lsh_candidate_pairs_vec(sums, num_hashes=32, bands=8, hasher="md5")
+    return dd.minhash_similarity_vec(sums, pairs).where(
+        F.col("est_jaccard") >= 0.5
+    )
 
 
 @register(
@@ -620,10 +628,10 @@ def q_minhash_accuracy_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = dd.token_jaccard_pairs(d, "doc_id", "text", max_df=500).where(
         F.col("jaccard") >= 0.5
     )
-    sigs = dd.minhash_signatures(
+    sums = dd.minhash_signature_vector(
         d, "doc_id", "text", num_hashes=32, shingle_size=1
     )
-    est = dd.minhash_similarity(sigs, exact.select("id_a", "id_b"))
+    est = dd.minhash_similarity_vec(sums, exact.select("id_a", "id_b"))
     joined = exact.join(est, ["id_a", "id_b"], "left")
     est_i = F.round(
         F.coalesce(F.col("est_jaccard"), F.lit(0.0)) * 10000

@@ -88,6 +88,30 @@ def test_md5_u60_cross_engine_parity(spark):
         assert got[s] == want, (s, got[s], want)
 
 
+def test_md5_u60_spark_sql_matches_column_form(spark):
+    """md5_u60_spark_sql (the F.expr text twin used for wide-tree
+    construction, round 12) must equal the md5_u60 Column form exactly —
+    including the '\\n'-escaped seeded shingle shape, where the SQL
+    parser's newline escape must produce the same byte F.lit shipped."""
+    from e2e_etl_pipeline_spark.functions.digests import (
+        md5_u60,
+        md5_u60_spark_sql,
+    )
+
+    samples = [
+        "a", "hello world", "tok1 tok2 tok3", "café", "中文分词",
+        "\U0001f600", "", " ", "back\\slash", "quote'quote",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    rows = df.select(
+        "s",
+        md5_u60(F.concat(F.col("s"), F.lit("\n"), F.lit("7"))).alias("col_form"),
+        F.expr(md5_u60_spark_sql("concat(s, '\\n', '7')")).alias("sql_form"),
+    ).collect()
+    for r in rows:
+        assert r.col_form == r.sql_form, r.s
+
+
 def test_md5_u120_cross_engine_parity(spark):
     """functions/digests.md5_u120 (the 100 TB-scale two-column widening of
     md5_u60) must equal its DuckDB twin bit-for-bit on BOTH halves, and the
